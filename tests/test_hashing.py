@@ -1,0 +1,72 @@
+"""Vectorized numpy kernels must agree exactly with the pure-Python
+oracle twins (independent implementations of one spec)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from twinspect_spark.functions import hashing as H
+
+SAMPLES = [
+    "",
+    "a",
+    "abc",
+    "abcd",
+    "def load(x):\n    return x + 1\n",
+    "the quick brown fox jumps over the lazy dog " * 5,
+    "unicode: héllo wörld ünïcode é中文",
+]
+
+
+@pytest.mark.parametrize("text", SAMPLES)
+def test_shingle_hashes_twins(text):
+    vec = set(int(v) for v in H.shingle_hashes(text, 4))
+    py = H.shingle_hashes_py(text, 4)
+    assert vec == py
+
+
+@pytest.mark.parametrize("text", [s for s in SAMPLES if s])
+def test_minhash_twins(text):
+    sh_vec = H.shingle_hashes(text, 4)
+    sh_py = H.shingle_hashes_py(text, 4)
+    vec = [int(v) for v in H.minhash(sh_vec, 32, seed=42)]
+    py = H.minhash_py(sh_py, 32, seed=42)
+    assert vec == py
+
+
+@pytest.mark.parametrize("text", [s for s in SAMPLES if s])
+def test_simhash_twins(text):
+    sh_vec = H.shingle_hashes(text, 4)
+    sh_py = H.shingle_hashes_py(text, 4)
+    assert H.simhash64(sh_vec, seed=42) == H.simhash64_py(sh_py, seed=42)
+
+
+def test_splitmix_twins_random():
+    rng = random.Random(1)
+    xs = [rng.getrandbits(64) for _ in range(1000)]
+    vec = H.splitmix64(np.array(xs, dtype=np.uint64))
+    for x, v in zip(xs, vec):
+        assert int(v) == H.splitmix64_py(x)
+
+
+def test_minhash_jaccard_estimate_accuracy():
+    """MinHash lane-match fraction ≈ exact Jaccard (property test from
+    SURVEY.md §5)."""
+    rng = random.Random(2)
+    base = {rng.getrandbits(64) for _ in range(2000)}
+    overlap = set(list(base)[:1500])
+    other = overlap | {rng.getrandbits(64) for _ in range(500)}
+    exact = len(base & other) / len(base | other)
+    a = H.minhash(np.array(sorted(base), dtype=np.uint64), 256, 42)
+    b = H.minhash(np.array(sorted(other), dtype=np.uint64), 256, 42)
+    est = float(np.mean(a == b))
+    assert abs(est - exact) < 0.08
+
+
+def test_signed_roundtrip():
+    for x in [0, 1, 2**63 - 1, 2**63, 2**64 - 1]:
+        s = H.to_signed64(x)
+        assert H.to_unsigned64(s) == x

@@ -1,0 +1,74 @@
+"""Distributed connected components over DataFrame joins (SURVEY.md G1).
+
+The reference clusters with an in-memory adjacency dict + recursive DFS
+(twinspect/datasets/ultils.py:60-91) — impossible at 10^12 edges. The
+Spark-native replacement is hash-min label propagation:
+
+  label(v) ← min(label(v), min over neighbors u of label(u))
+
+iterated to fixpoint. Near-dup clusters have tiny diameters (a cluster is
+a handful of edit-variants of one original), so convergence is typically
+2-4 rounds; each round is one shuffle join + one aggregation.
+``localCheckpoint()`` truncates lineage every round (Catalyst cannot
+optimize across iterations and unchecked lineage grows exponentially —
+SURVEY.md §4 item 2).
+
+Cluster ids are ``min(file_id)`` of the component — stable under any
+partitioning / edge order (determinism tests rely on this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """edges(a, b) [+ vertices(file_id)] → clusters(file_id, cluster_id).
+
+    Vertices not touched by any edge become singleton clusters
+    (cluster_id = own file_id) when a vertex frame is supplied.
+    """
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("file_id")).distinct()
+    labels = nodes.withColumn("label", F.col("file_id")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # every node offers its label to each neighbor; keep the min of
+        # (own label, best neighbor offer)
+        offers = (
+            sym.join(labels, sym.src == labels.file_id)
+            .select(F.col("dst").alias("file_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(offers)
+            .groupBy("file_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "file_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    clusters = labels.select("file_id", F.col("label").alias("cluster_id"))
+    if vertices is not None:
+        singletons = (
+            vertices.select("file_id")
+            .join(clusters, "file_id", "left_anti")
+            .withColumn("cluster_id", F.col("file_id"))
+        )
+        clusters = clusters.unionByName(singletons)
+    return clusters

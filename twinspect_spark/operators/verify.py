@@ -1,0 +1,182 @@
+"""Candidate-pair verification (SURVEY.md F4/F5/SF6 pattern).
+
+The reference's two-phase filter — cheap length-ratio predicate before an
+expensive C++ LCS similarity (twinspect/datasets/newsedits.py:105-136) —
+is exactly the shape we need, ordered explicitly because Catalyst has no
+UDF cost model (SURVEY.md §4):
+
+  1. column predicates   : length-variation bound (F4), JVM codegen
+  2. MinHash estimate    : fraction of equal lanes, zip_with — JVM codegen
+  3. exact n-gram Jaccard: pandas UDF (numpy set ops) on survivors
+  4. LCS scoring         : suffix-automaton longest-common-substring,
+                           pandas UDF, only for borderline pairs
+
+Stages 3-4 see only candidate pairs (tiny vs n²); content is joined in at
+the last moment so it never rides through the band shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from twinspect_spark.config import DedupConfig
+from twinspect_spark.functions import hashing as H
+
+
+def minhash_jaccard_expr(mh_a, mh_b, num_perm: int):
+    """Jaccard estimate = fraction of matching MinHash lanes (unbiased)."""
+    matches = F.size(F.filter(F.zip_with(mh_a, mh_b, lambda x, y: x == y), lambda v: v))
+    return matches / F.lit(float(num_perm))
+
+
+def make_jaccard_udf(cfg: DedupConfig):
+    """Exact shingle-set Jaccard over (content_a, content_b) batches."""
+    k = cfg.shingle_size
+
+    @F.pandas_udf(T.DoubleType())
+    def _jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x is None or y is None:
+                out[i] = 0.0
+                continue
+            sx = H.shingle_hashes(x, k)
+            sy = H.shingle_hashes(y, k)
+            inter = np.intersect1d(sx, sy, assume_unique=True).size
+            out[i] = inter / float(sx.size + sy.size - inter)
+        return pd.Series(out)
+
+    return _jaccard
+
+
+def _lcs_len(a: str, b: str) -> int:
+    """Longest common substring via a suffix automaton of `a` walked by
+    `b` — O(|a|+|b|) states/time, the linear-time alternative to a suffix
+    array with LCP (north_star's "suffix-array-based LCS scoring" slot;
+    reference analog: rapidfuzz LCSseq, newsedits.py:117-122)."""
+    if not a or not b:
+        return 0
+    # suffix automaton construction (standard; see e.g. cp-algorithms)
+    nxt: list[dict[str, int]] = [{}]
+    link = [-1]
+    length = [0]
+    last = 0
+    for ch in a:
+        cur = len(nxt)
+        nxt.append({})
+        link.append(0)
+        length.append(length[last] + 1)
+        p = last
+        while p != -1 and ch not in nxt[p]:
+            nxt[p][ch] = cur
+            p = link[p]
+        if p != -1:
+            q = nxt[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(nxt)
+                nxt.append(dict(nxt[q]))
+                link.append(link[q])
+                length.append(length[p] + 1)
+                while p != -1 and nxt[p].get(ch) == q:
+                    nxt[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    best = cur_len = 0
+    v = 0
+    for ch in b:
+        while v and ch not in nxt[v]:
+            v = link[v]
+            cur_len = length[v]
+        if ch in nxt[v]:
+            v = nxt[v][ch]
+            cur_len += 1
+            best = max(best, cur_len)
+    return best
+
+
+def make_lcs_udf():
+    """Normalized longest-common-substring score: lcs / min(len_a, len_b)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _lcs(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.zeros(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            if not x or not y:
+                continue
+            short, long_ = (x, y) if len(x) <= len(y) else (y, x)
+            out[i] = _lcs_len(short, long_) / float(len(short))
+        return pd.Series(out)
+
+    return _lcs
+
+
+def verify_pairs(
+    candidates: DataFrame,
+    ingested: DataFrame,
+    cfg: DedupConfig,
+    with_lcs: bool = True,
+) -> DataFrame:
+    """candidates(a, b[, src]) → pairs(a, b, jaccard, lcs_score, verified).
+
+    ``verified`` = exact Jaccard ≥ threshold, OR (borderline ≥ 80% of
+    threshold AND LCS ≥ lcs_threshold) — the LCS path rescues pairs whose
+    shingle sets diverge from heavy local edits but share long verbatim
+    runs (the reference's reason for LCS over token overlap,
+    newsedits.py:105-122).
+    """
+    content = ingested.select(
+        "file_id", F.col("content_norm").alias("content"), "size"
+    )
+    ca = content.select(
+        F.col("file_id").alias("a"),
+        F.col("content").alias("content_a"),
+        F.col("size").alias("size_a"),
+    )
+    cb = content.select(
+        F.col("file_id").alias("b"),
+        F.col("content").alias("content_b"),
+        F.col("size").alias("size_b"),
+    )
+    paired = candidates.join(ca, "a").join(cb, "b")
+
+    # F4: cheap length-variation bound before any UDF
+    max_len = F.greatest("size_a", "size_b")
+    len_var = (F.abs(F.col("size_a") - F.col("size_b")) / max_len).alias("len_var")
+    paired = paired.where(len_var <= cfg.max_length_variation)
+
+    jaccard = make_jaccard_udf(cfg)
+    paired = paired.withColumn("jaccard", jaccard("content_a", "content_b"))
+
+    borderline_floor = cfg.jaccard_threshold * 0.8
+    if with_lcs:
+        lcs = make_lcs_udf()
+        paired = paired.withColumn(
+            "lcs_score",
+            F.when(
+                (F.col("jaccard") >= borderline_floor)
+                & (F.col("jaccard") < cfg.jaccard_threshold),
+                lcs("content_a", "content_b"),
+            ).otherwise(F.lit(None).cast("double")),
+        )
+    else:
+        paired = paired.withColumn("lcs_score", F.lit(None).cast("double"))
+
+    verified = F.coalesce(
+        (F.col("jaccard") >= cfg.jaccard_threshold)
+        | (
+            (F.col("jaccard") >= borderline_floor)
+            & (F.col("lcs_score") >= cfg.lcs_threshold)
+        ),
+        F.lit(False),
+    )
+    return paired.select(
+        "a", "b", "jaccard", "lcs_score", verified.alias("verified")
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory with the engine's standard tuning.
+
+Local-mode testing stands in for a multi-executor cluster; every setting
+here is cluster-safe (AQE, skew-join, Arrow batching) and the parallelism
+knob is a parameter so bench.py can run the same job at local[8] vs
+local[32] for the scaling-efficiency evidence (BASELINE.md targets).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip this package for executor shipment (the `spark-submit
+    --py-files` artifact, built on demand). Local-mode Python workers are
+    separate processes and do NOT inherit the driver's sys.path — any
+    pandas-UDF closure referencing twinspect_spark needs this on a real
+    cluster and in local mode alike."""
+    pkg_root = pathlib.Path(__file__).resolve().parent
+    out = pathlib.Path(tempfile.gettempdir()) / "twinspect_spark_pkg.zip"
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg_root.rglob("*.py")):
+            zf.write(py, f"twinspect_spark/{py.relative_to(pkg_root)}")
+    return str(out)
+
+
+def get_spark(
+    app_name: str = "twinspect_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
