@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship near-dup clustering of the sf0.001 documents
+queries()         — operator battery (SURVEY.md §2 + training-data ops)
+oracle_sql()      — matching ANSI SQL for the DuckDB correctness gate
+
+All real logic lives in twinspect_spark/ (queries in
+twinspect_spark/queries.py); this module is the thin driver-facing shim.
 """
 
 from __future__ import annotations
@@ -15,24 +16,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end near-duplicate clustering of the sf0.001
+    documents table — signatures → LSH candidates → exact verify →
+    connected components → cluster-size histogram."""
+    from pyspark.sql import functions as F
+
+    from twinspect_spark.queries import q_dup_clusters
+
+    clusters = q_dup_clusters(spark, "/root/testdata/sf0.001")
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from twinspect_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from twinspect_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

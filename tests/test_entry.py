@@ -1,0 +1,35 @@
+"""Driver-contract smoke: entry() returns rows with a stable schema; the
+registry is consistent (every oracle key has a query; column aliases
+match is enforced by tools/check_oracle.py against DuckDB)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_registry_consistent():
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 20
+    # all but the explicitly hash-dependent ones carry an oracle
+    assert set(qs) - set(osql) == {"simhash_threshold_sweep"}
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["cluster_size", "n_clusters"]
+
+
+def test_sample_queries_run_at_sf0001(spark):
+    qs = entrymod.queries()
+    for name in ["token_stats", "pricing_summary", "embedding_norms"]:
+        assert qs[name](spark, SF).count() > 0

@@ -1,0 +1,794 @@
+"""Named queries over the driver's synthetic tables, each paired with an
+ANSI-SQL oracle runnable by DuckDB (the driver's correctness gate — see
+/root/repo/__spark_entry__.py).
+
+Conventions that make the Spark ↔ DuckDB comparison exact:
+- every computed column is aliased identically in both;
+- big-sum aggregates go through DECIMAL (exact) then one cast to double;
+  exact averages are decimal-sum / count in double — identical FP ops in
+  both engines;
+- unit-scale floats are rounded to 6 dp; rankings order by the ROUNDED
+  value with an id tie-break so top-k sets can't diverge on 1-ulp noise;
+- timestamps in the testdata are timestamp_ntz — rendered via cast to
+  string only when they appear in output.
+
+Shared text-dedup spec (k=4 char shingles over lower(text)) mirrors the
+engine's signature spec; the hash-dependent stages (MinHash/SimHash) are
+verified here by EXACT n-gram Jaccard on their candidate pairs, so
+`minhash_lsh_dedup` / `simhash_dedup` are correct iff candidate recall is
+1.0 at the chosen config — measured, and enforced by the shared oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twinspect_spark.config import DedupConfig
+from twinspect_spark.operators.cc import connected_components
+from twinspect_spark.operators.lsh import band_table, lsh_candidates
+from twinspect_spark.operators.simhash_ball import simhash_candidates
+from twinspect_spark.signatures import compute_signatures
+
+SHINGLE_K = 4
+JACCARD_T = 0.7
+
+# LSH config for the documents queries (recall 1.0 on >= 0.7-Jaccard
+# pairs: collision prob at s=0.7, b=32, r=4 is 1-(1-0.7^4)^32 ~ 0.9998,
+# and planted pairs here are s >= 0.9)
+DOCS_CFG = DedupConfig(jaccard_threshold=JACCARD_T)
+# SimHash config: planted pairs measure hamming <= 6; chunks=8 guarantees
+# candidate recall for hamming <= 7 by pigeonhole
+DOCS_SIM_CFG = DedupConfig(
+    jaccard_threshold=JACCARD_T, simhash_chunks=8, hamming_threshold=7
+)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make twinspect_spark importable on executors under ANY session
+    (the driver's session is not built by our get_spark)."""
+    from twinspect_spark.session import package_zip
+
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added in this context
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# documents: shared shingle relations
+# --------------------------------------------------------------------------
+
+_SH_SQL = f"""
+docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([substr(t, i, {SHINGLE_K})
+                               for i in range(1, greatest(length(t) - {SHINGLE_K - 2}, 2))])) AS sh
+  FROM docs
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+_PAIRS_SQL = f"""
+WITH {_SH_SQL},
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+)
+SELECT a, b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
+"""
+
+_EDGES_CTE = f"""
+{_SH_SQL},
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_T}
+),
+sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges),
+reach(s, d) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+),
+clusters AS (
+  SELECT dd.doc_id,
+         least(dd.doc_id, coalesce(min(r.d), dd.doc_id)) AS cluster_id
+  FROM docs dd LEFT JOIN reach r ON r.s = dd.doc_id
+  GROUP BY dd.doc_id
+)
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) — distinct k-gram shingles of lower(text); pure
+    column expressions (sequence/transform/array_distinct/explode),
+    whole-stage codegen end to end."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    return docs.selectExpr(
+        "doc_id",
+        f"explode(array_distinct(transform("
+        f"  sequence(1, greatest(length(t) - {SHINGLE_K - 1}, 1)),"
+        f"  i -> substring(t, i, {SHINGLE_K})))) AS sh",
+    )
+
+
+def _exact_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact shingle-Jaccard for all co-shingled pairs (or only pairs in
+    `candidates(a,b)` if given — the verify-only-candidates path)."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force n-gram Jaccard dedup (small-scale oracle path; the
+    reference's LameDuck-style exact baseline, hamming.py:187-215)."""
+    return _exact_jaccard_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= JACCARD_T
+    )
+
+
+def _docs_as_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("file_id"),
+        F.sha2("text", 256).alias("sha256"),
+        F.octet_length("text").cast("long").alias("size"),
+        F.lower("text").alias("content_norm"),
+    )
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate generation, exact-Jaccard verify.
+    Output identical to q_ngram_jaccard_pairs iff LSH recall is 1.0 at
+    this config (measured; the shared oracle enforces it)."""
+    _ship_package(spark)
+    sigs = compute_signatures(_docs_as_ingested(spark, sf_dir), DOCS_CFG)
+    cands = lsh_candidates(band_table(sigs, DOCS_CFG), DOCS_CFG)
+    return _exact_jaccard_pairs(spark, sf_dir, candidates=cands).where(
+        F.col("jaccard") >= JACCARD_T
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash Hamming-ball candidates (8 chunks, d<=7), exact
+    verify — the reference's threshold Hamming search re-expressed."""
+    _ship_package(spark)
+    sigs = compute_signatures(_docs_as_ingested(spark, sf_dir), DOCS_SIM_CFG)
+    cands = simhash_candidates(sigs, DOCS_SIM_CFG).select("a", "b")
+    return _exact_jaccard_pairs(spark, sf_dir, candidates=cands).where(
+        F.col("jaccard") >= JACCARD_T
+    )
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup clusters: connected components over the verified
+    pair graph; singletons keep their own id (G1)."""
+    edges = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id")
+    )
+    cc = connected_components(edges, vertices=docs)
+    return cc.select(F.col("file_id").alias("doc_id"), "cluster_id")
+
+
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data dedup: keep only the canonical (min-id) doc per
+    near-dup cluster → surviving doc ids."""
+    cc = q_dup_clusters(spark, sf_dir)
+    return cc.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: sha256 over whitespace-normalized lowercase
+    text (P6 normalization chain + SF3 content address)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha256_raw"),
+        F.sha2(norm, 256).alias("fingerprint"),
+    )
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: normalized-content fingerprint groups with >1 member."""
+    fp = q_doc_fingerprint(spark, sf_dir)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# documents: text analysis
+# --------------------------------------------------------------------------
+
+_STOPWORDS = "('the','a','of','and','to','in','is')"
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.regexp_count(F.lower("text"), F.lit("[a-z]+")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword / digit / punct ratios and a
+    composite score — the length/punct/stopword profile a training-data
+    pipeline gates on."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("t"), F.length("text").alias("len")
+    )
+    toks = F.expr("split(t, ' ')")
+    stop = F.expr(f"size(filter(split(t, ' '), w -> w in {_STOPWORDS}))")
+    digits = F.regexp_count("t", F.lit("[0-9]"))
+    punct = F.regexp_count("t", F.lit("[.,;:!?]"))
+    stopr = stop / F.size(toks)
+    digr = digits / F.col("len")
+    punr = punct / F.col("len")
+    return docs.select(
+        "doc_id",
+        F.round(stopr, 6).alias("stopword_ratio"),
+        F.round(digr, 6).alias("digit_ratio"),
+        F.round(punr, 6).alias("punct_ratio"),
+        F.round(F.lit(1.0) - stopr * 0.5 - digr - punr, 6).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class language-ID heuristic + agreement with the labeled
+    lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[áéíóúñ¡¿]"), "es")
+        .when(F.col("text").rlike("[àâçèêëîïôûùœ]"), "fr")
+        .when(F.col("text").rlike("[äöüß]"), "de")
+        .otherwise("en")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("agree"),
+    )
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (A7 dataset-info analog)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+                / F.count("*")
+            ).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn("avg_chars", F.round("avg_chars", 6))
+    )
+
+
+# --------------------------------------------------------------------------
+# relational operators on the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the A1/A2 grouped-stats aggregate (decimal-exact
+    sums, avg = decimal-sum / count)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    g = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return g.withColumn(
+        "avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6)
+    )
+
+
+def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg + deterministic top-k (J1 + W5)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: first row per group via row_number — the reference's
+    first-in-cluster original flag (eff.py:179-190) made order-explicit."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").cast("string").alias("first_orderdate"),
+        )
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO2 anti-join: set-difference as a relational op."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS via left_semi join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(li, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: fact ⋈ two broadcast dims + agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("volume"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+def q_nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join region ⋈ nation ⋈ customer with exact avg."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming windowed
+    agg; A3 histogram shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumulative session ids (W2/W3
+    window machinery; batch analog of session_window)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)  # ntz diff → day-time interval
+    with_flag = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0),
+    )
+    sess = with_flag.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+# --------------------------------------------------------------------------
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.expr(
+        "aggregate(transform(embedding, x -> cast(x as double)),"
+        " cast(0.0 as double), (acc, x) -> acc + x * x)"
+    )
+    return emb.select(
+        "vec_id", F.round(F.sqrt(sq), 6).alias("l2_norm"), "label"
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=5) for query vectors vec_id<10 —
+    broadcast the tiny query side, rank by ROUNDED similarity with id
+    tie-break so FP noise can't reorder."""
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.expr(
+        "aggregate(transform(embedding, x -> cast(x as double)),"
+        " cast(0.0 as double), (acc, x) -> acc + x * x)"
+    )
+    n = emb.select("vec_id", "embedding", F.sqrt(sq).alias("nrm"))
+    q = n.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, embedding,"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("q_nrm") * F.col("nrm")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "neighbor_id", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible: effectiveness sweep (hash-dependent; rows-only check)
+# --------------------------------------------------------------------------
+
+def q_simhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 analog: precision/recall/F1 of SimHash Hamming matching at
+    each threshold 0..7, against exact-Jaccard ground truth. Hash-
+    dependent → no SQL oracle (driver records rows-only)."""
+    _ship_package(spark)
+    sigs = compute_signatures(_docs_as_ingested(spark, sf_dir), DOCS_SIM_CFG)
+    cands = simhash_candidates(sigs, DOCS_SIM_CFG)  # a, b, hamming
+    gt = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
+    n_gt = gt.count()
+    joined = cands.join(gt.withColumn("is_gt", F.lit(1)), ["a", "b"], "left")
+    sweep = (
+        joined.crossJoin(
+            spark.range(0, DOCS_SIM_CFG.hamming_threshold + 1).select(
+                F.col("id").cast("int").alias("threshold")
+            )
+        )
+        .where(F.col("hamming") <= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_found"),
+            F.sum(F.coalesce("is_gt", F.lit(0))).alias("tp"),
+        )
+    )
+    prec = F.col("tp") / F.col("n_found")
+    rec = F.col("tp") / F.lit(n_gt)
+    return sweep.select(
+        "threshold",
+        "n_found",
+        "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec / (prec + rec), 6).alias("f1"),
+    ).orderBy("threshold")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # dedup family
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "dup_clusters": q_dup_clusters,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+    "doc_fingerprint": q_doc_fingerprint,
+    "exact_dup_groups": q_exact_dup_groups,
+    # text analysis
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "lang_profile": q_lang_profile,
+    # relational
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_customers": q_top_revenue_customers,
+    "first_order_per_customer": q_first_order_per_customer,
+    "customers_without_orders": q_customers_without_orders,
+    "order_priority_counts": q_order_priority_counts,
+    "brand_volume": q_brand_volume,
+    "nation_customer_stats": q_nation_customer_stats,
+    "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
+    # embeddings
+    "embedding_norms": q_embedding_norms,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    # non-SQL-expressible
+    "simhash_threshold_sweep": q_simhash_threshold_sweep,
+}
+
+
+ORACLE_SQL: dict[str, str] = {
+    "ngram_jaccard_pairs": _PAIRS_SQL,
+    "minhash_lsh_dedup": _PAIRS_SQL,
+    "simhash_dedup": _PAIRS_SQL,
+    "dup_clusters": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
+    "dedup_keep_canonical": (
+        f"WITH RECURSIVE {_EDGES_CTE} "
+        "SELECT doc_id FROM clusters WHERE doc_id = cluster_id"
+    ),
+    "doc_fingerprint": """
+        SELECT doc_id,
+               sha256(text) AS sha256_raw,
+               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    "exact_dup_groups": """
+        WITH fp AS (
+          SELECT doc_id,
+                 sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+          FROM documents
+        )
+        SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS canonical
+        FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    """,
+    "token_stats": """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+               length(text) AS n_chars_actual
+        FROM documents
+    """,
+    "quality_scores": f"""
+        WITH t AS (SELECT doc_id, lower(text) AS t, length(text) AS len FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(t, ' '), w -> w in {_STOPWORDS})) * 1.0
+                   / len(string_split(t, ' ')) AS stopr,
+                 len(regexp_extract_all(t, '[0-9]')) * 1.0 / len AS digr,
+                 len(regexp_extract_all(t, '[.,;:!?]')) * 1.0 / len AS punr
+          FROM t
+        )
+        SELECT doc_id,
+               round(stopr, 6) AS stopword_ratio,
+               round(digr, 6) AS digit_ratio,
+               round(punr, 6) AS punct_ratio,
+               round(1.0 - stopr * 0.5 - digr - punr, 6) AS quality
+        FROM m
+    """,
+    "lang_id": """
+        SELECT doc_id, lang,
+               CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN regexp_matches(text, '[áéíóúñ¡¿]') THEN 'es'
+                    WHEN regexp_matches(text, '[àâçèêëîïôûùœ]') THEN 'fr'
+                    WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+                    ELSE 'en' END AS pred_lang,
+               (CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                     WHEN regexp_matches(text, '[áéíóúñ¡¿]') THEN 'es'
+                     WHEN regexp_matches(text, '[àâçèêëîïôûùœ]') THEN 'fr'
+                     WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+                     ELSE 'en' END) = lang AS agree
+        FROM documents
+    """,
+    "lang_profile": """
+        SELECT lang, count(*) AS n_docs,
+               round(cast(sum(cast(n_chars AS decimal(18,0))) AS double) / count(*), 6) AS avg_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+               cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+               cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS sum_disc_price,
+               count(*) AS count_order,
+               round(cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(*), 6) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_customers": """
+        SELECT c_custkey, c_name,
+               cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 10
+    """,
+    "first_order_per_customer": """
+        SELECT o_custkey,
+               o_orderkey AS first_orderkey,
+               cast(o_orderdate AS varchar) AS first_orderdate
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn = 1
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "order_priority_counts": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority
+    """,
+    "brand_volume": """
+        SELECT p_brand,
+               cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS volume,
+               count(DISTINCT s_suppkey) AS n_suppliers
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY p_brand
+    """,
+    "nation_customer_stats": """
+        SELECT r_name, n_name, count(*) AS n_customers,
+               round(cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) / count(*), 6) AS avg_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "events_hourly": """
+        SELECT cast(date_trunc('hour', ts) AS varchar) AS hour, event_type,
+               count(*) AS n_events,
+               cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "user_sessions": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        FROM sess GROUP BY user_id
+    """,
+    "embedding_norms": """
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(embedding,
+                     x -> cast(x AS double) * cast(x AS double)))), 6) AS l2_norm,
+               label
+        FROM embeddings
+    """,
+    "ann_cosine_topk": """
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> cast(x AS double) * cast(x AS double)))) AS nrm
+          FROM embeddings
+        ),
+        q AS (SELECT * FROM n WHERE vec_id < 10),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                       / (q.nrm * c.nrm), 6) AS cosine
+          FROM q JOIN n c ON c.vec_id != q.vec_id
+        )
+        SELECT q_id, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs
+        ) WHERE rn <= 5
+    """,
+    # simhash_threshold_sweep: intentionally no oracle (hash-dependent)
+}
