@@ -1,0 +1,223 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Default mode (driver contract):
+    python bench.py
+    → {"metric": "e2e_wall_seconds", "value": N, "unit": "sec",
+       "queries": {...per-query sec...}, "sf": 0.1, ...extras}
+
+Scaling-evidence mode (BASELINE.md: efficiency >= 0.8 between N and 4N):
+    python bench.py --scaling
+    → runs the SAME dedup job at local[8] and local[32] on identical
+      input and reports throughput at both plus efficiency.
+
+The benched dedup path is the scalable pipeline (pandas-UDF signatures →
+LSH banding + SimHash chunks → candidate-only verification → iterative
+CC), NOT the brute-force n-gram oracle queries, which exist for the
+sf0.01 correctness gate only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _files_df(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _scaled_files_df(spark, sf_dir: str, replicas: int, cores: int):
+    """Deterministic compute-bound corpus for the scaling run: the
+    documents table replicated `replicas`× with a per-replica alphabet
+    rotation. Each replica preserves the internal near-dup structure
+    (rotation is a bijection on shingles) while cross-replica shingle
+    sets are near-disjoint, so work scales linearly with `replicas`
+    and the dup-pair structure scales exactly ×replicas. No external
+    data; derived only from the driver's synthetic table."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    base = _files_df(spark, sf_dir)
+    parts = []
+    digits = "0123456789"
+    for k in range(replicas):
+        rot = _ALPHA[k % 26 :] + _ALPHA[: k % 26]
+        content = F.translate("content", _ALPHA, rot)
+        if (k // 26) % 2:
+            content = F.reverse(content)
+        drot = (k // 52) % 10
+        if drot:
+            content = F.translate(content, digits, digits[drot:] + digits[:drot])
+        parts.append(
+            base.select(
+                F.concat(F.lit(f"rep{k}/"), "repo").alias("repo"),
+                "path",
+                "commit",
+                "lang",
+                content.alias("content"),
+            )
+        )
+    df = reduce(lambda a, b: a.unionByName(b), parts)
+    return df.repartition(cores * 3)
+
+
+def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """Returns ({query: seconds}, {query: result_rows})."""
+    from pyspark.sql import functions as F
+
+    from twinspect_spark import queries as Q
+    from twinspect_spark.config import DedupConfig
+    from twinspect_spark.pipeline import run_dedup
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def bench(name: str, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    # headline: the full near-dup pipeline on documents
+    cfg = DedupConfig(jaccard_threshold=0.7)
+
+    def _dedup():
+        res = run_dedup(_files_df(spark, sf_dir), cfg)
+        return res.clusters.where("file_id != cluster_id").count()
+
+    bench("e2e_dedup_pipeline", _dedup)
+
+    # component: signatures only (UDF throughput)
+    def _sigs():
+        from twinspect_spark.ingest import ingest_files
+        from twinspect_spark.signatures import compute_signatures
+
+        ing = ingest_files(_files_df(spark, sf_dir), cfg)
+        return compute_signatures(ing, cfg).count()
+
+    bench("signatures", _sigs)
+
+    # relational / analytical battery (JVM-only paths)
+    for name in [
+        "pricing_summary",
+        "top_revenue_customers",
+        "brand_volume",
+        "user_sessions",
+        "events_hourly",
+        "token_stats",
+        "quality_scores",
+        "lang_profile",
+        "ann_cosine_topk",
+        "embedding_norms",
+    ]:
+        fn = Q.QUERIES[name]
+        bench(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    return timings, rows
+
+
+def _fresh_spark(cores: int):
+    from twinspect_spark.session import get_spark
+
+    return get_spark("bench", cores=cores, shuffle_partitions=cores)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    if "--scaling-worker" in sys.argv:
+        # one parallelism level, isolated JVM: -Xmx and Python worker
+        # pools are per-process, so measurements can't contaminate
+        cores = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
+        from twinspect_spark.config import DedupConfig
+        from twinspect_spark.pipeline import run_dedup
+
+        cfg = DedupConfig(jaccard_threshold=0.7)
+        replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "64"))
+        spark = _fresh_spark(cores)
+        # equal warmup: a small full-pipeline run primes JIT/codegen and
+        # the Python worker pool outside the timed window
+        run_dedup(_scaled_files_df(spark, sf_dir, 1, cores), cfg).clusters.count()
+        files = _scaled_files_df(spark, sf_dir, replicas, cores)
+        n_files = files.count()
+        t0 = time.perf_counter()
+        res = run_dedup(files, cfg)
+        n_dup = res.clusters.where("file_id != cluster_id").count()
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "cores": cores,
+            "n_files": n_files,
+            "dup_members": n_dup,
+            "wall_sec": round(wall, 2),
+            "files_per_sec": round(n_files / wall, 1),
+            "stages": res.stage_seconds,
+        }))
+        spark.stop()
+        return
+
+    if "--scaling" in sys.argv:
+        import subprocess
+
+        result = {}
+        n_files = None
+        for cores in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling-worker", str(cores)],
+                capture_output=True, text=True, env=os.environ,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            n_files = r["n_files"]
+            result[f"local[{cores}]"] = {
+                "wall_sec": r["wall_sec"],
+                "files_per_sec": r["files_per_sec"],
+                "stages": r["stages"],
+            }
+            result["dup_members"] = r["dup_members"]
+        t8 = result["local[8]"]["files_per_sec"]
+        t32 = result["local[32]"]["files_per_sec"]
+        result["scaling_efficiency"] = round((t32 / t8) / 4, 3)
+        print(json.dumps({
+            "metric": "scaling", "sf": sf, "n_files": n_files, **result
+        }))
+        return
+
+    spark = _fresh_spark(cpus)
+    n_files = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    timings, rows = run_benchmarks(spark, sf_dir)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "e2e_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "files_per_sec_dedup": round(n_files / timings["e2e_dedup_pipeline"], 1),
+        "result_rows": rows,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

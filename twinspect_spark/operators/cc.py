@@ -36,10 +36,14 @@ def connected_components(
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
+    # materialize the edge set ONCE — every iteration re-reads it, and
+    # without this the whole upstream pipeline (signatures, candidate
+    # joins, verification UDFs) re-executes per iteration
+    sym = sym.localCheckpoint()
     nodes = sym.select(F.col("src").alias("file_id")).distinct()
     labels = nodes.withColumn("label", F.col("file_id")).localCheckpoint()
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # every node offers its label to each neighbor; keep the min of
         # (own label, best neighbor offer)
         offers = (
@@ -52,16 +56,21 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "file_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # convergence check costs a driver-blocking job; dup graphs have
+        # tiny diameters, so checking every 2nd round halves the serial
+        # job count for (at worst) one extra cheap iteration
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "file_id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
 
     clusters = labels.select("file_id", F.col("label").alias("cluster_id"))
     if vertices is not None:

@@ -54,13 +54,20 @@ def hot_band_report(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def lsh_candidates(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """bands → distinct candidate pairs (a, b), a < b.
+def lsh_candidates(
+    bands: DataFrame, cfg: DedupConfig, dedupe: bool = True
+) -> DataFrame:
+    """bands → candidate pairs (a, b), a < b.
 
     Plan shape: one aggregation to size buckets, an explicit cap filter,
     then a bucket-key self-join with upper-triangle condition (halves the
-    shuffle output, SURVEY.md §4 upper-triangle idiom) and a distinct to
-    merge pairs found by multiple bands (SO3).
+    shuffle output, SURVEY.md §4 upper-triangle idiom).
+
+    ``dedupe=True`` merges pairs found by multiple bands (SO3) right
+    here. The pipeline passes ``dedupe=False`` and dedupes AFTER the
+    cheap MinHash-estimate filter instead — deduping first means
+    shuffling the full raw pair stream (dominated by moderate-similarity
+    vocabulary noise), which measured ~9x the surviving volume.
     """
     sizes = bands.groupBy("band_idx", "band_hash").count()
     keep = sizes.where(
@@ -70,9 +77,9 @@ def lsh_candidates(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     b = bands.join(keep, ["band_idx", "band_hash"], "left_semi")
     left = b.select("band_idx", "band_hash", F.col("file_id").alias("a"))
     right = b.select("band_idx", "band_hash", F.col("file_id").alias("b"))
-    return (
+    pairs = (
         left.join(right, ["band_idx", "band_hash"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    return pairs.distinct() if dedupe else pairs

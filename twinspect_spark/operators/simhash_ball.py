@@ -33,8 +33,12 @@ def chunk_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def simhash_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """→ distinct (a, b, hamming), a < b, hamming <= cfg.hamming_threshold.
+def simhash_candidates(
+    signatures: DataFrame, cfg: DedupConfig, dedupe: bool = True
+) -> DataFrame:
+    """→ (a, b, hamming), a < b, hamming <= cfg.hamming_threshold;
+    distinct unless ``dedupe=False`` (pipeline dedupes after the shared
+    MinHash-estimate filter).
 
     The chunk self-join produces supersets; the codegen'd bit_count filter
     runs inside the join stage before the distinct's shuffle, so false
@@ -49,7 +53,7 @@ def simhash_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         "chunk_idx", "chunk_val",
         F.col("file_id").alias("b"), F.col("simhash").alias("sim_b"),
     )
-    return (
+    pairs = (
         left.join(right, ["chunk_idx", "chunk_val"])
         .where(F.col("a") < F.col("b"))
         .withColumn(
@@ -58,8 +62,8 @@ def simhash_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         )
         .where(F.col("hamming") <= cfg.hamming_threshold)
         .select("a", "b", "hamming")
-        .distinct()
     )
+    return pairs.distinct() if dedupe else pairs
 
 
 def hamming_expr(a, b):

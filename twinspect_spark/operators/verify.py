@@ -33,6 +33,34 @@ def minhash_jaccard_expr(mh_a, mh_b, num_perm: int):
     return matches / F.lit(float(num_perm))
 
 
+def estimate_filter_candidates(
+    candidates: DataFrame, signatures: DataFrame, cfg: DedupConfig,
+    margin: float = 0.15,
+) -> DataFrame:
+    """→ (a, b[, src], est): join MinHash signatures onto DISTINCT
+    candidate pairs, keep pairs with lane-match estimate ≥ threshold -
+    margin, carrying ``est`` forward for the verify triage.
+
+    Order matters at scale: pair-dedup happens BEFORE this join — (a,b)
+    rows are 16 bytes, so deduping the raw band stream first is the
+    cheapest shuffle in the pipeline, and the 2×1KB signature arrays are
+    then shipped only once per distinct pair. (With 46M raw pairs at 80k
+    files, est-before-dedup shuffles ~92GB of arrays; dedup-first cuts
+    that ~300x.) zip_with on already-computed signatures — whole-stage
+    codegen, no Python, no content."""
+    sig = signatures.select("file_id", "minhash")
+    sa = sig.select(F.col("file_id").alias("a"), F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col("file_id").alias("b"), F.col("minhash").alias("mh_b"))
+    est = minhash_jaccard_expr(F.col("mh_a"), F.col("mh_b"), cfg.num_perm)
+    return (
+        candidates.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("est", est)
+        .where(F.col("est") >= cfg.jaccard_threshold - margin)
+        .drop("mh_a", "mh_b")
+    )
+
+
 def make_jaccard_udf(cfg: DedupConfig):
     """Exact shingle-set Jaccard over (content_a, content_b) batches."""
     k = cfg.shingle_size
@@ -123,6 +151,7 @@ def verify_pairs(
     ingested: DataFrame,
     cfg: DedupConfig,
     with_lcs: bool = True,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """candidates(a, b[, src]) → pairs(a, b, jaccard, lcs_score, verified).
 
@@ -131,7 +160,40 @@ def verify_pairs(
     shingle sets diverge from heavy local edits but share long verbatim
     runs (the reference's reason for LCS over token overlap,
     newsedits.py:105-122).
+
+    Statistical triage: when candidates carry an ``est`` column (from
+    estimate_filter_candidates), pairs with est ≥ threshold + 3σ are
+    accepted outright (σ = sqrt(t(1-t)/num_perm) ≈ 0.04 at 128 lanes —
+    false-accept odds ~1e-3 per pair at the boundary) and only the
+    borderline band ±3σ goes through the content join + exact-Jaccard /
+    LCS UDFs. At web scale the borderline band is a sliver of verified
+    pairs, so the Python path runs on thousands of rows, not millions.
+    For triage-accepted pairs ``jaccard`` holds the ESTIMATE and
+    ``method`` = 'minhash_est'; exact-verified pairs carry
+    ``method`` = 'exact'.
+
+    Passing ``signatures`` applies the estimate filter+triage here for
+    callers that didn't pre-filter.
     """
+    if signatures is not None and "est" not in candidates.columns:
+        candidates = estimate_filter_candidates(candidates, signatures, cfg)
+
+    sure = None
+    if "est" in candidates.columns:
+        sigma = (
+            cfg.jaccard_threshold * (1 - cfg.jaccard_threshold) / cfg.num_perm
+        ) ** 0.5
+        hi = cfg.jaccard_threshold + 3 * sigma
+        sure = candidates.where(F.col("est") >= hi).select(
+            "a",
+            "b",
+            F.col("est").alias("jaccard"),
+            F.lit(None).cast("double").alias("lcs_score"),
+            F.lit(True).alias("verified"),
+            F.lit("minhash_est").alias("method"),
+        )
+        candidates = candidates.where(F.col("est") < hi)
+
     content = ingested.select(
         "file_id", F.col("content_norm").alias("content"), "size"
     )
@@ -177,6 +239,12 @@ def verify_pairs(
         ),
         F.lit(False),
     )
-    return paired.select(
-        "a", "b", "jaccard", "lcs_score", verified.alias("verified")
+    exact = paired.select(
+        "a",
+        "b",
+        "jaccard",
+        "lcs_score",
+        verified.alias("verified"),
+        F.lit("exact").alias("method"),
     )
+    return exact if sure is None else exact.unionByName(sure)

@@ -38,7 +38,7 @@ JACCARD_T = 0.7
 # LSH config for the documents queries (recall 1.0 on >= 0.7-Jaccard
 # pairs: collision prob at s=0.7, b=32, r=4 is 1-(1-0.7^4)^32 ~ 0.9998,
 # and planted pairs here are s >= 0.9)
-DOCS_CFG = DedupConfig(jaccard_threshold=JACCARD_T)
+DOCS_CFG = DedupConfig(jaccard_threshold=JACCARD_T, bands=32)
 # SimHash config: planted pairs measure hamming <= 6; chunks=8 guarantees
 # candidate recall for hamming <= 7 by pigeonhole
 DOCS_SIM_CFG = DedupConfig(
@@ -142,6 +142,16 @@ def _exact_jaccard_pairs(
     `candidates(a,b)` if given — the verify-only-candidates path)."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if candidates is not None:
+        # push the restriction INTO the self-join: only docs that appear
+        # in some candidate pair participate (Catalyst can't infer this
+        # from a post-hoc semi-join on (a,b))
+        ids = (
+            candidates.select(F.col("a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(ids), "doc_id", "left_semi")
     inter = (
         sh.alias("x")
         .join(sh.alias("y"), "sh")

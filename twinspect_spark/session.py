@@ -48,9 +48,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Static broadcasts (tiny dims) stay enabled above; the ADAPTIVE
+        # runtime conversion is disabled because AQE re-plans the LSH
+        # band/pair self-joins into broadcasts when post-shuffle stats
+        # look small-ish, building multi-million-row hash relations per
+        # task (measured 50 s vs 5 s on the candidate stage at 160k
+        # files). On a real cluster the pair stream must shuffle, never
+        # broadcast.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
