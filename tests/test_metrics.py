@@ -1,0 +1,192 @@
+"""Metrics-library tests: TwinSpect scoring semantics (SURVEY.md §2.6)
+checked against a straightforward pandas re-implementation on small
+hand-checkable inputs, plus robustness/dataset-info over the planted
+synthetic corpus."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from twinspect_spark.metrics import (
+    best_threshold,
+    dataset_info,
+    distance_distribution,
+    effectiveness,
+    robustness,
+)
+
+
+@pytest.fixture(scope="module")
+def pair_world(spark):
+    """5 items: gt pairs {(1,2),(1,3),(4,5)}; found pairs with distances."""
+    gt = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "a long, b long"
+    )
+    found = spark.createDataFrame(
+        [(1, 2, 0), (1, 3, 4), (2, 3, 6), (4, 5, 2), (3, 5, 9)],
+        "a long, b long, distance int",
+    )
+    return gt, found
+
+
+def _pandas_effectiveness(gt, found, thresholds):
+    """Reference semantics (eff.py:219-290), naive loops."""
+    gt_sym = {(q, o) for a, b in gt for q, o in ((a, b), (b, a))}
+    found_sym = {}
+    for a, b, d in found:
+        found_sym[(a, b)] = d
+        found_sym[(b, a)] = d
+    queries = {q for q, _ in gt_sym} | {q for q, _ in found_sym}
+    out = []
+    for t in thresholds:
+        ps, rs = [], []
+        for q in queries:
+            res = {o for (qq, o), d in found_sym.items() if qq == q and d <= t}
+            truth = {o for qq, o in gt_sym if qq == q}
+            tp = len(res & truth)
+            if res:
+                ps.append(tp / len(res))
+            if truth:
+                rs.append(tp / len(truth))
+        p = sum(ps) / len(ps) if ps else None
+        r = sum(rs) / len(rs) if rs else None
+        f1 = (
+            round(2 * round(p, 6) * round(r, 6) / (round(p, 6) + round(r, 6)), 6)
+            if p and r and p + r > 0
+            else 0.0
+        )
+        out.append((float(t), p, r, f1, len(ps), len(rs)))
+    return out
+
+
+def test_effectiveness_matches_pandas_oracle(spark, pair_world):
+    gt, found = pair_world
+    thresholds = [0.0, 2.0, 4.0, 6.0, 9.0]
+    got = {
+        row["threshold"]: row
+        for row in effectiveness(gt, found, thresholds).collect()
+    }
+    want = _pandas_effectiveness(
+        [(r.a, r.b) for r in gt.collect()],
+        [(r.a, r.b, r.distance) for r in found.collect()],
+        thresholds,
+    )
+    assert set(got) == {t for t, *_ in want}
+    for t, p, r, f1, np_, nr in want:
+        row = got[t]
+        assert row["avg_precision"] == pytest.approx(round(p, 6), abs=1e-6)
+        assert row["avg_recall"] == pytest.approx(round(r, 6), abs=1e-6)
+        assert row["f1"] == pytest.approx(f1, abs=1e-6)
+        assert row["n_queries_with_results"] == np_
+        assert row["n_queries_with_gt"] == nr
+
+
+def test_effectiveness_perfect_at_full_recall_threshold(spark, pair_world):
+    """At a threshold admitting exactly the gt pairs and nothing else,
+    precision and recall are both 1."""
+    gt, _ = pair_world
+    found = gt.withColumn("distance", gt.a * 0)  # all gt at distance 0
+    row = effectiveness(gt, found, [0.0]).collect()[0]
+    assert row["avg_precision"] == 1.0
+    assert row["avg_recall"] == 1.0
+    assert row["f1"] == 1.0
+    assert row["std_precision"] == 0.0
+
+
+def test_best_threshold_argmax_and_tiebreak(spark, pair_world):
+    gt, found = pair_world
+    eff = effectiveness(gt, found, [0.0, 2.0, 4.0, 6.0, 9.0])
+    best = best_threshold(eff).collect()[0]
+    rows = sorted(
+        eff.collect(), key=lambda r: (-r["f1"], r["threshold"])
+    )
+    assert best["threshold"] == rows[0]["threshold"]
+    assert best["f1"] == rows[0]["f1"]
+
+
+def test_distance_distribution_split(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4)], "file_id long, cluster_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0), (1, 3, 5), (3, 4, 5), (2, 3, 5)],
+        "a long, b long, distance int",
+    )
+    got = {
+        (r["kind"], r["distance"]): r["n_pairs"]
+        for r in distance_distribution(pairs, clusters).collect()
+    }
+    assert got == {("intra", 0): 1, ("inter", 5): 3}
+
+
+def test_robustness_per_transform(spark):
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "file_id": [1, 2, 3, 4, 5, 6],
+                "cluster_id": [10, 10, 10, 20, 20, None],
+                "transform": [None, "rename", "ws", None, "rename", None],
+                "is_original": [True, False, False, True, False, False],
+            }
+        )
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (4, 5, 7)], "a long, b long, distance int"
+    )
+    got = {
+        r["transform"]: r for r in robustness(files, pairs).collect()
+    }
+    assert got["rename"]["n_pairs"] == 2
+    assert got["rename"]["min_distance"] == 3
+    assert got["rename"]["max_distance"] == 7
+    assert got["rename"]["avg_distance"] == 5.0
+    assert got["ws"]["n_pairs"] == 1
+    assert got["ws"]["avg_distance"] == 1.0
+
+
+def test_robustness_on_synthetic_corpus(spark):
+    """End-to-end: pipeline distances between originals and transforms
+    must be near zero for whitespace edits (normalization kills them) and
+    present for every planted transform."""
+    from pyspark.sql import functions as F
+
+    from twinspect_spark.corpus import generate_corpus
+    from twinspect_spark.config import DedupConfig
+    from twinspect_spark.pipeline import run_dedup
+
+    corpus = generate_corpus(n_clusters=12, transforms_per_original=3, seed=3)
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    res = run_dedup(
+        spark.createDataFrame(corpus.files), cfg, materialize_stages=False
+    )
+    ids = res.ingested.select("file_id", "repo", "path")
+    labels = spark.createDataFrame(corpus.labels).join(
+        ids, ["repo", "path"]
+    ).select("file_id", "cluster_id", "transform", "is_original")
+    pairs = res.pairs.withColumn(
+        "distance", F.round(1 - F.col("jaccard"), 6)
+    ).select("a", "b", "distance")
+    rb = {r["transform"]: r for r in robustness(labels, pairs).collect()}
+    assert rb, "no original↔transform pairs matched"
+    for t, row in rb.items():
+        assert 0.0 <= row["min_distance"] <= row["max_distance"] <= 1.0, t
+    if "whitespace" in rb:
+        assert rb["whitespace"]["max_distance"] <= 0.05
+
+
+def test_dataset_info(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "file_id long, cluster_id long",
+    )
+    row = dataset_info(clusters).collect()[0]
+    assert row["n_files"] == 6
+    assert row["n_dup_clusters"] == 2
+    assert row["min_cluster_size"] == 2
+    assert row["max_cluster_size"] == 3
+    assert row["avg_cluster_size"] == 2.5
+    assert row["n_singletons"] == 1
+    assert math.isclose(row["singleton_ratio"], 1 / 6, abs_tol=1e-6)

@@ -547,8 +547,93 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TwinSpect scoring metrics (A1/A3/A5/A6/A7) over the documents corpus
+# --------------------------------------------------------------------------
+
+# Integer percent distance d = floor((1 - jaccard) * 100): hash-free, so
+# the macro-average aggregation machinery itself is what the SQL oracle
+# checks (the hash-dependent instantiation over SimHash hamming is the
+# rows-only q_simhash_effectiveness below). floor (not round) so Spark
+# and DuckDB can't disagree on .5 ties.
+_EFF_THRESHOLDS = [0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0]
+
+
+def _doc_pairs_with_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    allp = _exact_jaccard_pairs(spark, sf_dir)
+    return allp.withColumn(
+        "d",
+        F.floor((1 - F.col("jaccard")) * 100 + F.lit(1e-9)).cast("int"),
+    )
+
+
+def q_eff_sweep_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: TwinSpect macro-averaged precision/recall/F1 per distance
+    threshold (eff.py:219-290), over exact n-gram distances: ground truth
+    = jaccard >= 0.7 pairs, search results = all co-shingled pairs."""
+    from twinspect_spark.metrics import effectiveness
+
+    allp = _doc_pairs_with_distance(spark, sf_dir)
+    gt = allp.where(F.col("jaccard") >= JACCARD_T).select("a", "b")
+    found = allp.select("a", "b", "d")
+    return effectiveness(gt, found, _EFF_THRESHOLDS, distance_col="d")
+
+
+def q_eff_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: argmax-F1 threshold over the effectiveness sweep
+    (utils.py:121-126) via max_by."""
+    from twinspect_spark.metrics import best_threshold
+
+    return best_threshold(q_eff_sweep_exact(spark, sf_dir))
+
+
+def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: intra- vs inter-cluster distance histogram over co-shingled
+    pairs (distribution.py:55-105); cluster labels from the transitive
+    dup clusters."""
+    from twinspect_spark.metrics import distance_distribution
+
+    allp = _doc_pairs_with_distance(spark, sf_dir)
+    clusters = q_dup_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"), "cluster_id"
+    )
+    return distance_distribution(
+        allp.select("a", "b", F.col("d").alias("distance")), clusters
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: dataset-info stats (info.py:9-76) of the dup-cluster
+    assignment: totals, dup-cluster size min/max/avg, singleton ratio."""
+    from twinspect_spark.metrics import dataset_info
+
+    clusters = q_dup_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"), "cluster_id"
+    )
+    return dataset_info(clusters)
+
+
+# --------------------------------------------------------------------------
 # non-SQL-expressible: effectiveness sweep (hash-dependent; rows-only check)
 # --------------------------------------------------------------------------
+
+
+def q_simhash_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 on the real hash distance: macro-averaged effectiveness of
+    SimHash Hamming matching (thresholds 0..7) against exact-Jaccard
+    ground truth. Hash-dependent → rows-only driver check; the
+    aggregation machinery is SQL-verified by q_eff_sweep_exact."""
+    from twinspect_spark.metrics import effectiveness
+
+    _ship_package(spark)
+    sigs = compute_signatures(_docs_as_ingested(spark, sf_dir), DOCS_SIM_CFG)
+    cands = simhash_candidates(sigs, DOCS_SIM_CFG)  # a, b, hamming
+    gt = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
+    return effectiveness(
+        gt,
+        cands.select("a", "b", "hamming"),
+        [float(t) for t in range(DOCS_SIM_CFG.hamming_threshold + 1)],
+        distance_col="hamming",
+    )
 
 def q_simhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A6 analog: precision/recall/F1 of SimHash Hamming matching at
@@ -616,9 +701,82 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # embeddings
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
+    # TwinSpect scoring metrics
+    "eff_sweep_exact": q_eff_sweep_exact,
+    "eff_best_threshold": q_eff_best_threshold,
+    "distance_histogram": q_distance_histogram,
+    "corpus_stats": q_corpus_stats,
     # non-SQL-expressible
     "simhash_threshold_sweep": q_simhash_threshold_sweep,
+    "simhash_effectiveness": q_simhash_effectiveness,
 }
+
+
+# Shared CTE chain for the effectiveness oracle: shingle pairs → distance
+# → symmetrized full-outer join of found vs ground truth → per-query
+# tp/fp/fn per threshold → macro averages (mirrors metrics.effectiveness
+# exactly, incl. the two distinct denominators and f1-from-rounded-means).
+_EFF_CTE = f"""
+{_SH_SQL},
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+allp AS (
+  SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+),
+found AS (
+  SELECT a, b, cast(floor((1 - jaccard) * 100 + 1e-9) AS int) AS d FROM allp
+),
+gt AS (SELECT a, b FROM allp WHERE jaccard >= {JACCARD_T}),
+f2 AS (
+  SELECT a AS query, b AS other, d FROM found
+  UNION ALL SELECT b, a, d FROM found
+),
+g2 AS (
+  SELECT a AS query, b AS other, 1 AS is_gt FROM gt
+  UNION ALL SELECT b, a, 1 FROM gt
+),
+j AS (
+  SELECT coalesce(f2.query, g2.query) AS query,
+         coalesce(g2.is_gt, 0) AS is_gt,
+         f2.d AS d
+  FROM f2 FULL OUTER JOIN g2
+    ON f2.query = g2.query AND f2.other = g2.other
+),
+t AS (SELECT * FROM (VALUES (0.0),(5.0),(10.0),(15.0),(20.0),(25.0),(30.0)) AS v(threshold)),
+perq AS (
+  SELECT query, threshold,
+         sum(CASE WHEN d <= threshold AND is_gt = 1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN d <= threshold AND is_gt = 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN is_gt = 1 AND (d IS NULL OR d > threshold) THEN 1 ELSE 0 END) AS fn
+  FROM j CROSS JOIN t GROUP BY query, threshold
+),
+pr AS (
+  SELECT threshold,
+         CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END AS p,
+         CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) END AS r
+  FROM perq
+),
+eff AS (
+  SELECT threshold,
+         round(avg(p), 6) AS avg_precision,
+         round(coalesce(stddev_samp(p), 0), 6) AS std_precision,
+         round(avg(r), 6) AS avg_recall,
+         round(coalesce(stddev_samp(r), 0), 6) AS std_recall,
+         count(p) AS n_queries_with_results,
+         count(r) AS n_queries_with_gt,
+         round(CASE WHEN round(avg(p), 6) + round(avg(r), 6) > 0
+                    THEN 2 * round(avg(p), 6) * round(avg(r), 6)
+                         / (round(avg(p), 6) + round(avg(r), 6))
+                    ELSE 0 END, 6) AS f1
+  FROM pr GROUP BY threshold
+)
+"""
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -800,5 +958,44 @@ ORACLE_SQL: dict[str, str] = {
           FROM pairs
         ) WHERE rn <= 5
     """,
-    # simhash_threshold_sweep: intentionally no oracle (hash-dependent)
+    "eff_sweep_exact": f"WITH {_EFF_CTE} SELECT * FROM eff",
+    "eff_best_threshold": (
+        f"WITH {_EFF_CTE} "
+        "SELECT threshold, avg_precision, avg_recall, f1 FROM eff "
+        "ORDER BY f1 DESC, threshold ASC LIMIT 1"
+    ),
+    "distance_histogram": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        allp AS (
+          SELECT a, b,
+                 cast(floor((1 - round(i * 1.0 / (sa.n + sb.n - i), 6)) * 100
+                            + 1e-9) AS int) AS distance
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+        )
+        SELECT CASE WHEN c1.cluster_id = c2.cluster_id
+                    THEN 'intra' ELSE 'inter' END AS kind,
+               distance, count(*) AS n_pairs
+        FROM allp
+        JOIN clusters c1 ON c1.doc_id = allp.a
+        JOIN clusters c2 ON c2.doc_id = allp.b
+        GROUP BY 1, 2
+    """,
+    "corpus_stats": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        csizes AS (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id),
+        agg AS (
+          SELECT sum(sz) AS n_files,
+                 sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS n_dup_clusters,
+                 coalesce(min(CASE WHEN sz > 1 THEN sz END), 0) AS min_cluster_size,
+                 coalesce(max(CASE WHEN sz > 1 THEN sz END), 0) AS max_cluster_size,
+                 round(coalesce(avg(CASE WHEN sz > 1 THEN sz END), 0.0), 6) AS avg_cluster_size,
+                 sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS n_singletons
+          FROM csizes
+        )
+        SELECT *, round(n_singletons * 1.0 / n_files, 6) AS singleton_ratio FROM agg
+    """,
+    # simhash_threshold_sweep / simhash_effectiveness:
+    # intentionally no oracle (hash-dependent)
 }
