@@ -1,0 +1,227 @@
+"""Stage-checkpoint manifest: durable parquet checkpoints + resume.
+
+The reference memoizes every stage as a content-addressed artifact —
+``{algo}-{dataset}-{checksum}-{tag}.{ext}`` (twinspect/tools.py:30-52) —
+and a stage re-run is a cache hit iff the artifact exists
+(twinspect/algos/processing.py:31-34, metrics/utils.py:79-92). This
+module is the Spark-native equivalent:
+
+- each stage writes parquet under ``<root>/<key>/<stage>/`` where
+  ``key = config.fingerprint() [+ input token]``;
+- a sidecar ``<stage>.done.json`` manifest row commits strictly AFTER
+  the parquet write succeeds (write-then-manifest ordering — the
+  artifact-exists-means-done contract is the manifest file, not the
+  data files, so a crashed write can never masquerade as complete);
+- resume = read the checkpoint instead of recomputing; any missing
+  stage recomputes from the nearest completed upstream checkpoint;
+- every commit also appends per-partition lineage rows (one per output
+  parquet file: rows + bytes, from the ``_metadata`` hidden columns) and
+  a stage-level metrics row to ``<root>/<key>/_metrics/`` — the
+  north-rule lineage/metrics tables.
+
+Paths are plain directories (local FS in tests; object-store/HDFS URIs
+work identically since all IO goes through Spark writers except the tiny
+JSON manifest, which production would place on a shared store).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twinspect_spark.config import DedupConfig
+
+STAGES = ["ingested", "signatures", "candidates", "pairs", "clusters"]
+
+
+class StageManifest:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        cfg: DedupConfig,
+        input_token: str = "default",
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.key = f"{cfg.fingerprint()}-{input_token}"
+        self.base = os.path.join(root, self.key)
+        os.makedirs(self.base, exist_ok=True)
+
+    def stage_path(self, stage: str) -> str:
+        return os.path.join(self.base, stage)
+
+    def _done_path(self, stage: str) -> str:
+        return os.path.join(self.base, f"{stage}.done.json")
+
+    def is_complete(self, stage: str) -> bool:
+        return os.path.exists(self._done_path(stage))
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.stage_path(stage))
+
+    def invalidate(self, stage: str) -> None:
+        """Drop a stage's completion marker (its data stays until
+        overwritten) — forces recompute on the next resumable run."""
+        try:
+            os.remove(self._done_path(stage))
+        except FileNotFoundError:
+            pass
+
+    def write(self, stage: str, df: DataFrame, run_id: str) -> DataFrame:
+        """Materialize a stage: parquet write → lineage/metrics append →
+        manifest commit LAST. Returns the checkpoint-backed DataFrame
+        (downstream plans read the files, not the upstream lineage)."""
+        t0 = time.perf_counter()
+        path = self.stage_path(stage)
+        df.write.mode("overwrite").parquet(path)
+        wall_s = round(time.perf_counter() - t0, 3)
+
+        out = self.spark.read.parquet(path)
+        lineage = (
+            out.groupBy(F.col("_metadata.file_path").alias("part_file"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.first(F.col("_metadata.file_size")).alias("bytes"),
+            )
+            .select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(stage).alias("stage"),
+                "part_file",
+                "rows",
+                "bytes",
+            )
+        )
+        lineage.write.mode("append").parquet(
+            os.path.join(self.base, "_metrics", "lineage")
+        )
+        stats = lineage.agg(
+            F.sum("rows").alias("rows"),
+            F.sum("bytes").alias("bytes"),
+            F.count("*").alias("n_part_files"),
+        ).collect()[0]
+        self.spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    stage,
+                    int(stats["rows"] or 0),
+                    int(stats["bytes"] or 0),
+                    int(stats["n_part_files"]),
+                    wall_s,
+                    time.time(),
+                )
+            ],
+            "run_id string, stage string, rows long, bytes long,"
+            " n_part_files long, wall_s double, ts double",
+        ).write.mode("append").parquet(
+            os.path.join(self.base, "_metrics", "stages")
+        )
+        with open(self._done_path(stage), "w") as f:
+            json.dump(
+                {
+                    "stage": stage,
+                    "run_id": run_id,
+                    "rows": int(stats["rows"] or 0),
+                    "wall_s": wall_s,
+                    "config": self.cfg.fingerprint(),
+                },
+                f,
+            )
+        return out
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.base, "_metrics", "lineage")
+        )
+
+    def stage_metrics(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.base, "_metrics", "stages")
+        )
+
+
+def run_dedup_resumable(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: DedupConfig,
+    checkpoint_root: str,
+    input_token: str = "default",
+    run_id: str | None = None,
+):
+    """The durable twin of pipeline.run_dedup: identical stage graph, but
+    every stage boundary is a parquet checkpoint and completed stages are
+    skipped on restart (left as read-from-checkpoint, zero recompute).
+
+    Returns (DedupResult, {stage: "cached" | "computed"}, StageManifest).
+    """
+    from twinspect_spark.operators.cc import connected_components
+    from twinspect_spark.operators.exact import collapse_exact_dups
+    from twinspect_spark.operators.lsh import band_table, lsh_candidates
+    from twinspect_spark.operators.simhash_ball import simhash_candidates
+    from twinspect_spark.operators.verify import (
+        estimate_filter_candidates,
+        verify_pairs,
+    )
+    from twinspect_spark.pipeline import DedupResult
+    from twinspect_spark.signatures import compute_signatures
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    man = StageManifest(spark, checkpoint_root, cfg, input_token)
+    status: dict[str, str] = {}
+
+    def stage(name: str, thunk):
+        if man.is_complete(name):
+            status[name] = "cached"
+            return man.read(name)
+        status[name] = "computed"
+        return man.write(name, thunk(), run_id)
+
+    ingested = stage("ingested", lambda: ingest_stage(files, cfg))
+
+    def _sigs():
+        reps, _ = collapse_exact_dups(ingested)
+        return compute_signatures(reps, cfg)
+
+    signatures = stage("signatures", _sigs)
+
+    def _cands():
+        cand_lsh = lsh_candidates(
+            band_table(signatures, cfg), cfg, dedupe=False
+        ).withColumn("src", F.lit("lsh"))
+        cand_sim = simhash_candidates(signatures, cfg, dedupe=False).select(
+            "a", "b", F.lit("simhash").alias("src")
+        )
+        raw = cand_lsh.unionByName(cand_sim.select("a", "b", "src"))
+        deduped = raw.groupBy("a", "b").agg(F.min("src").alias("src"))
+        return estimate_filter_candidates(deduped, signatures, cfg)
+
+    candidates = stage("candidates", _cands)
+    pairs = stage("pairs", lambda: verify_pairs(candidates, ingested, cfg))
+
+    def _clusters():
+        _, exact_edges = collapse_exact_dups(ingested)
+        edges = (
+            pairs.where("verified").select("a", "b").unionByName(exact_edges)
+        )
+        return connected_components(
+            edges, vertices=ingested.select("file_id")
+        )
+
+    clusters = stage("clusters", _clusters)
+    return (
+        DedupResult(ingested, signatures, candidates, pairs, clusters),
+        status,
+        man,
+    )
+
+
+def ingest_stage(files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    from twinspect_spark.ingest import ingest_files
+
+    return ingest_files(files, cfg)
