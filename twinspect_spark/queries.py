@@ -546,6 +546,105 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COSINE_DUP_T = 0.4
+IVF_N_CENTROIDS = 8
+IVF_TOPK = 3
+
+_DOT = (
+    "aggregate(zip_with({x}, {y},"
+    " (p, q) -> cast(p as double) * cast(q as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(F.expr(_DOT.format(x="embedding", y="embedding")))
+    return emb.select("vec_id", "embedding", nrm.alias("nrm"))
+
+
+def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact brute force (a < b, rounded
+    cosine >= threshold) — the small-SF oracle for the IVF/LSH scale
+    path. At 10^12 rows this becomes the q_ann_ivf_topk bucketed join;
+    the brute force stays as the per-bucket verifier."""
+    n = _normed_embeddings(spark, sf_dir)
+    a = n.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        F.expr(_DOT.format(x="ea", y="eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_DUP_T)
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the scale path): deterministic coarse centroids
+    = the IVF_N_CENTROIDS lowest vec_ids; every vector assigned to its
+    nearest centroid (rounded cosine, lower-id tie-break); each query
+    (vec_id < 10) searches ONLY its own cell (nprobe=1). Pair volume
+    drops from n² to Σ cell² and the per-cell join shuffles on cell id —
+    the brute-force crossJoin of q_ann_cosine_topk never materializes."""
+    from pyspark.sql import Window as W
+
+    n = _normed_embeddings(spark, sf_dir)
+    cent = n.where(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(
+            F.expr(_DOT.format(x="embedding", y="cemb"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ).alias("c"),
+    )
+    asg = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("c"), -F.col("cid"))).alias("cell")
+    )
+    cells = n.join(asg, "vec_id")
+    q = cells.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    pairs = (
+        q.join(cells, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.round(
+                F.expr(_DOT.format(x="qe", y="embedding"))
+                / (F.col("qn") * F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= IVF_TOPK)
+        .select("q_id", "neighbor_id", "cell", "cosine")
+    )
+
+
 # --------------------------------------------------------------------------
 # TwinSpect scoring metrics (A1/A3/A5/A6/A7) over the documents corpus
 # --------------------------------------------------------------------------
@@ -701,6 +800,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # embeddings
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_cosine_dup": q_embedding_cosine_dup,
+    "ann_ivf_topk": q_ann_ivf_topk,
     # TwinSpect scoring metrics
     "eff_sweep_exact": q_eff_sweep_exact,
     "eff_best_threshold": q_eff_best_threshold,
@@ -957,6 +1058,67 @@ ORACLE_SQL: dict[str, str] = {
                                        ORDER BY cosine DESC, neighbor_id) AS rn
           FROM pairs
         ) WHERE rn <= 5
+    """,
+    "embedding_cosine_dup": f"""
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> cast(x AS double) * cast(x AS double)))) AS nrm
+          FROM embeddings
+        )
+        SELECT * FROM (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                       / (a.nrm * b.nrm), 6) AS cosine
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= {COSINE_DUP_T}
+    """,
+    "ann_ivf_topk": f"""
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> cast(x AS double) * cast(x AS double)))) AS nrm
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+          FROM n WHERE vec_id < {IVF_N_CENTROIDS}
+        ),
+        scored AS (
+          SELECT n.vec_id, cid,
+                 round(list_sum(list_transform(list_zip(n.embedding, cemb),
+                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                       / (n.nrm * cnrm), 6) AS c
+          FROM n CROSS JOIN cent
+        ),
+        asg AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY c DESC, cid) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        ),
+        cells AS (
+          SELECT n.vec_id, n.embedding, n.nrm, asg.cell
+          FROM n JOIN asg ON n.vec_id = asg.vec_id
+        ),
+        q AS (
+          SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, cell
+          FROM cells WHERE vec_id < 10
+        ),
+        pairs AS (
+          SELECT q_id, c.vec_id AS neighbor_id, q.cell,
+                 round(list_sum(list_transform(list_zip(qe, c.embedding),
+                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                       / (qn * c.nrm), 6) AS cosine
+          FROM q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.q_id
+        )
+        SELECT q_id, neighbor_id, cell, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs
+        ) WHERE rn <= {IVF_TOPK}
     """,
     "eff_sweep_exact": f"WITH {_EFF_CTE} SELECT * FROM eff",
     "eff_best_threshold": (
