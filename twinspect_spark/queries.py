@@ -546,6 +546,37 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# multimodal: binary columns + mapInPandas decode plumbing
+# --------------------------------------------------------------------------
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata decode: documents → binary media table →
+    mapInPandas decode stage (deterministic fake backend; real codecs
+    plug into the same seam — twinspect_spark/multimodal.py). The SQL
+    oracle recomputes the fake decode arithmetically, so what's verified
+    is the Arrow plumbing: schema, batching, byte-length fidelity."""
+    from twinspect_spark.multimodal import as_media_table, decode_media
+
+    _ship_package(spark)
+    media = as_media_table(_t(spark, sf_dir, "documents"))
+    return decode_media(media).select(
+        "media_id", "media_type", "n_bytes", "width", "height",
+        "n_frames", "sample_rate",
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding frame sampler (1 video blob → N frame rows) via
+    mapInPandas; oracle = generate_series arithmetic."""
+    from twinspect_spark.multimodal import as_media_table, frame_sample
+
+    _ship_package(spark)
+    media = as_media_table(_t(spark, sf_dir, "documents"))
+    return frame_sample(media, every=4096)
+
+
 COSINE_DUP_T = 0.4
 IVF_N_CENTROIDS = 8
 IVF_TOPK = 3
@@ -797,6 +828,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_customer_stats": q_nation_customer_stats,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
+    # multimodal
+    "media_meta": q_media_meta,
+    "media_frame_sample": q_media_frame_sample,
     # embeddings
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1058,6 +1092,35 @@ ORACLE_SQL: dict[str, str] = {
                                        ORDER BY cosine DESC, neighbor_id) AS rn
           FROM pairs
         ) WHERE rn <= 5
+    """,
+    "media_meta": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'img'
+                      WHEN doc_id % 3 = 1 THEN 'audio'
+                      ELSE 'video' END AS media_type,
+                 octet_length(encode(text)) AS n_bytes
+          FROM documents
+        )
+        SELECT media_id, media_type, n_bytes,
+               cast(16 + n_bytes % 64 AS int) AS width,
+               cast(16 + (n_bytes // 64) % 64 AS int) AS height,
+               cast(CASE WHEN media_type = 'video'
+                         THEN 1 + n_bytes % 8 ELSE 1 END AS int) AS n_frames,
+               cast(CASE WHEN media_type = 'audio'
+                         THEN 8000 + (n_bytes % 4) * 8000 ELSE 0 END AS int)
+                 AS sample_rate
+        FROM m
+    """,
+    "media_frame_sample": """
+        WITH m AS (
+          SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+          FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT media_id,
+               cast(byte_offset // 4096 AS int) AS frame_idx,
+               byte_offset
+        FROM m, unnest(generate_series(0, n_bytes - 1, 4096)) AS u(byte_offset)
     """,
     "embedding_cosine_dup": f"""
         WITH n AS (
