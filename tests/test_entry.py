@@ -19,7 +19,10 @@ def test_registry_consistent():
     assert set(osql) <= set(qs)
     assert len(qs) >= 20
     # all but the explicitly hash-dependent ones carry an oracle
-    assert set(qs) - set(osql) == {"simhash_threshold_sweep"}
+    assert set(qs) - set(osql) == {
+        "simhash_threshold_sweep",
+        "simhash_effectiveness",
+    }
 
 
 def test_entry_smoke(spark):

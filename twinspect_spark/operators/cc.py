@@ -81,3 +81,56 @@ def connected_components(
         )
         clusters = clusters.unionByName(singletons)
     return clusters
+
+
+def merge_components(
+    clusters: DataFrame,
+    new_edges: DataFrame,
+    new_vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental CC (the streaming path): fold ``new_edges(a, b)`` into
+    an existing ``clusters(file_id, cluster_id)`` assignment without
+    re-clustering the world.
+
+    Contraction trick: map each new-edge endpoint through the existing
+    assignment (unknown endpoints map to themselves), which contracts
+    every existing component to its single representative id; run CC on
+    that contracted graph — its size is O(new edges), independent of the
+    accumulated corpus — then remap. ``cluster_id = min(file_id)`` of the
+    merged component is preserved because contracted node ids ARE the
+    component minima, so the contracted CC's min is the global min.
+    """
+    ca = clusters.select(F.col("file_id").alias("a"), F.col("cluster_id").alias("la"))
+    cb = clusters.select(F.col("file_id").alias("b"), F.col("cluster_id").alias("lb"))
+    contracted_edges = (
+        new_edges.join(ca, "a", "left")
+        .join(cb, "b", "left")
+        .select(
+            F.coalesce("la", F.col("a")).alias("a"),
+            F.coalesce("lb", F.col("b")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+    )
+    remap = connected_components(contracted_edges).select(
+        F.col("file_id").alias("old_label"), F.col("cluster_id").alias("new_label")
+    )
+    updated_old = (
+        clusters.join(remap, clusters.cluster_id == remap.old_label, "left")
+        .select(
+            "file_id",
+            F.coalesce("new_label", F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    if new_vertices is None:
+        return updated_old
+    new_nodes = new_vertices.select("file_id").join(
+        clusters, "file_id", "left_anti"
+    )
+    assigned = (
+        new_nodes.join(remap, new_nodes.file_id == remap.old_label, "left")
+        .select(
+            "file_id",
+            F.coalesce("new_label", F.col("file_id")).alias("cluster_id"),
+        )
+    )
+    return updated_old.unionByName(assigned)
