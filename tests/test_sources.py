@@ -1,0 +1,75 @@
+"""Sources/sinks: simprint CSV round-trip (reference artifact parity,
+S3/S5), directory-tree file source (S1/S2), spark-submit entrypoint."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from twinspect_spark.config import DedupConfig
+from twinspect_spark.corpus import generate_corpus
+from twinspect_spark.ingest import ingest_files
+from twinspect_spark.signatures import compute_signatures
+from twinspect_spark.sources.simprint import (
+    files_from_directory,
+    read_simprints,
+    write_simprints,
+)
+
+CFG = DedupConfig()
+
+
+def test_simprint_roundtrip(spark, tmp_path):
+    corpus = generate_corpus(n_clusters=5, transforms_per_original=1, seed=2)
+    ing = ingest_files(spark.createDataFrame(corpus.files), CFG)
+    sigs = compute_signatures(ing, CFG)
+    out = str(tmp_path / "simprints")
+    write_simprints(sigs, out, files=ing)
+    back = read_simprints(spark, out)
+
+    want = {r["file_id"]: r["simhash"] for r in sigs.collect()}
+    got = {r["id"]: r["simhash"] for r in back.collect()}
+    assert got == want  # hex round-trip incl. negative (top-bit) codes
+    assert back.schema["id"].dataType.typeName() == "long"
+    labels = {r["file"] for r in back.collect()}
+    assert any(lbl.endswith(".py") for lbl in labels)
+
+
+def test_files_from_directory(spark, tmp_path):
+    root = tmp_path / "tree"
+    (root / "pkg").mkdir(parents=True)
+    (root / "pkg" / "a.py").write_text("def f():\n    return 1\n")
+    (root / "b.txt").write_text("hello")
+    files = files_from_directory(spark, str(root), repo="r1")
+    rows = {r["path"]: r for r in files.collect()}
+    assert set(rows) == {"pkg/a.py", "b.txt"}
+    assert rows["pkg/a.py"]["lang"] == "py"
+    assert rows["pkg/a.py"]["content"].startswith("def f()")
+    assert rows["b.txt"]["repo"] == "r1"
+    assert len(rows["pkg/a.py"]["commit"]) == 40
+
+
+def test_spark_submit_entrypoint(tmp_path):
+    """python -m twinspect_spark over a parquet files table — the
+    packaged job a cluster would spark-submit."""
+    import pandas as pd
+
+    corpus = generate_corpus(n_clusters=4, transforms_per_original=1, seed=9)
+    inp = str(tmp_path / "files.parquet")
+    pd.DataFrame(corpus.files).to_parquet(inp)
+    out = str(tmp_path / "clusters")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "twinspect_spark",
+            "--input", inp, "--output", out,
+            "--jaccard", "0.6", "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_files"] == len(corpus.files)
+    assert summary["n_dup_members"] > 0

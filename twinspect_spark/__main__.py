@@ -1,0 +1,77 @@
+"""spark-submit entrypoint (north_rule: ships via spark-submit --py-files).
+
+Usage:
+    spark-submit --py-files /tmp/twinspect_spark_pkg.zip \
+        -m twinspect_spark  # or the path to this file
+        [--input PATH] [--output PATH] [--checkpoint PATH]
+        [--jaccard 0.8] [--format parquet|directory]
+
+Reads a files table (parquet with columns repo,path,commit,lang,content,
+or a raw directory tree with --format directory), runs the full dedup
+pipeline — resumable when --checkpoint is given — and writes the
+clusters table plus a run summary.
+
+Build the zip with twinspect_spark.session.package_zip(). When launched
+through plain ``python -m twinspect_spark`` (as in this sandbox), the
+session factory creates the local-mode cluster itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="twinspect_spark")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--format", choices=["parquet", "directory"], default="parquet")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from twinspect_spark.config import DedupConfig
+    from twinspect_spark.session import get_spark
+
+    spark = get_spark("twinspect_spark_submit", cores=args.cores)
+    cfg = DedupConfig(jaccard_threshold=args.jaccard)
+
+    if args.format == "directory":
+        from twinspect_spark.sources.simprint import files_from_directory
+
+        files = files_from_directory(spark, args.input)
+    else:
+        files = spark.read.parquet(args.input)
+
+    t0 = time.perf_counter()
+    if args.checkpoint:
+        from twinspect_spark.plans.manifest import run_dedup_resumable
+
+        res, status, _ = run_dedup_resumable(
+            spark, files, cfg, args.checkpoint
+        )
+    else:
+        from twinspect_spark.pipeline import run_dedup
+
+        res, status = run_dedup(files, cfg), None
+
+    res.clusters.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    summary = {
+        "n_files": out.count(),
+        "n_dup_members": out.where("file_id != cluster_id").count(),
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "config": cfg.fingerprint(),
+        "stages": status,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
