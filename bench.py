@@ -124,7 +124,16 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "quality_scores",
         "lang_profile",
         "ann_cosine_topk",
+        "ann_ivf_topk",
         "embedding_norms",
+        # NOT eff_sweep_exact / distance_histogram / simhash_effectiveness
+        # / ngram_jaccard_pairs / embedding_cosine_dup: brute-force
+        # all-pairs oracle constructs (or metrics whose ground truth is
+        # one), O(n²) by design — they exist for the sf0.01 correctness
+        # gate; the scale paths benched here are the LSH/SimHash pipeline
+        # and the IVF-bucketed ANN
+        "media_meta",
+        "media_frame_sample",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())
