@@ -546,6 +546,25 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 dataset checksum, both flavors: the reference's order-
+    sensitive secure hash (blake3 over sorted content hashes,
+    integrity.py:91-172) as sha256 over the sorted per-row sha256 stream,
+    plus the scale path — a commutative bit_xor fold over per-row 60-bit
+    prefixes, one partial-aggregated shuffle-free pass, order-invariant
+    by algebra instead of by sorting 10^12 rows."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.sha2("text", 256).alias("h")
+    )
+    ordered = F.sha2(
+        F.concat_ws("", F.sort_array(F.collect_list("h"))), 256
+    ).alias("fingerprint_ordered")
+    xor_fold = F.bit_xor(
+        F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+    ).alias("fingerprint_xor")
+    return docs.agg(F.count("*").alias("n_rows"), ordered, xor_fold)
+
+
 # --------------------------------------------------------------------------
 # multimodal: binary columns + mapInPandas decode plumbing
 # --------------------------------------------------------------------------
@@ -828,6 +847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_customer_stats": q_nation_customer_stats,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
+    "corpus_fingerprint": q_corpus_fingerprint,
     # multimodal
     "media_meta": q_media_meta,
     "media_frame_sample": q_media_frame_sample,
@@ -1092,6 +1112,13 @@ ORACLE_SQL: dict[str, str] = {
                                        ORDER BY cosine DESC, neighbor_id) AS rn
           FROM pairs
         ) WHERE rn <= 5
+    """,
+    "corpus_fingerprint": """
+        WITH h AS (SELECT sha256(text) AS h FROM documents)
+        SELECT count(*) AS n_rows,
+               sha256(string_agg(h, '' ORDER BY h)) AS fingerprint_ordered,
+               bit_xor(cast(concat('0x', substr(h, 1, 15)) AS bigint)) AS fingerprint_xor
+        FROM h
     """,
     "media_meta": """
         WITH m AS (
