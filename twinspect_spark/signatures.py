@@ -52,11 +52,12 @@ def make_signature_udf(cfg: DedupConfig):
         minhashes: list[list[int] | None] = [None] * n
         simhashes: list[int | None] = [None] * n
         counts: list[int | None] = [None] * n
+        scratch: dict = {}  # minhash tile buffers, reused across the batch
         for i, text in enumerate(s):
             if text is None:
                 continue
             sh = H.shingle_hashes(text, k)
-            mh = H.minhash(sh, num_perm, seed)
+            mh = H.minhash(sh, num_perm, seed, _scratch=scratch)
             minhashes[i] = H.to_signed64(mh).tolist()
             simhashes[i] = H.to_signed64(H.simhash64(sh, seed))
             counts[i] = int(len(sh))
