@@ -23,6 +23,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DRIVER_CC_MAX_EDGES = 2_000_000  # ~32 MB of pairs — trivially driver-sized
+
+
+def _driver_union_find(
+    edge_rows: list, spark, vertices: DataFrame | None
+) -> DataFrame:
+    """Exact same output contract as the distributed loop, for edge sets
+    that fit the driver: path-halving union-find, O(E α(E))."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            parent[r] = parent.get(parent[r], parent[r])  # path halving
+            r = parent[r]
+        return r
+
+    nodes: set[int] = set()
+    for a, b in edge_rows:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id — cluster_id = component min, same
+            # invariant as the hash-min label propagation below
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in nodes]
+    clusters = spark.createDataFrame(rows, "file_id long, cluster_id long")
+    if vertices is not None:
+        singletons = (
+            vertices.select("file_id")
+            .join(clusters, "file_id", "left_anti")
+            .withColumn("cluster_id", F.col("file_id"))
+        )
+        clusters = clusters.unionByName(singletons)
+    return clusters
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
@@ -32,6 +71,14 @@ def connected_components(
 
     Vertices not touched by any edge become singleton clusters
     (cluster_id = own file_id) when a vertex frame is supplied.
+
+    Size-aware strategy: the verified-pair graph is usually a sliver of
+    the corpus (dup pairs only), so when the edge list fits the driver
+    (< DRIVER_CC_MAX_EDGES) it is collected and solved with union-find
+    immediately — the iterative loop costs ~8 driver-blocking jobs that
+    dominate wall time on small graphs. Above the threshold, hash-min
+    label propagation over DataFrame joins (unbounded scale, lineage cut
+    per round).
     """
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
@@ -40,6 +87,13 @@ def connected_components(
     # without this the whole upstream pipeline (signatures, candidate
     # joins, verification UDFs) re-executes per iteration
     sym = sym.localCheckpoint()
+    n_edges = sym.count() // 2
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        pairs = [
+            (r["src"], r["dst"])
+            for r in sym.where(F.col("src") < F.col("dst")).collect()
+        ]
+        return _driver_union_find(pairs, edges.sparkSession, vertices)
     nodes = sym.select(F.col("src").alias("file_id")).distinct()
     labels = nodes.withColumn("label", F.col("file_id")).localCheckpoint()
 

@@ -35,6 +35,9 @@ def minhash_jaccard_expr(mh_a, mh_b, num_perm: int):
     return matches / F.lit(float(num_perm))
 
 
+_PREFIX_LANES = 16
+
+
 @F.pandas_udf(T.DoubleType())
 def _lane_match_frac(a: pd.Series, b: pd.Series) -> pd.Series:
     """Fraction of equal MinHash lanes per pair — numpy over Arrow
@@ -71,9 +74,32 @@ def estimate_filter_candidates(
     )
     sa = sig.select(F.col("file_id").alias("a"), F.col("mh32").alias("mh_a"))
     sb = sig.select(F.col("file_id").alias("b"), F.col("mh32").alias("mh_b"))
+    # JVM prefix gate before any Python: on vocabulary-noisy corpora
+    # >99% of band-collision pairs are low-similarity accidents; a
+    # 16-lane prefix match at (t - 2·margin) rejects them inside the
+    # join stage (interpreted HOF, but on 16 lanes, not 128), so the
+    # Arrow pipe and the pandas kernel see plausible pairs only.
+    # False-reject odds for a true pair at s = t: P(Binom(16, t)/16 <
+    # t - 2·margin) ≈ 2e-3 at t=0.7 — under the recall gate, and such
+    # pairs are usually re-found via the SimHash space or transitivity.
+    p = _PREFIX_LANES
+    prefix_frac = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice("mh_a", 1, p),
+                    F.slice("mh_b", 1, p),
+                    lambda x, y: x == y,
+                ),
+                lambda v: v,
+            )
+        )
+        / F.lit(float(p))
+    )
     return (
         candidates.join(sa, "a")
         .join(sb, "b")
+        .where(prefix_frac >= cfg.jaccard_threshold - 2 * margin)
         .withColumn("est", _lane_match_frac("mh_a", "mh_b"))
         .where(F.col("est") >= cfg.jaccard_threshold - margin)
         .drop("mh_a", "mh_b")

@@ -25,10 +25,9 @@ from pyspark.sql import functions as F
 
 from twinspect_spark.config import DedupConfig
 from twinspect_spark.ingest import ingest_files
+from twinspect_spark.operators.buckets import unified_candidates
 from twinspect_spark.operators.cc import connected_components
 from twinspect_spark.operators.exact import collapse_exact_dups
-from twinspect_spark.operators.lsh import band_table, lsh_candidates
-from twinspect_spark.operators.simhash_ball import simhash_candidates
 from twinspect_spark.operators.verify import (
     estimate_filter_candidates,
     verify_pairs,
@@ -83,26 +82,35 @@ def run_dedup(
     reps, exact_edges = collapse_exact_dups(ingested)
     signatures = cut(compute_signatures(reps, cfg), "signatures")
 
-    cand_lsh = lsh_candidates(
-        band_table(signatures, cfg), cfg, dedupe=False
-    ).withColumn("src", F.lit("lsh"))
-    cand_sim = simhash_candidates(signatures, cfg, dedupe=False).select(
-        "a", "b", F.lit("simhash").alias("src")
-    )
-    # SO3 pair-dedup FIRST — (a,b,src) rows are the cheapest possible
-    # shuffle — then the MinHash-estimate filter joins signature arrays
-    # onto distinct pairs only (see estimate_filter_candidates for the
-    # cost asymmetry), so only est-filtered survivors are materialized.
-    raw = cand_lsh.unionByName(cand_sim.select("a", "b", "src"))
-    deduped = raw.groupBy("a", "b").agg(F.min("src").alias("src"))
+    # LSH bands and SimHash chunks generate candidates through ONE
+    # unified bucket self-join (operators/buckets.py) — one sizes
+    # aggregation, one cap, one join, one SO3 pair-dedupe — instead of
+    # two parallel shuffle chains. Pair-dedup happens BEFORE the
+    # MinHash-estimate filter joins signature arrays onto distinct pairs
+    # (see estimate_filter_candidates for the cost asymmetry), so only
+    # est-filtered survivors are materialized.
+    deduped = unified_candidates(signatures, cfg)
     candidates = cut(
         estimate_filter_candidates(deduped, signatures, cfg), "candidates"
     )
 
     pairs = cut(verify_pairs(candidates, ingested, cfg), "verify")
-    edges = pairs.where("verified").select("a", "b").unionByName(exact_edges)
     t0 = time.perf_counter()
-    clusters = connected_components(edges, vertices=ingested.select("file_id"))
+    # CC runs on the REPRESENTATIVE graph only (pair edges are rep-to-rep
+    # by construction); exact-dup members then inherit their rep's label
+    # through one join. Feeding the exact star edges into CC instead
+    # would re-derive already-known components through the iterative
+    # loop — measured as the dominant cluster-stage cost on dup-heavy
+    # corpora. Component minima are unchanged: each rep is the min of
+    # its exact group, so min-over-reps == min-over-all-members.
+    rep_clusters = connected_components(
+        pairs.where("verified").select("a", "b"),
+        vertices=reps.select("file_id"),
+    )
+    member_clusters = exact_edges.alias("e").join(
+        rep_clusters.alias("r"), F.col("e.a") == F.col("r.file_id")
+    ).select(F.col("e.b").alias("file_id"), "cluster_id")
+    clusters = rep_clusters.unionByName(member_clusters)
     if materialize_stages:
         clusters = clusters.localCheckpoint()
         stage_seconds["cluster"] = round(time.perf_counter() - t0, 2)

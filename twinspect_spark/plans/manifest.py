@@ -160,10 +160,9 @@ def run_dedup_resumable(
 
     Returns (DedupResult, {stage: "cached" | "computed"}, StageManifest).
     """
+    from twinspect_spark.operators.buckets import unified_candidates
     from twinspect_spark.operators.cc import connected_components
     from twinspect_spark.operators.exact import collapse_exact_dups
-    from twinspect_spark.operators.lsh import band_table, lsh_candidates
-    from twinspect_spark.operators.simhash_ball import simhash_candidates
     from twinspect_spark.operators.verify import (
         estimate_filter_candidates,
         verify_pairs,
@@ -191,27 +190,23 @@ def run_dedup_resumable(
     signatures = stage("signatures", _sigs)
 
     def _cands():
-        cand_lsh = lsh_candidates(
-            band_table(signatures, cfg), cfg, dedupe=False
-        ).withColumn("src", F.lit("lsh"))
-        cand_sim = simhash_candidates(signatures, cfg, dedupe=False).select(
-            "a", "b", F.lit("simhash").alias("src")
-        )
-        raw = cand_lsh.unionByName(cand_sim.select("a", "b", "src"))
-        deduped = raw.groupBy("a", "b").agg(F.min("src").alias("src"))
+        deduped = unified_candidates(signatures, cfg)
         return estimate_filter_candidates(deduped, signatures, cfg)
 
     candidates = stage("candidates", _cands)
     pairs = stage("pairs", lambda: verify_pairs(candidates, ingested, cfg))
 
     def _clusters():
-        _, exact_edges = collapse_exact_dups(ingested)
-        edges = (
-            pairs.where("verified").select("a", "b").unionByName(exact_edges)
+        # rep-graph CC + member expansion — mirror of pipeline.run_dedup
+        reps, exact_edges = collapse_exact_dups(ingested)
+        rep_clusters = connected_components(
+            pairs.where("verified").select("a", "b"),
+            vertices=reps.select("file_id"),
         )
-        return connected_components(
-            edges, vertices=ingested.select("file_id")
-        )
+        members = exact_edges.alias("e").join(
+            rep_clusters.alias("r"), F.col("e.a") == F.col("r.file_id")
+        ).select(F.col("e.b").alias("file_id"), "cluster_id")
+        return rep_clusters.unionByName(members)
 
     clusters = stage("clusters", _clusters)
     return (
