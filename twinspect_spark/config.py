@@ -53,6 +53,10 @@ class DedupConfig:
     max_band_bucket: int = 2000    # frequency cap: bands hotter than this are
                                    # dropped from pair-gen (exact-dup path covers
                                    # them; boilerplate guard)
+    chain_bucket_size: int = 64    # buckets above this emit a (simhash,id)-sorted
+                                   # spanning chain (n-1 pairs) instead of all
+                                   # pairs (C(n,2)) — giant near-dup cliques are
+                                   # recovered transitively by CC (buckets.py)
     salt_buckets: int = 16         # sub-bucket salting for near-cap bands
 
     # --- execution ---

@@ -62,34 +62,71 @@ def unified_candidates(
     """→ (a, b, src) distinct candidate pairs from both spaces, a < b.
     src = 'lsh' | 'simhash' (min over contributing spaces). One sizes
     aggregation, one cap, one self-join, Hamming post-filter on chunk
-    pairs, one dedupe group-by."""
+    pairs, one dedupe group-by.
+
+    Giant-cluster guard: buckets larger than ``cfg.chain_bucket_size``
+    switch from all-pairs to a SPANNING CHAIN — members sorted by
+    (simhash, file_id), consecutive members paired. Web corpora produce
+    huge near-identical cliques (boilerplate, templates); all-pairs on a
+    1000-member bucket is 500k pairs where n-1 suffice, because the
+    downstream connected components is transitive. Sorting by simhash
+    puts same-cluster members (identical or near-identical codes)
+    adjacent, so the chain stays within clusters and recall survives;
+    cross-cluster chain links are rejected by exact verification, never
+    merged. Buckets beyond ``cfg.max_band_bucket`` are still dropped
+    outright (hot-bucket cap, reported via hot_band_report)."""
     b = bucket_table(signatures, cfg)
     keys = ["space", "bucket_idx", "bucket_key"]
     sizes = b.groupBy(*keys).count()
     keep = sizes.where(
         (F.col("count") > 1) & (F.col("count") <= cfg.max_band_bucket)
-    ).select(*keys)
-    kept = b.join(keep, keys, "left_semi")
-    left = kept.select(
+    ).select(*keys, "count")
+    kept = b.join(keep, keys)
+    hamming_ok = (F.col("space") == 0) | (
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        <= cfg.hamming_threshold
+    )
+    src_col = F.when(F.col("space") == 0, "lsh").otherwise("simhash")
+
+    small = kept.where(F.col("count") <= cfg.chain_bucket_size)
+    left = small.select(
         *keys, F.col("file_id").alias("a"), F.col("simhash").alias("sim_a")
     )
-    right = kept.select(
+    right = small.select(
         *keys, F.col("file_id").alias("b"), F.col("simhash").alias("sim_b")
     )
-    pairs = (
+    all_pairs = (
         left.join(right, keys)
         .where(F.col("a") < F.col("b"))
-        .where(
-            (F.col("space") == 0)
-            | (
-                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-                <= cfg.hamming_threshold
-            )
-        )
-        .select(
-            "a",
-            "b",
-            F.when(F.col("space") == 0, "lsh").otherwise("simhash").alias("src"),
-        )
+        .where(hamming_ok)
+        .select("a", "b", src_col.alias("src"))
     )
-    return pairs.groupBy("a", "b").agg(F.min("src").alias("src"))
+
+    from pyspark.sql import Window as W
+
+    big = kept.where(F.col("count") > cfg.chain_bucket_size)
+    w = W.partitionBy(*keys).orderBy("simhash", "file_id")
+    ranked = big.withColumn("rk", F.row_number().over(w))
+    nxt = ranked.select(
+        *keys,
+        (F.col("rk") - 1).alias("rk"),
+        F.col("file_id").alias("nxt_id"),
+        F.col("simhash").alias("nxt_sim"),
+    )
+    chained = (
+        ranked.join(nxt, [*keys, "rk"])
+        .select(
+            F.least("file_id", "nxt_id").alias("a"),
+            F.greatest("file_id", "nxt_id").alias("b"),
+            F.col("simhash").alias("sim_a"),
+            F.col("nxt_sim").alias("sim_b"),
+            "space",
+        )
+        .where(hamming_ok)
+        .select("a", "b", src_col.alias("src"))
+    )
+    return (
+        all_pairs.unionByName(chained)
+        .groupBy("a", "b")
+        .agg(F.min("src").alias("src"))
+    )

@@ -89,10 +89,12 @@ def connected_components(
     sym = sym.localCheckpoint()
     n_edges = sym.count() // 2
     if n_edges <= DRIVER_CC_MAX_EDGES:
-        pairs = [
-            (r["src"], r["dst"])
-            for r in sym.where(F.col("src") < F.col("dst")).collect()
-        ]
+        # Arrow toPandas, not collect(): per-Row materialization costs
+        # ~30s/M rows; the Arrow path moves the same edges in ~1s
+        pdf = sym.where(F.col("src") < F.col("dst")).toPandas()
+        pairs = list(
+            zip(pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist())
+        )
         return _driver_union_find(pairs, edges.sparkSession, vertices)
     nodes = sym.select(F.col("src").alias("file_id")).distinct()
     labels = nodes.withColumn("label", F.col("file_id")).localCheckpoint()
