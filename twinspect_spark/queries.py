@@ -230,6 +230,40 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
+def q_engine_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PRODUCTION PIPELINE, oracle-checked end-to-end: documents →
+    run_dedup (exact collapse → OPH signatures → unified LSH/SimHash
+    buckets → prefix gate → estimate triage → exact verify → CC) →
+    (doc_id, cluster_id), compared against the brute-force exact-Jaccard
+    recursive-CTE clusters. Matches the oracle iff candidate recall is
+    1.0 at this config AND verification admits exactly jaccard >= t:
+    lcs_threshold=2.0 disables the LCS borderline rescue (which is more
+    permissive than the SQL oracle can express) for this query only."""
+    from twinspect_spark.pipeline import run_dedup
+
+    _ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    cfg = DedupConfig(jaccard_threshold=JACCARD_T, bands=32, lcs_threshold=2.0)
+    res = run_dedup(files, cfg)
+    ids = res.ingested.select(
+        "file_id",
+        F.regexp_extract("path", r"doc/(\d+)", 1).cast("long").alias("doc_id"),
+    )
+    cl = res.clusters.join(ids, "file_id")
+    canon = cl.groupBy("cluster_id").agg(F.min("doc_id").alias("canon"))
+    return (
+        cl.join(canon, "cluster_id")
+        .select("doc_id", F.col("canon").alias("cluster_id"))
+    )
+
+
 def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data dedup: keep only the canonical (min-id) doc per
     near-dup cluster → surviving doc ids."""
@@ -829,6 +863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_dedup": q_simhash_dedup,
     "dup_clusters": q_dup_clusters,
+    "engine_dup_clusters": q_engine_dup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dup_groups": q_exact_dup_groups,
@@ -939,6 +974,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_dedup": _PAIRS_SQL,
     "simhash_dedup": _PAIRS_SQL,
     "dup_clusters": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
+    "engine_dup_clusters": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
     "dedup_keep_canonical": (
         f"WITH RECURSIVE {_EDGES_CTE} "
         "SELECT doc_id FROM clusters WHERE doc_id = cluster_id"
