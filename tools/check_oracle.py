@@ -33,6 +33,40 @@ def _canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def _canon_type(t: str) -> str:
+    """Collapse Spark SQL / DuckDB-Arrow type names to one vocabulary so the
+    local gate catches the driver's type-sensitive hash divergences (e.g.
+    DuckDB sum() -> HUGEINT arriving as decimal128(38,0) vs Spark BIGINT)."""
+    t = t.lower()
+    for pat, out in [
+        ("bigint", "i64"), ("int64", "i64"),
+        ("smallint", "i16"), ("int16", "i16"),
+        ("tinyint", "i8"), ("int8", "i8"),
+        ("int32", "i32"), ("integer", "i32"), ("int", "i32"),
+        ("double", "f64"), ("float64", "f64"),
+        ("float32", "f32"), ("float", "f32"),
+        ("decimal", "decimal"), ("hugeint", "decimal"),
+        ("large_string", "str"), ("string", "str"), ("varchar", "str"),
+        ("bool", "bool"),
+        ("timestamp", "ts"), ("date", "date"),
+        ("large_list", "list"), ("list", "list"), ("array", "list"),
+        ("large_binary", "bin"), ("binary", "bin"),
+    ]:
+        if t.startswith(pat):
+            return out
+    return t
+
+
+def _type_mismatches(scols, sdtypes, arrow_schema) -> list[str]:
+    spark_t = {c: _canon_type(t) for c, t in sdtypes}
+    duck_t = {f.name: _canon_type(str(f.type)) for f in arrow_schema}
+    return [
+        f"{c}: spark={spark_t[c]} duckdb={duck_t[c]}"
+        for c in scols
+        if c in duck_t and spark_t[c] != duck_t[c]
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -61,6 +95,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sdtypes = sdf.dtypes
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -71,8 +106,11 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            atable = res.fetch_arrow_table()
+            dcols = atable.column_names
+            drows = [
+                tuple(row[c] for c in dcols) for row in atable.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
@@ -80,14 +118,17 @@ def main() -> int:
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         ok_vals = ok_cols and ok_count and _canon(srows, scols) == _canon(drows, dcols)
-        if ok_cols and ok_count and ok_vals:
+        ty_bad = _type_mismatches(scols, sdtypes, atable.schema) if ok_cols else []
+        if ok_cols and ok_count and ok_vals and not ty_bad:
             print(f"OK    {name}: {len(srows)} rows")
         else:
             failures += 1
             print(
                 f"FAIL  {name}: cols={ok_cols} count={ok_count} "
-                f"({len(srows)} vs {len(drows)}) vals={ok_vals}"
+                f"({len(srows)} vs {len(drows)}) vals={ok_vals} types={not ty_bad}"
             )
+            for m in ty_bad:
+                print(f"      type mismatch {m}")
             if ok_cols and ok_count and not ok_vals:
                 a = _canon(srows, scols)
                 b = _canon(drows, dcols)

@@ -57,7 +57,6 @@ class DedupConfig:
                                    # spanning chain (n-1 pairs) instead of all
                                    # pairs (C(n,2)) — giant near-dup cliques are
                                    # recovered transitively by CC (buckets.py)
-    salt_buckets: int = 16         # sub-bucket salting for near-cap bands
 
     # --- execution ---
     shuffle_partitions: int = 32

@@ -143,7 +143,13 @@ def minhash(
     """OPH MinHash signature, uint64[num_perm]. One splitmix pass over
     the shingles; per-bin minima; rotation-densified empty bins.
     ``_scratch`` is accepted for buffer reuse across a batch (currently
-    the working set is one n_shingles-sized array, so it is a no-op)."""
+    the working set is one n_shingles-sized array, so it is a no-op).
+
+    An empty shingle set is rejected: densification has no donor bin, so
+    the signature is undefined (shingle_hashes always yields >= 1 hash —
+    this guards direct callers only)."""
+    if sh.size == 0:
+        raise ValueError("minhash: empty shingle set has no signature")
     m = splitmix64(sh.astype(_U64, copy=False) ^ _U64(_master_key(seed)))
     bins = (m % _U64(num_perm)).astype(np.int64)
     out = np.full(num_perm, _EMPTY, dtype=_U64)
@@ -162,6 +168,8 @@ def minhash(
 
 def minhash_py(sh: set[int], num_perm: int, seed: int) -> list[int]:
     """Scalar twin of the OPH spec above (independent code path)."""
+    if not sh:
+        raise ValueError("minhash_py: empty shingle set has no signature")
     key = _master_key(seed)
     out: list[int | None] = [None] * num_perm
     for h in sh:

@@ -29,12 +29,6 @@ from twinspect_spark.config import DedupConfig
 from twinspect_spark.functions import hashing as H
 
 
-def minhash_jaccard_expr(mh_a, mh_b, num_perm: int):
-    """Jaccard estimate = fraction of matching MinHash lanes (unbiased)."""
-    matches = F.size(F.filter(F.zip_with(mh_a, mh_b, lambda x, y: x == y), lambda v: v))
-    return matches / F.lit(float(num_perm))
-
-
 _PREFIX_LANES = 16
 
 
@@ -82,7 +76,10 @@ def estimate_filter_candidates(
     # False-reject odds for a true pair at s = t: P(Binom(16, t)/16 <
     # t - 2·margin) ≈ 2e-3 at t=0.7 — under the recall gate, and such
     # pairs are usually re-found via the SimHash space or transitivity.
-    p = _PREFIX_LANES
+    # With num_perm < 16 lanes the slice yields fewer elements; dividing
+    # by 16 would cap prefix_frac at num_perm/16 and could silently
+    # reject every pair. Degrade to a full-signature check instead.
+    p = min(_PREFIX_LANES, cfg.num_perm)
     prefix_frac = (
         F.size(
             F.filter(

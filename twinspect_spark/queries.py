@@ -795,6 +795,169 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_info(clusters)
 
 
+def q_robustness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/J8: per-transform robustness stats (robustness.py:43-60) —
+    distance between each cluster's original and its transformed members.
+
+    Labels are derived deterministically from the dup-cluster assignment
+    so an ANSI oracle exists: original = the min-id (canonical) member,
+    transform = 'T' || (doc_id % 3) for the others. Distances are the
+    hash-free integer percent distances (same as the effectiveness
+    oracle); the hash-dependent instantiation is covered by the rows-only
+    SimHash sweeps."""
+    from twinspect_spark.metrics import robustness
+
+    clusters = q_dup_clusters(spark, sf_dir)
+    files = clusters.select(
+        F.col("doc_id").alias("file_id"),
+        "cluster_id",
+        F.when(
+            F.col("doc_id") != F.col("cluster_id"),
+            F.concat(F.lit("T"), (F.col("doc_id") % 3).cast("string")),
+        ).alias("transform"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_original"),
+    )
+    pairs = _doc_pairs_with_distance(spark, sf_dir).select(
+        "a", "b", F.col("d").alias("distance")
+    )
+    return robustness(files, pairs)
+
+
+def q_speed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/SF7: per-file throughput stats in MB/s (speed.py:25-47).
+
+    Real per-batch UDF timings are wall-clock (pytest-verified,
+    test_metrics); this query pins the bytes/µs → MB/s conversion and the
+    min/max/avg/median aggregation to a SQL oracle using a deterministic
+    planted clock: micros = n_chars + 1 (a '1 char/µs' synthetic rate)."""
+    from twinspect_spark.metrics import speed_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = docs.select(
+        F.octet_length("text").cast("long").alias("size"),
+        (F.col("n_chars") + 1).cast("long").alias("micros"),
+    )
+    return speed_stats(sigs)
+
+
+# 128-bit ensemble: per-component Hamming balls union for candidates,
+# combined-code distance <= 32 = bits/4 (the reference's max_threshold
+# rule for >64-bit codes is bits/2, eff.py:112-117; bits/4 is its
+# operating F1-optimum region for 128-bit ensembles, docs/results.md:20,
+# and admits every planted pair — e.g. component distances 11+5 at the
+# weakest — while exact verify decides final membership)
+ENSEMBLE_SEED_B = 1337
+ENSEMBLE_HAMMING_T = 32
+
+
+def q_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: 128-bit ensemble-code dedup (algos/ensemble.py:36-124) —
+    signatures under two independent seeds, combined via
+    combine_signatures, candidate pairs from EITHER component's Hamming
+    ball, kept iff the summed-component ensemble distance <= 32, then
+    exact-Jaccard verified. Output equals the brute-force oracle iff
+    ensemble candidate recall is 1.0 at this config (measured, enforced
+    by the shared oracle)."""
+    from twinspect_spark.operators.ensemble import (
+        combine_signatures,
+        ensemble_hamming_expr,
+    )
+
+    _ship_package(spark)
+    ing = _docs_as_ingested(spark, sf_dir)
+    cfg_a = DOCS_SIM_CFG
+    cfg_b = DedupConfig(
+        jaccard_threshold=JACCARD_T,
+        simhash_chunks=8,
+        hamming_threshold=7,
+        seed=ENSEMBLE_SEED_B,
+    )
+    sig_a = compute_signatures(ing, cfg_a)
+    sig_b = compute_signatures(ing, cfg_b)
+    # check=False: both components come from the same ingest relation, so
+    # alignment is structural — the misalignment count() action is for
+    # independently produced signature sets
+    ens = combine_signatures(sig_a, sig_b, check=False)
+    cands = (
+        simhash_candidates(sig_a, cfg_a)
+        .select("a", "b")
+        .unionByName(simhash_candidates(sig_b, cfg_b).select("a", "b"))
+    )
+    ea = ens.select(F.col("file_id").alias("a"), F.col("simhashes").alias("code_a"))
+    eb = ens.select(F.col("file_id").alias("b"), F.col("simhashes").alias("code_b"))
+    within = (
+        cands.join(ea, "a")
+        .join(eb, "b")
+        .where(
+            ensemble_hamming_expr(F.col("code_a"), F.col("code_b"))
+            <= ENSEMBLE_HAMMING_T
+        )
+        .select("a", "b")
+    )
+    return _exact_jaccard_pairs(spark, sf_dir, candidates=within).where(
+        F.col("jaccard") >= JACCARD_T
+    )
+
+
+def q_largest_similar_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: largest all-pairwise-similar subset of each dup cluster
+    (newsedits.py:95-136) via groupBy(cluster).applyInPandas — seed =
+    member with most neighbors at the Jaccard threshold (min id on ties),
+    kept = seed + its direct neighbors."""
+    from twinspect_spark.operators.groups import largest_similar_group
+
+    _ship_package(spark)
+    clusters = q_dup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("content_norm")
+    )
+    clustered = clusters.join(docs, "doc_id").select(
+        F.col("doc_id").alias("file_id"), "cluster_id", "content_norm"
+    )
+    out = largest_similar_group(
+        clustered, DedupConfig(jaccard_threshold=JACCARD_T)
+    )
+    return out.select(
+        "cluster_id", F.col("file_id").alias("doc_id"), "group_size"
+    )
+
+
+# Borderline band for the LCS-rescue query: every planted near-dup pair
+# (jaccard 0.92..0.99 in the synthetic corpus) falls in
+# [0.8*T2, T2) = [0.796, 0.995), so verification is decided by the
+# suffix-automaton LCS path, not the Jaccard threshold.
+LCS_T2 = 0.995
+
+
+def q_lcs_borderline_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/SF6: the LCS borderline-rescue branch of verify_pairs
+    (operators/verify.py) under the hard oracle. At jaccard_threshold
+    0.995 every planted pair is borderline; ``verified`` therefore
+    depends on lcs_score >= 0.6 — the oracle recomputes the longest
+    common substring by exhaustive substring containment in SQL.
+
+    Boundary note: candidates are selected on ROUNDED jaccard, the
+    kernel's borderline window uses the unrounded value — they can only
+    disagree within 5e-7 of the band edges, and the corpus has no pairs
+    within 0.1 of them."""
+    from twinspect_spark.operators.verify import verify_pairs
+
+    _ship_package(spark)
+    cfg = DedupConfig(jaccard_threshold=LCS_T2, lcs_threshold=0.6, bands=32)
+    allp = _exact_jaccard_pairs(spark, sf_dir)
+    cands = allp.where(
+        (F.col("jaccard") >= 0.8 * LCS_T2) & (F.col("jaccard") < LCS_T2)
+    ).select("a", "b")
+    pairs = verify_pairs(cands, _docs_as_ingested(spark, sf_dir), cfg)
+    return pairs.where(F.col("lcs_score").isNotNull()).select(
+        "a",
+        "b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("lcs_score", 6).alias("lcs_score"),
+        "verified",
+    )
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible: effectiveness sweep (hash-dependent; rows-only check)
 # --------------------------------------------------------------------------
@@ -896,6 +1059,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eff_best_threshold": q_eff_best_threshold,
     "distance_histogram": q_distance_histogram,
     "corpus_stats": q_corpus_stats,
+    "robustness_stats": q_robustness_stats,
+    "speed_stats": q_speed_stats,
+    # ensemble / groups / LCS-rescue operator paths
+    "ensemble_dedup": q_ensemble_dedup,
+    "largest_similar_group": q_largest_similar_group,
+    "lcs_borderline_rescue": q_lcs_borderline_rescue,
     # non-SQL-expressible
     "simhash_threshold_sweep": q_simhash_threshold_sweep,
     "simhash_effectiveness": q_simhash_effectiveness,
@@ -938,7 +1107,7 @@ j AS (
   FROM f2 FULL OUTER JOIN g2
     ON f2.query = g2.query AND f2.other = g2.other
 ),
-t AS (SELECT * FROM (VALUES (0.0),(5.0),(10.0),(15.0),(20.0),(25.0),(30.0)) AS v(threshold)),
+t AS (SELECT cast(threshold AS double) AS threshold FROM (VALUES (0.0),(5.0),(10.0),(15.0),(20.0),(25.0),(30.0)) AS v(threshold)),
 perq AS (
   SELECT query, threshold,
          sum(CASE WHEN d <= threshold AND is_gt = 1 THEN 1 ELSE 0 END) AS tp,
@@ -1118,7 +1287,8 @@ ORACLE_SQL: dict[str, str] = {
                                      ROWS UNBOUNDED PRECEDING) AS session_id
           FROM flagged
         )
-        SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        SELECT user_id, cast(max(session_id) AS bigint) AS n_sessions,
+               count(*) AS n_events
         FROM sess GROUP BY user_id
     """,
     "embedding_norms": """
@@ -1274,15 +1444,132 @@ ORACLE_SQL: dict[str, str] = {
         WITH RECURSIVE {_EDGES_CTE},
         csizes AS (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id),
         agg AS (
-          SELECT sum(sz) AS n_files,
-                 sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS n_dup_clusters,
-                 coalesce(min(CASE WHEN sz > 1 THEN sz END), 0) AS min_cluster_size,
-                 coalesce(max(CASE WHEN sz > 1 THEN sz END), 0) AS max_cluster_size,
-                 round(coalesce(avg(CASE WHEN sz > 1 THEN sz END), 0.0), 6) AS avg_cluster_size,
-                 sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS n_singletons
+          SELECT cast(sum(sz) AS bigint) AS n_files,
+                 cast(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_clusters,
+                 cast(coalesce(min(CASE WHEN sz > 1 THEN sz END), 0) AS bigint) AS min_cluster_size,
+                 cast(coalesce(max(CASE WHEN sz > 1 THEN sz END), 0) AS bigint) AS max_cluster_size,
+                 cast(round(coalesce(avg(CASE WHEN sz > 1 THEN sz END), 0.0), 6) AS double) AS avg_cluster_size,
+                 cast(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS bigint) AS n_singletons
           FROM csizes
         )
         SELECT *, round(n_singletons * 1.0 / n_files, 6) AS singleton_ratio FROM agg
+    """,
+    "robustness_stats": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        allp AS (
+          SELECT a, b,
+                 cast(floor((1 - round(i * 1.0 / (sa.n + sb.n - i), 6)) * 100
+                            + 1e-9) AS int) AS distance
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+        ),
+        orig AS (SELECT doc_id, cluster_id FROM clusters
+                 WHERE doc_id = cluster_id),
+        trans AS (SELECT doc_id, cluster_id,
+                         'T' || cast(doc_id % 3 AS varchar) AS transform
+                  FROM clusters WHERE doc_id != cluster_id),
+        m AS (
+          SELECT t.transform, p.distance
+          FROM orig o
+          JOIN trans t ON o.cluster_id = t.cluster_id
+          JOIN allp p ON (p.a = o.doc_id AND p.b = t.doc_id)
+                      OR (p.a = t.doc_id AND p.b = o.doc_id)
+        )
+        SELECT transform, count(*) AS n_pairs,
+               min(distance) AS min_distance,
+               max(distance) AS max_distance,
+               cast(round(avg(distance), 6) AS double) AS avg_distance,
+               cast(round(median(distance), 6) AS double) AS median_distance
+        FROM m GROUP BY transform
+    """,
+    "speed_stats": """
+        WITH s AS (SELECT strlen(text) AS size, n_chars + 1 AS micros
+                   FROM documents),
+        m AS (SELECT (size / 1048576.0) / (micros / 1e6) AS mbps
+              FROM s WHERE micros > 0)
+        SELECT count(*) AS n_files,
+               cast(round(min(mbps), 3) AS double) AS min_mbps,
+               cast(round(max(mbps), 3) AS double) AS max_mbps,
+               cast(round(avg(mbps), 3) AS double) AS avg_mbps,
+               cast(round(median(mbps), 3) AS double) AS median_mbps
+        FROM m
+    """,
+    "ensemble_dedup": _PAIRS_SQL,
+    "largest_similar_group": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        simpairs AS (
+          SELECT a, b FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_T}
+        ),
+        sym2 AS (SELECT a AS x, b AS y FROM simpairs
+                 UNION ALL SELECT b, a FROM simpairs),
+        deg AS (
+          SELECT c.cluster_id, c.doc_id, count(s.y) AS nn
+          FROM clusters c LEFT JOIN sym2 s ON s.x = c.doc_id
+          GROUP BY 1, 2
+        ),
+        seed AS (
+          SELECT cluster_id, doc_id AS seed FROM (
+            SELECT cluster_id, doc_id,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY nn DESC, doc_id ASC) AS rn
+            FROM deg
+          ) WHERE rn = 1
+        ),
+        keep AS (
+          SELECT cluster_id, seed AS doc_id FROM seed
+          UNION
+          SELECT s.cluster_id, y.y FROM seed s JOIN sym2 y ON y.x = s.seed
+        )
+        SELECT cluster_id, doc_id,
+               cast(count(*) OVER (PARTITION BY cluster_id) AS int)
+                 AS group_size
+        FROM keep
+    """,
+    "lcs_borderline_rescue": f"""
+        WITH {_SH_SQL},
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        jac AS (
+          SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+        ),
+        border AS (SELECT a, b, jaccard FROM jac
+                   WHERE jaccard >= {0.8 * LCS_T2} AND jaccard < {LCS_T2}),
+        texts AS (SELECT doc_id, lower(text) AS t,
+                         strlen(text) AS sz FROM documents),
+        pr AS (
+          SELECT border.a, border.b, jaccard,
+                 CASE WHEN length(ta.t) <= length(tb.t)
+                      THEN ta.t ELSE tb.t END AS s,
+                 CASE WHEN length(ta.t) <= length(tb.t)
+                      THEN tb.t ELSE ta.t END AS l
+          FROM border
+          JOIN texts ta ON ta.doc_id = border.a
+          JOIN texts tb ON tb.doc_id = border.b
+          WHERE abs(ta.sz - tb.sz) <= 0.5 * greatest(ta.sz, tb.sz)
+        ),
+        s1 AS (SELECT a, b, s, l,
+                      unnest(range(1, length(s) + 1)) AS i FROM pr),
+        s2 AS (SELECT a, b, l, i, s,
+                      unnest(range(1, length(s) - i + 2)) AS len FROM s1),
+        hits AS (
+          SELECT a, b, max(len) AS best
+          FROM s2 WHERE strpos(l, substr(s, i, len)) > 0
+          GROUP BY a, b
+        )
+        SELECT pr.a, pr.b, jaccard,
+               round(coalesce(best, 0) * 1.0 / length(s), 6) AS lcs_score,
+               coalesce(best, 0) * 1.0 / length(s) >= 0.6 AS verified
+        FROM pr LEFT JOIN hits ON hits.a = pr.a AND hits.b = pr.b
     """,
     # simhash_threshold_sweep / simhash_effectiveness:
     # intentionally no oracle (hash-dependent)
