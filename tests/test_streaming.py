@@ -85,6 +85,65 @@ def test_structured_streaming_end_to_end(
     assert extra.empty  # silence lint; semantic: no new files → unchanged
 
 
+def test_replay_after_partial_write_is_safe(
+    spark, corpus, batch_clusters, tmp_path_factory
+):
+    """Crash between the batch writes and the marker: Structured
+    Streaming replays the batch. Batch-scoped overwrite must REPLACE the
+    partial output, not append to it (the append design duplicated state
+    rows and inflated every later candidate join)."""
+    import os
+
+    store = DedupStore(spark, str(tmp_path_factory.mktemp("store_rp")))
+    for i, chunk in enumerate(_chunks(corpus)):
+        process_batch(spark, spark.createDataFrame(chunk), store, CFG, batch_id=i)
+    n_state = store.state().count()
+    n_edges = store.edges().count()
+    # simulate the crash window: writes landed, marker did not
+    os.remove(os.path.join(store.root, "_batch_2.done"))
+    process_batch(
+        spark, spark.createDataFrame(_chunks(corpus)[2]), store, CFG, batch_id=2
+    )
+    assert store.state().count() == n_state
+    assert store.edges().count() == n_edges
+    got = {r["file_id"]: r["cluster_id"] for r in store.clusters().collect()}
+    assert got == batch_clusters
+
+
+def test_incremental_candidates_plan_is_pruned_and_broadcast(
+    spark, corpus, tmp_path_factory
+):
+    """Scale contract of the incremental path: the stored bucket table is
+    read with directory-partition pruning (PartitionFilters on bucket_pt)
+    and joined via broadcast — the accumulated side must never be
+    shuffled, so per-batch cost tracks the batch, not the store."""
+    from twinspect_spark.operators.buckets import bucket_table
+    from twinspect_spark.streaming.incremental import (
+        STATE_COLS,
+        _incremental_candidates,
+    )
+
+    store = DedupStore(spark, str(tmp_path_factory.mktemp("store_plan")))
+    chunks = _chunks(corpus)
+    process_batch(spark, spark.createDataFrame(chunks[0]), store, CFG, batch_id=0)
+    ingested = spark.createDataFrame(chunks[1])
+    from twinspect_spark.ingest import ingest_files
+    from twinspect_spark.signatures import compute_signatures
+
+    ing = ingest_files(ingested, CFG)
+    sigs = compute_signatures(ing, CFG)
+    new_state = (
+        ing.select("file_id", "sha256", "size", "content_norm")
+        .join(sigs.select("file_id", "minhash", "simhash"), "file_id")
+        .select(*STATE_COLS)
+    )
+    cand = _incremental_candidates(bucket_table(new_state, CFG), store, CFG)
+    plan = cand._jdf.queryExecution().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket_pt" in ln for ln in scan_lines), scan_lines
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
 def test_merge_components_incremental_equivalence(spark):
     """Contraction-based merge equals from-scratch CC on the union."""
     from twinspect_spark.operators.cc import connected_components, merge_components

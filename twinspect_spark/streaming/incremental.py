@@ -4,45 +4,67 @@ The reference is strictly batch — its only incrementality is artifact
 caching keyed by dataset checksum (twinspect/algos/processing.py:31-34).
 This module adds the capability gap: new files arrive continuously, and
 each micro-batch is deduplicated against everything seen so far without
-recomputing the world.
+recomputing — or even shuffling — the world.
 
-Per micro-batch of new files:
-  1. ingest + signatures for the NEW rows only (pandas-UDF stage);
-  2. candidate generation joins the new band/chunk tables against the
-     accumulated state — cost is O(|new| × bucket occupancy), never
-     O(|state|²); bucket frequency caps count the COMBINED bucket;
-  3. estimate-filter + exact verification exactly as in batch;
-  4. clusters fold in via contraction (operators/cc.merge_components):
-     CC runs on a graph of O(|new edges|) contracted nodes, independent
-     of corpus size.
+State layout (plain parquet; the directory partitioning is the poor
+man's Iceberg bucketing — the Iceberg migration only swaps the writer):
 
-State is plain parquet under ``store_root``:
-  state/    file_id, sha256, size, content_norm, minhash, simhash (append)
-  edges/    a, b, jaccard, method, batch_id (append)
-  clusters/ file_id, cluster_id (replaced per batch)
-plus ``_batch_<id>.done`` markers making foreachBatch idempotent under
-Structured Streaming's replay semantics (a replayed batch id is a no-op).
-At production scale state/ would be an Iceberg table bucketed by band
-hash so step 2 joins without reshuffling the accumulated side; the logic
-here is identical.
+  state/batch_id=<id>/id_pt=<p>/      file rows (STATE_COLS), p =
+                                      pmod(xxhash64(file_id), ID_PARTS)
+  buckets/batch_id=<id>/bucket_pt=<p>/ the UNIFIED bucket table
+                                      (operators/buckets.bucket_table:
+                                      LSH bands + SimHash chunks in one
+                                      keyspace), p = pmod(xxhash64(space,
+                                      bucket_idx, bucket_key), BUCKET_PARTS)
+  edges/batch_id=<id>/                verified pair edges
+  clusters/                           current assignment (full overwrite)
+  _batch_<id>.done                    commit markers
+
+Why this scales where a naive design is O(|state|) per batch:
+
+1. Bucket rows are computed ONCE per file at arrival and appended —
+   never recomputed from accumulated signatures.
+2. Candidate generation reads the stored bucket table pruned to the
+   directory partitions the new batch touches (PartitionFilters on
+   bucket_pt + batch_id) and BROADCAST-semi-joins the new batch's bucket
+   keys against it: the accumulated side is scanned (pruned), never
+   shuffled.
+3. Bucket-size frequency caps are aggregated over the COMBINED occupancy
+   of touched buckets only (matched stored rows + new rows), for BOTH
+   spaces — LSH bands and SimHash chunks — exactly as the batch
+   unified_candidates path caps both.
+4. Signature/content lookups for verification fetch only the candidate
+   endpoints: pruned scan on id_pt + broadcast semi-join on file_id.
+5. Clusters fold in via contraction (operators/cc.merge_components):
+   CC runs on a graph of O(|new edges|) contracted nodes.
+
+Replay safety (Structured Streaming retry semantics): every per-batch
+write goes to a batch-scoped directory with mode("overwrite"), so a
+replayed batch REPLACES its own partial output instead of appending;
+readers filter to committed batch_ids (markers), so a crashed batch's
+partial files are invisible; the marker is the commit point. A replay
+after the clusters/ overwrite but before the marker re-merges the same
+edges into an assignment that already contains them — merge_components
+is idempotent under edge replay, so the store converges.
 
 Contract: a file_id (xxhash64 of repo,path,commit) arrives at most once
 across the stream; re-sends of the same batch are deduplicated by batch
-marker, not by content.
+marker, not by content. Micro-batches are assumed broadcast-sized
+(thousands of files); bulk backfills belong to the batch pipeline.
 """
 
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from twinspect_spark.config import DedupConfig
 from twinspect_spark.ingest import FILES_SCHEMA, ingest_files
+from twinspect_spark.operators.buckets import bucket_table
 from twinspect_spark.operators.cc import merge_components
-from twinspect_spark.operators.lsh import band_table
-from twinspect_spark.operators.simhash_ball import chunk_table
 from twinspect_spark.operators.verify import (
     estimate_filter_candidates,
     verify_pairs,
@@ -50,6 +72,25 @@ from twinspect_spark.operators.verify import (
 from twinspect_spark.signatures import compute_signatures
 
 STATE_COLS = ["file_id", "sha256", "size", "content_norm", "minhash", "simhash"]
+BUCKET_COLS = ["file_id", "simhash", "space", "bucket_idx", "bucket_key"]
+
+# Directory-partition fan-out of the two stores. At 10^12-file scale
+# these become Iceberg bucket transforms with far higher counts; here
+# they bound how much of the store a small batch's pruned scan touches.
+ID_PARTS = 64
+BUCKET_PARTS = 64
+
+_MARKER_RE = re.compile(r"_batch_(\d+)\.done$")
+
+
+def _id_pt() -> F.Column:
+    return F.pmod(F.xxhash64("file_id"), F.lit(ID_PARTS)).cast("int")
+
+
+def _bucket_pt() -> F.Column:
+    return F.pmod(
+        F.xxhash64("space", "bucket_idx", "bucket_key"), F.lit(BUCKET_PARTS)
+    ).cast("int")
 
 
 class DedupStore:
@@ -63,15 +104,56 @@ class DedupStore:
 
     def _has(self, name: str) -> bool:
         p = self._path(name)
-        return os.path.exists(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
+        if not os.path.exists(p):
+            return False
+        for _, _, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def committed_ids(self) -> list[int]:
+        return sorted(
+            int(m.group(1))
+            for f in os.listdir(self.root)
+            if (m := _MARKER_RE.match(f))
         )
 
+    def _read_committed(self, name: str) -> DataFrame | None:
+        """Read a batch-partitioned store, visible-committed rows only."""
+        if not self._has(name):
+            return None
+        df = self.spark.read.parquet(self._path(name))
+        return df.where(F.col("batch_id").isin(self.committed_ids()))
+
     def state(self) -> DataFrame | None:
-        return self.spark.read.parquet(self._path("state")) if self._has("state") else None
+        df = self._read_committed("state")
+        return None if df is None else df.select(*STATE_COLS)
+
+    def buckets(self) -> DataFrame | None:
+        """Committed bucket rows WITH the bucket_pt partition column (the
+        caller prunes on it before any join)."""
+        df = self._read_committed("buckets")
+        return None if df is None else df.select(*BUCKET_COLS, "bucket_pt")
+
+    def state_rows_for(self, ids: DataFrame) -> DataFrame | None:
+        """Committed state rows for the given ids(file_id) — pruned
+        directory scan (id_pt IN touched) + broadcast semi-join, so the
+        fetch cost tracks |ids|, not |state|."""
+        df = self._read_committed("state")
+        if df is None:
+            return None
+        pts = [
+            r[0]
+            for r in ids.select(_id_pt().alias("pt")).distinct().collect()
+        ]
+        return (
+            df.where(F.col("id_pt").isin(pts))
+            .join(F.broadcast(ids.select("file_id")), "file_id", "left_semi")
+            .select(*STATE_COLS)
+        )
 
     def edges(self) -> DataFrame | None:
-        return self.spark.read.parquet(self._path("edges")) if self._has("edges") else None
+        return self._read_committed("edges")
 
     def clusters(self) -> DataFrame | None:
         return (
@@ -79,6 +161,16 @@ class DedupStore:
             if self._has("clusters")
             else None
         )
+
+    def write_batch(self, name: str, df: DataFrame, batch_id: int,
+                    partition_col: str | None = None) -> None:
+        """Batch-scoped overwrite: a replayed batch replaces its own
+        directory instead of appending (idempotent under Structured
+        Streaming's retry semantics)."""
+        w = df.write.mode("overwrite")
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(self._path(f"{name}/batch_id={batch_id}"))
 
     def batch_done(self, batch_id: int) -> bool:
         return os.path.exists(self._path(f"_batch_{batch_id}.done"))
@@ -89,61 +181,58 @@ class DedupStore:
 
 
 def _incremental_candidates(
-    new_sigs: DataFrame, all_sigs: DataFrame, cfg: DedupConfig
+    bk_new: DataFrame, store: DedupStore, cfg: DedupConfig
 ) -> DataFrame:
-    """Candidate pairs touching ≥1 new file: new bands/chunks joined
-    against the full band/chunk tables. Pair (x, y) normalized to
-    a = min < b = max; within-new pairs arise from both directions and
-    collapse in the group-by. Frequency caps use COMBINED bucket sizes so
-    a bucket that went hot across batches stops generating pairs exactly
-    as it would in batch."""
-    bands_all = band_table(all_sigs, cfg)
-    bands_new = band_table(new_sigs, cfg)
-    sizes = bands_all.groupBy("band_idx", "band_hash").count()
+    """Candidate pairs touching ≥1 new file, against the stored unified
+    bucket table. The stored side is scanned pruned (bucket_pt +
+    committed batch_id PartitionFilters) and broadcast-semi-joined on the
+    new batch's bucket keys — never shuffled, never recomputed. Frequency
+    caps use the COMBINED occupancy of each touched bucket (stored
+    matches + new members) in BOTH spaces; the SimHash Hamming post-
+    filter applies to chunk-space pairs exactly as in batch
+    (operators/buckets.unified_candidates)."""
+    keys = ["space", "bucket_idx", "bucket_key"]
+    stored = store.buckets()
+    if stored is not None:
+        pts = [
+            r[0]
+            for r in bk_new.select(_bucket_pt().alias("pt")).distinct().collect()
+        ]
+        matched = (
+            stored.where(F.col("bucket_pt").isin(pts))
+            .join(F.broadcast(bk_new.select(*keys).distinct()), keys, "left_semi")
+            .select(*BUCKET_COLS)
+        )
+        combined = matched.unionByName(bk_new.select(*BUCKET_COLS))
+    else:
+        combined = bk_new.select(*BUCKET_COLS)
+
+    sizes = combined.groupBy(*keys).count()
     keep = sizes.where(
         (F.col("count") > 1) & (F.col("count") <= cfg.max_band_bucket)
-    ).select("band_idx", "band_hash")
-    bn = bands_new.join(keep, ["band_idx", "band_hash"], "left_semi")
-    ba = bands_all.join(keep, ["band_idx", "band_hash"], "left_semi")
-    lsh = (
-        bn.select("band_idx", "band_hash", F.col("file_id").alias("x"))
-        .join(
-            ba.select("band_idx", "band_hash", F.col("file_id").alias("y")),
-            ["band_idx", "band_hash"],
-        )
+    ).select(*keys)
+    left = bk_new.join(keep, keys, "left_semi").select(
+        *keys, F.col("file_id").alias("x"), F.col("simhash").alias("sim_x")
+    )
+    right = combined.join(keep, keys, "left_semi").select(
+        *keys, F.col("file_id").alias("y"), F.col("simhash").alias("sim_y")
+    )
+    hamming_ok = (F.col("space") == 0) | (
+        F.bit_count(F.col("sim_x").bitwiseXOR(F.col("sim_y")))
+        <= cfg.hamming_threshold
+    )
+    src_col = F.when(F.col("space") == 0, "lsh").otherwise("simhash")
+    pairs = (
+        left.join(right, keys)
         .where(F.col("x") != F.col("y"))
+        .where(hamming_ok)
         .select(
             F.least("x", "y").alias("a"),
             F.greatest("x", "y").alias("b"),
-            F.lit("lsh").alias("src"),
+            src_col.alias("src"),
         )
     )
-    ch_all = chunk_table(all_sigs, cfg)
-    ch_new = chunk_table(new_sigs, cfg)
-    sim = (
-        ch_new.select(
-            "chunk_idx", "chunk_val",
-            F.col("file_id").alias("x"), F.col("simhash").alias("sim_x"),
-        )
-        .join(
-            ch_all.select(
-                "chunk_idx", "chunk_val",
-                F.col("file_id").alias("y"), F.col("simhash").alias("sim_y"),
-            ),
-            ["chunk_idx", "chunk_val"],
-        )
-        .where(F.col("x") != F.col("y"))
-        .where(
-            F.bit_count(F.col("sim_x").bitwiseXOR(F.col("sim_y")))
-            <= cfg.hamming_threshold
-        )
-        .select(
-            F.least("x", "y").alias("a"),
-            F.greatest("x", "y").alias("b"),
-            F.lit("simhash").alias("src"),
-        )
-    )
-    return lsh.unionByName(sim).groupBy("a", "b").agg(F.min("src").alias("src"))
+    return pairs.groupBy("a", "b").agg(F.min("src").alias("src"))
 
 
 def process_batch(
@@ -154,7 +243,8 @@ def process_batch(
     batch_id: int = 0,
 ) -> None:
     """One micro-batch: signatures → incremental candidates → verify →
-    cluster merge → state commit. Idempotent per batch_id."""
+    cluster merge → batch-scoped state commit. Idempotent per batch_id
+    (marker short-circuit; all writes overwrite their own batch dir)."""
     if store.batch_done(batch_id):
         return
     ingested_new = ingest_files(batch_files, cfg).localCheckpoint()
@@ -169,17 +259,28 @@ def process_batch(
         .localCheckpoint()
     )
 
-    old_state = store.state()
-    all_state = (
-        new_state if old_state is None else old_state.unionByName(new_state)
+    bk_new = bucket_table(new_state, cfg).localCheckpoint()
+    cand = _incremental_candidates(bk_new, store, cfg)
+
+    # verification lookups: candidate endpoints only — old rows fetched
+    # via pruned scan + broadcast semi-join, new rows from memory
+    ids = (
+        cand.select(F.col("a").alias("file_id"))
+        .unionByName(cand.select(F.col("b").alias("file_id")))
+        .distinct()
+        .localCheckpoint()
     )
-    cand = _incremental_candidates(new_state, all_state, cfg)
-    cand = estimate_filter_candidates(cand, all_state, cfg)
-    pairs = verify_pairs(cand, all_state, cfg)
+    fetched_old = store.state_rows_for(ids)
+    lookup = (
+        new_state
+        if fetched_old is None
+        else fetched_old.unionByName(new_state)
+    )
+    cand = estimate_filter_candidates(cand, lookup, cfg)
+    pairs = verify_pairs(cand, lookup, cfg)
     edges_new = (
         pairs.where("verified")
         .select("a", "b", "jaccard", "method")
-        .withColumn("batch_id", F.lit(batch_id))
         .localCheckpoint()
     )
 
@@ -194,8 +295,16 @@ def process_batch(
         new_vertices=new_state.select("file_id"),
     ).localCheckpoint()  # materialize BEFORE overwriting the path it read
 
-    new_state.write.mode("append").parquet(store._path("state"))
-    edges_new.write.mode("append").parquet(store._path("edges"))
+    store.write_batch(
+        "state", new_state.withColumn("id_pt", _id_pt()), batch_id, "id_pt"
+    )
+    store.write_batch(
+        "buckets",
+        bk_new.withColumn("bucket_pt", _bucket_pt()),
+        batch_id,
+        "bucket_pt",
+    )
+    store.write_batch("edges", edges_new, batch_id)
     merged.write.mode("overwrite").parquet(store._path("clusters"))
     store.mark_batch(batch_id)
 
