@@ -5,10 +5,25 @@ Running the two candidate paths as separate self-joins costs two full
 shuffle chains (sizes → cap → self-join each). Both are the same
 abstract operation — equi-self-join on a bucket key — so the band table
 and the chunk table are unioned into one ``(space, bucket_idx,
-bucket_key)`` relation first: one bucket-size aggregation, one frequency
-cap, one self-join, one pair dedupe. Halves the exchange/AQE-stage chain
-of the candidates stage, which is pure serial latency at small scale and
-one fewer full shuffle of the hot table at large scale.
+bucket_key)`` relation first: one bucket-size pass, one frequency cap,
+one self-join, one pair dedupe.
+
+Stage discipline (the serial chain is what kills scaling efficiency at
+small work sizes — every exchange/broadcast/AQE boundary is constant
+latency that 4× the cores cannot shrink):
+
+* bucket sizes come from a COUNT window over the single exchange the
+  self-join needs anyway — no second aggregation pass, no broadcast of
+  a megarow sizes relation;
+* the capped table is materialized ONCE (localCheckpoint) and both join
+  sides read it — the naive composed plan re-exploded the signature
+  table six times and re-aggregated sizes four times;
+* the MinHash prefix gate runs INSIDE the join stage on packed 16-bit
+  lane prefixes (operators/verify.packed_prefix_cols) — pure integer
+  codegen, no interpreted HOFs, no signature join — so the pair stream
+  entering the dedupe shuffle is already est-plausible. The estimate
+  filter then joins full signatures onto survivors only
+  (estimate_filter_candidates(pre_gated=True)).
 
 The SimHash Hamming post-filter (bit_count ≤ d) applies only to
 chunk-space pairs; simhash codes ride along as join payload (16 bytes)
@@ -21,13 +36,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from twinspect_spark.config import DedupConfig
+from twinspect_spark.operators.verify import (
+    packed_prefix_cols,
+    packed_prefix_frac,
+)
 
 
-def bucket_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """signatures → (file_id, simhash, space, bucket_idx, bucket_key);
-    space 0 = MinHash LSH band, space 1 = SimHash pigeonhole chunk. All
-    column expressions — posexplode over a single assembled array keeps
-    it one projection, no union of two scans."""
+def bucket_table(
+    signatures: DataFrame, cfg: DedupConfig, with_prefix: bool = False
+) -> DataFrame:
+    """signatures → (file_id, simhash, space, bucket_idx, bucket_key
+    [, mp0..mpK packed prefix words]); space 0 = MinHash LSH band,
+    space 1 = SimHash pigeonhole chunk. All column expressions —
+    posexplode over a single assembled array keeps it one projection,
+    no union of two scans."""
     r = cfg.rows_per_band
     w = cfg.chunk_bits
     mask = (1 << w) - 1
@@ -51,18 +73,24 @@ def bucket_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             for j in range(cfg.simhash_chunks)
         ],
     )
-    return signatures.select(
-        "file_id", "simhash", F.explode(entries).alias("e")
-    ).select("file_id", "simhash", "e.space", "e.bucket_idx", "e.bucket_key")
+    payload = ["file_id", "simhash"]
+    extra = packed_prefix_cols(cfg) if with_prefix else []
+    b = signatures.select(
+        *payload, *extra, F.explode(entries).alias("e")
+    )
+    names = [c for c in b.columns if c != "e"]
+    return b.select(*names, "e.space", "e.bucket_idx", "e.bucket_key")
 
 
 def unified_candidates(
-    signatures: DataFrame, cfg: DedupConfig
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    materialize: bool = True,
+    prefix_gate: bool = True,
+    margin: float = 0.15,
 ) -> DataFrame:
     """→ (a, b, src) distinct candidate pairs from both spaces, a < b.
-    src = 'lsh' | 'simhash' (min over contributing spaces). One sizes
-    aggregation, one cap, one self-join, Hamming post-filter on chunk
-    pairs, one dedupe group-by.
+    src = 'lsh' | 'simhash' (min over contributing spaces).
 
     Giant-cluster guard: buckets larger than ``cfg.chain_bucket_size``
     switch from all-pairs to a SPANNING CHAIN — members sorted by
@@ -74,55 +102,95 @@ def unified_candidates(
     adjacent, so the chain stays within clusters and recall survives;
     cross-cluster chain links are rejected by exact verification, never
     merged. Buckets beyond ``cfg.max_band_bucket`` are still dropped
-    outright (hot-bucket cap, reported via hot_band_report)."""
-    b = bucket_table(signatures, cfg)
+    outright (hot-bucket cap, reported via hot_band_report).
+
+    ``materialize`` checkpoints the capped bucket table so the join
+    sides and the chain window read a materialized relation (accurate
+    AQE stats, no subtree re-execution); ``prefix_gate`` applies the
+    packed in-join MinHash prefix gate at (jaccard_threshold - 2*margin)
+    — same predicate estimate_filter_candidates would apply, hoisted
+    into the join stage."""
+    from pyspark.sql import Window as W
+
+    b = bucket_table(signatures, cfg, with_prefix=prefix_gate)
     keys = ["space", "bucket_idx", "bucket_key"]
-    sizes = b.groupBy(*keys).count()
-    keep = sizes.where(
-        (F.col("count") > 1) & (F.col("count") <= cfg.max_band_bucket)
-    ).select(*keys, "count")
-    kept = b.join(keep, keys)
+    payload = [c for c in b.columns if c not in keys]
+    kept = (
+        b.withColumn("count", F.count("*").over(W.partitionBy(*keys)))
+        .where(
+            (F.col("count") > 1) & (F.col("count") <= cfg.max_band_bucket)
+        )
+    )
+    if materialize:
+        kept = kept.localCheckpoint()
+
     hamming_ok = (F.col("space") == 0) | (
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         <= cfg.hamming_threshold
     )
+    gate_ok = (
+        packed_prefix_frac(cfg, "mpa", "mpb")
+        >= cfg.jaccard_threshold - 2 * margin
+        if prefix_gate
+        else F.lit(True)
+    )
     src_col = F.when(F.col("space") == 0, "lsh").otherwise("simhash")
 
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        cols = [F.col("file_id").alias("a" if tag == "a" else "b"),
+                F.col("simhash").alias(f"sim_{tag}")]
+        if prefix_gate:
+            cols += [
+                F.col(c).alias(f"mp{tag}{c[2:]}")
+                for c in payload
+                if c.startswith("mp")
+            ]
+        return df.select(*keys, *cols)
+
     small = kept.where(F.col("count") <= cfg.chain_bucket_size)
-    left = small.select(
-        *keys, F.col("file_id").alias("a"), F.col("simhash").alias("sim_a")
-    )
-    right = small.select(
-        *keys, F.col("file_id").alias("b"), F.col("simhash").alias("sim_b")
-    )
     all_pairs = (
-        left.join(right, keys)
+        side(small, "a").join(side(small, "b"), keys)
         .where(F.col("a") < F.col("b"))
         .where(hamming_ok)
+        .where(gate_ok)
         .select("a", "b", src_col.alias("src"))
     )
-
-    from pyspark.sql import Window as W
 
     big = kept.where(F.col("count") > cfg.chain_bucket_size)
     w = W.partitionBy(*keys).orderBy("simhash", "file_id")
     ranked = big.withColumn("rk", F.row_number().over(w))
-    nxt = ranked.select(
-        *keys,
-        (F.col("rk") - 1).alias("rk"),
+    nxt_cols = [
         F.col("file_id").alias("nxt_id"),
         F.col("simhash").alias("nxt_sim"),
-    )
+    ]
+    if prefix_gate:
+        nxt_cols += [
+            F.col(c).alias(f"mpb{c[2:]}") for c in payload if c.startswith("mp")
+        ]
+    nxt = ranked.select(*keys, (F.col("rk") - 1).alias("rk"), *nxt_cols)
+    this_cols = [*keys, "rk", "file_id", "simhash"]
+    if prefix_gate:
+        this_cols += [
+            F.col(c).alias(f"mpa{c[2:]}") for c in payload if c.startswith("mp")
+        ]
     chained = (
-        ranked.join(nxt, [*keys, "rk"])
+        ranked.select(*this_cols)
+        .join(nxt, [*keys, "rk"])
         .select(
             F.least("file_id", "nxt_id").alias("a"),
             F.greatest("file_id", "nxt_id").alias("b"),
             F.col("simhash").alias("sim_a"),
             F.col("nxt_sim").alias("sim_b"),
             "space",
+            *(
+                [f"mpa{c[2:]}" for c in payload if c.startswith("mp")]
+                + [f"mpb{c[2:]}" for c in payload if c.startswith("mp")]
+                if prefix_gate
+                else []
+            ),
         )
         .where(hamming_ok)
+        .where(gate_ok)
         .select("a", "b", src_col.alias("src"))
     )
     return (

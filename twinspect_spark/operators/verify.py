@@ -30,6 +30,52 @@ from twinspect_spark.functions import hashing as H
 
 
 _PREFIX_LANES = 16
+_PACK_BITS = 16  # prefix bits per lane in the packed in-join gate
+
+
+def packed_prefix_cols(cfg: DedupConfig, minhash_col: str = "minhash",
+                       prefix: str = "mp") -> list:
+    """Top-16-bits of the first min(16, num_perm) MinHash lanes, packed 4
+    sublanes per long → ceil(p/4) columns ``mp0..``. Carried as join
+    payload (8 bytes/word) so the candidate self-join can run the prefix
+    gate INSIDE the join stage with pure integer codegen — no signature
+    join, no interpreted higher-order functions, before any shuffle of
+    the pair stream."""
+    p = min(_PREFIX_LANES, cfg.num_perm)
+    cols = []
+    for j in range((p + 3) // 4):
+        word = None
+        for k in range(min(4, p - 4 * j)):
+            lane = 4 * j + k
+            t = F.shiftrightunsigned(
+                F.element_at(minhash_col, lane + 1), 64 - _PACK_BITS
+            )
+            t = F.shiftleft(t, _PACK_BITS * k) if k else t
+            word = t if word is None else word.bitwiseOR(t)
+        cols.append(word.alias(f"{prefix}{j}"))
+    return cols
+
+
+def packed_prefix_frac(cfg: DedupConfig, a_prefix: str, b_prefix: str):
+    """Fraction of packed prefix sublanes equal between two rows carrying
+    ``packed_prefix_cols`` under ``a_prefix``/``b_prefix`` names.
+
+    Semantics vs the 32-bit HOF gate in estimate_filter_candidates:
+    16-bit prefixes collide at 2^-16 per lane, so this gate accepts a
+    superset of the 32-bit gate's pairs — recall-preserving; the few
+    extra accidents are rejected by the full-lane estimate filter."""
+    p = min(_PREFIX_LANES, cfg.num_perm)
+    total = None
+    for j in range((p + 3) // 4):
+        x = F.col(f"{a_prefix}{j}").bitwiseXOR(F.col(f"{b_prefix}{j}"))
+        for k in range(min(4, p - 4 * j)):
+            eq = F.when(
+                F.shiftrightunsigned(x, _PACK_BITS * k)
+                .bitwiseAND(F.lit(0xFFFF)) == 0,
+                1,
+            ).otherwise(0)
+            total = eq if total is None else total + eq
+    return total / F.lit(float(p))
 
 
 @F.pandas_udf(T.DoubleType())
@@ -46,7 +92,7 @@ def _lane_match_frac(a: pd.Series, b: pd.Series) -> pd.Series:
 
 def estimate_filter_candidates(
     candidates: DataFrame, signatures: DataFrame, cfg: DedupConfig,
-    margin: float = 0.15,
+    margin: float = 0.15, pre_gated: bool = False,
 ) -> DataFrame:
     """→ (a, b[, src], est): join MinHash signatures onto DISTINCT
     candidate pairs, keep pairs with lane-match estimate ≥ threshold -
@@ -79,25 +125,29 @@ def estimate_filter_candidates(
     # With num_perm < 16 lanes the slice yields fewer elements; dividing
     # by 16 would cap prefix_frac at num_perm/16 and could silently
     # reject every pair. Degrade to a full-signature check instead.
-    p = min(_PREFIX_LANES, cfg.num_perm)
-    prefix_frac = (
-        F.size(
-            F.filter(
-                F.zip_with(
-                    F.slice("mh_a", 1, p),
-                    F.slice("mh_b", 1, p),
-                    lambda x, y: x == y,
-                ),
-                lambda v: v,
+    # ``pre_gated``: the caller already ran the packed in-join prefix
+    # gate (unified_candidates) — skip the redundant HOF pass here.
+    joined = candidates.join(sa, "a").join(sb, "b")
+    if not pre_gated:
+        p = min(_PREFIX_LANES, cfg.num_perm)
+        prefix_frac = (
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.slice("mh_a", 1, p),
+                        F.slice("mh_b", 1, p),
+                        lambda x, y: x == y,
+                    ),
+                    lambda v: v,
+                )
             )
+            / F.lit(float(p))
         )
-        / F.lit(float(p))
-    )
+        joined = joined.where(
+            prefix_frac >= cfg.jaccard_threshold - 2 * margin
+        )
     return (
-        candidates.join(sa, "a")
-        .join(sb, "b")
-        .where(prefix_frac >= cfg.jaccard_threshold - 2 * margin)
-        .withColumn("est", _lane_match_frac("mh_a", "mh_b"))
+        joined.withColumn("est", _lane_match_frac("mh_a", "mh_b"))
         .where(F.col("est") >= cfg.jaccard_threshold - margin)
         .drop("mh_a", "mh_b")
     )

@@ -89,9 +89,17 @@ def run_dedup(
     # MinHash-estimate filter joins signature arrays onto distinct pairs
     # (see estimate_filter_candidates for the cost asymmetry), so only
     # est-filtered survivors are materialized.
-    deduped = unified_candidates(signatures, cfg)
+    # The packed MinHash prefix gate runs inside the bucket self-join
+    # (unified_candidates prefix_gate) — the pair stream entering the
+    # dedupe shuffle is already est-plausible, so the estimate filter
+    # joins full signatures onto survivors only (pre_gated skips its
+    # redundant HOF gate).
+    deduped = unified_candidates(
+        signatures, cfg, materialize=materialize_stages
+    )
     candidates = cut(
-        estimate_filter_candidates(deduped, signatures, cfg), "candidates"
+        estimate_filter_candidates(deduped, signatures, cfg, pre_gated=True),
+        "candidates",
     )
 
     pairs = cut(verify_pairs(candidates, ingested, cfg), "verify")

@@ -989,7 +989,10 @@ def q_simhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = compute_signatures(_docs_as_ingested(spark, sf_dir), DOCS_SIM_CFG)
     cands = simhash_candidates(sigs, DOCS_SIM_CFG)  # a, b, hamming
     gt = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
-    n_gt = gt.count()
+    # recall denominator stays IN the plan (one-row broadcast aggregate
+    # cross-joined in) — no driver-side count() action that would force
+    # an extra job recomputing the brute-force GT self-join
+    gt_total = gt.agg(F.count("*").alias("n_gt"))
     joined = cands.join(gt.withColumn("is_gt", F.lit(1)), ["a", "b"], "left")
     sweep = (
         joined.crossJoin(
@@ -1003,9 +1006,10 @@ def q_simhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_found"),
             F.sum(F.coalesce("is_gt", F.lit(0))).alias("tp"),
         )
+        .crossJoin(F.broadcast(gt_total))
     )
     prec = F.col("tp") / F.col("n_found")
-    rec = F.col("tp") / F.lit(n_gt)
+    rec = F.col("tp") / F.col("n_gt")
     return sweep.select(
         "threshold",
         "n_found",
