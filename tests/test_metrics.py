@@ -190,3 +190,29 @@ def test_dataset_info(spark):
     assert row["avg_cluster_size"] == 2.5
     assert row["n_singletons"] == 1
     assert math.isclose(row["singleton_ratio"], 1 / 6, abs_tol=1e-6)
+
+
+def test_run_report_renders_markdown(spark):
+    """Report layer (reference render/results.py:230-273 analog):
+    sections, stage table, truncation footer."""
+    from twinspect_spark.report import df_to_markdown, render_run_report
+
+    eff = spark.createDataFrame(
+        [(0.0, 1.0, 0.5, 0.666667)],
+        "threshold double, avg_precision double, avg_recall double, f1 double",
+    )
+    md = render_run_report(
+        "dedup run",
+        {"Effectiveness": eff},
+        stage_seconds={"signatures": 1.5, "candidates": 2.0},
+        config_fingerprint="deadbeef",
+    )
+    assert "# dedup run" in md
+    assert "`deadbeef`" in md
+    assert "| signatures | 1.5 |" in md
+    assert "## Effectiveness" in md
+    assert "| 0 | 1 | 0.5 | 0.666667 |" in md
+
+    big = spark.range(0, 30).selectExpr("id")
+    t = df_to_markdown(big, max_rows=10)
+    assert "truncated at 10 rows" in t

@@ -107,11 +107,18 @@ def estimate_filter_candidates(
     of 32-bit lane prefixes collides at 2^-32, invisible next to the
     ±margin band — halving shuffle and Arrow bytes; the lane-match
     kernel itself is a vectorized pandas UDF (see _lane_match_frac)."""
-    sig = signatures.select(
-        "file_id",
-        # top 32 bits per lane: always fits int under ANSI casting
-        F.expr("transform(minhash, x -> cast(shiftright(x, 32) as int))").alias("mh32"),
-    )
+    if "mh32" in signatures.columns:
+        # precomputed vectorized in the signature UDF (signatures.py)
+        sig = signatures.select("file_id", "mh32")
+    else:
+        # fallback for signature relations built elsewhere (e.g. ensemble
+        # concat): top 32 bits per lane, fits int under ANSI casting
+        sig = signatures.select(
+            "file_id",
+            F.expr(
+                "transform(minhash, x -> cast(shiftright(x, 32) as int))"
+            ).alias("mh32"),
+        )
     sa = sig.select(F.col("file_id").alias("a"), F.col("mh32").alias("mh_a"))
     sb = sig.select(F.col("file_id").alias("b"), F.col("mh32").alias("mh_b"))
     # JVM prefix gate before any Python: on vocabulary-noisy corpora

@@ -71,7 +71,7 @@ from twinspect_spark.operators.verify import (
 )
 from twinspect_spark.signatures import compute_signatures
 
-STATE_COLS = ["file_id", "sha256", "size", "content_norm", "minhash", "simhash"]
+STATE_COLS = ["file_id", "sha256", "size", "content_norm", "minhash", "mh32", "simhash"]
 BUCKET_COLS = ["file_id", "simhash", "space", "bucket_idx", "bucket_key"]
 
 # Directory-partition fan-out of the two stores. At 10^12-file scale
@@ -254,7 +254,7 @@ def process_batch(
     sigs_new = compute_signatures(ingested_new, cfg)
     new_state = (
         ingested_new.select("file_id", "sha256", "size", "content_norm")
-        .join(sigs_new.select("file_id", "minhash", "simhash"), "file_id")
+        .join(sigs_new.select("file_id", "minhash", "mh32", "simhash"), "file_id")
         .select(*STATE_COLS)
         .localCheckpoint()
     )
