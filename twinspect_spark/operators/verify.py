@@ -78,16 +78,29 @@ def packed_prefix_frac(cfg: DedupConfig, a_prefix: str, b_prefix: str):
     return total / F.lit(float(p))
 
 
-@F.pandas_udf(T.DoubleType())
-def _lane_match_frac(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Fraction of equal MinHash lanes per pair — numpy over Arrow
-    batches. The SQL higher-order equivalent (zip_with + filter + size)
-    is interpreted per element in Catalyst, measured ~100x slower on
-    multi-million-pair streams (66 s vs sub-second kernel at 3.3M
-    pairs x 128 lanes)."""
-    A = np.vstack(a.to_numpy())
-    B = np.vstack(b.to_numpy())
-    return pd.Series((A == B).mean(axis=1))
+def _est_filter_map(keep_cols: list[str], threshold: float):
+    """mapInPandas kernel: lane-match estimate + threshold filter in ONE
+    Python pass. A pandas-UDF column consumed by both a Filter and the
+    output Project is extracted into TWO ArrowEvalPython nodes by
+    Catalyst — every pair paid the Arrow roundtrip twice; fusing compute
+    and filter into mapInPandas makes double evaluation structurally
+    impossible. The numpy kernel itself replaces the SQL higher-order
+    equivalent (zip_with + filter + size), which is interpreted per
+    element — measured ~100x slower on multi-million-pair streams."""
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["mh_a"].to_numpy())
+            B = np.vstack(pdf["mh_b"].to_numpy())
+            est = (A == B).mean(axis=1)
+            m = est >= threshold
+            out = pdf.loc[m, keep_cols].copy()
+            out["est"] = est[m]
+            yield out
+
+    return batches
 
 
 def estimate_filter_candidates(
@@ -153,10 +166,13 @@ def estimate_filter_candidates(
         joined = joined.where(
             prefix_frac >= cfg.jaccard_threshold - 2 * margin
         )
-    return (
-        joined.withColumn("est", _lane_match_frac("mh_a", "mh_b"))
-        .where(F.col("est") >= cfg.jaccard_threshold - margin)
-        .drop("mh_a", "mh_b")
+    keep_cols = [c for c in joined.columns if c not in ("mh_a", "mh_b")]
+    schema = T.StructType(
+        [f for f in joined.schema.fields if f.name in keep_cols]
+        + [T.StructField("est", T.DoubleType())]
+    )
+    return joined.mapInPandas(
+        _est_filter_map(keep_cols, cfg.jaccard_threshold - margin), schema
     )
 
 
