@@ -176,24 +176,65 @@ def estimate_filter_candidates(
     )
 
 
-def make_jaccard_udf(cfg: DedupConfig):
-    """Exact shingle-set Jaccard over (content_a, content_b) batches."""
+def _verify_map(keep_cols: list[str], cfg: DedupConfig, with_lcs: bool):
+    """mapInPandas kernel for verify_pairs: exact Jaccard + CONDITIONAL
+    LCS + verdict in one Python pass.
+
+    Two reasons this is fused rather than column UDFs:
+    1. Catalyst extracts a pandas-UDF column consumed by a filter/when
+       AND the output into multiple ArrowEvalPython nodes — the content
+       strings crossed the Arrow pipe twice.
+    2. Worse, extraction hoists the UDF OUT of `when(borderline, lcs())`
+       and evaluates it eagerly for every pair — the suffix-automaton
+       LCS silently ran on the whole candidate stream, not the
+       borderline sliver. Python-side branching actually honors the
+       borderline window."""
     k = cfg.shingle_size
+    t = cfg.jaccard_threshold
+    floor = t * 0.8
+    lcs_t = cfg.lcs_threshold
 
-    @F.pandas_udf(T.DoubleType())
-    def _jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = np.empty(len(a), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(a, b)):
-            if x is None or y is None:
-                out[i] = 0.0
+    def batches(it):
+        for pdf in it:
+            n = len(pdf)
+            if not n:
                 continue
-            sx = H.shingle_hashes(x, k)
-            sy = H.shingle_hashes(y, k)
-            inter = np.intersect1d(sx, sy, assume_unique=True).size
-            out[i] = inter / float(sx.size + sy.size - inter)
-        return pd.Series(out)
+            ca = pdf["content_a"].to_numpy()
+            cb = pdf["content_b"].to_numpy()
+            jac = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                x, y = ca[i], cb[i]
+                if x is None or y is None:
+                    jac[i] = 0.0
+                    continue
+                sx = H.shingle_hashes(x, k)
+                sy = H.shingle_hashes(y, k)
+                inter = np.intersect1d(sx, sy, assume_unique=True).size
+                jac[i] = inter / float(sx.size + sy.size - inter)
+            # None (not NaN) for non-borderline rows: Arrow maps NaN to a
+            # float NaN, pd.NA to a true SQL NULL — the contract is NULL
+            lcs_vals: list[float | None] = [None] * n
+            border = (jac >= floor) & (jac < t)
+            if with_lcs:
+                for i in np.flatnonzero(border):
+                    x, y = ca[i], cb[i]
+                    if not x or not y:
+                        lcs_vals[i] = 0.0
+                        continue
+                    short, long_ = (x, y) if len(x) <= len(y) else (y, x)
+                    lcs_vals[i] = _lcs_len(short, long_) / float(len(short))
+            lcs = np.array(
+                [v if v is not None else np.nan for v in lcs_vals]
+            )
+            verified = (jac >= t) | (border & (lcs >= lcs_t))
+            out = pdf[keep_cols].copy()
+            out["jaccard"] = jac
+            out["lcs_score"] = pd.array(lcs_vals, dtype="Float64")
+            out["verified"] = verified
+            out["method"] = "exact"
+            yield out
 
-    return _jaccard
+    return batches
 
 
 def _lcs_len(a: str, b: str) -> int:
@@ -243,22 +284,6 @@ def _lcs_len(a: str, b: str) -> int:
             cur_len += 1
             best = max(best, cur_len)
     return best
-
-
-def make_lcs_udf():
-    """Normalized longest-common-substring score: lcs / min(len_a, len_b)."""
-
-    @F.pandas_udf(T.DoubleType())
-    def _lcs(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = np.zeros(len(a), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(a, b)):
-            if not x or not y:
-                continue
-            short, long_ = (x, y) if len(x) <= len(y) else (y, x)
-            out[i] = _lcs_len(short, long_) / float(len(short))
-        return pd.Series(out)
-
-    return _lcs
 
 
 def verify_pairs(
@@ -329,37 +354,17 @@ def verify_pairs(
     len_var = (F.abs(F.col("size_a") - F.col("size_b")) / max_len).alias("len_var")
     paired = paired.where(len_var <= cfg.max_length_variation)
 
-    jaccard = make_jaccard_udf(cfg)
-    paired = paired.withColumn("jaccard", jaccard("content_a", "content_b"))
-
-    borderline_floor = cfg.jaccard_threshold * 0.8
-    if with_lcs:
-        lcs = make_lcs_udf()
-        paired = paired.withColumn(
-            "lcs_score",
-            F.when(
-                (F.col("jaccard") >= borderline_floor)
-                & (F.col("jaccard") < cfg.jaccard_threshold),
-                lcs("content_a", "content_b"),
-            ).otherwise(F.lit(None).cast("double")),
-        )
-    else:
-        paired = paired.withColumn("lcs_score", F.lit(None).cast("double"))
-
-    verified = F.coalesce(
-        (F.col("jaccard") >= cfg.jaccard_threshold)
-        | (
-            (F.col("jaccard") >= borderline_floor)
-            & (F.col("lcs_score") >= cfg.lcs_threshold)
-        ),
-        F.lit(False),
+    schema = T.StructType(
+        [
+            paired.schema["a"],
+            paired.schema["b"],
+            T.StructField("jaccard", T.DoubleType()),
+            T.StructField("lcs_score", T.DoubleType()),
+            T.StructField("verified", T.BooleanType()),
+            T.StructField("method", T.StringType()),
+        ]
     )
-    exact = paired.select(
-        "a",
-        "b",
-        "jaccard",
-        "lcs_score",
-        verified.alias("verified"),
-        F.lit("exact").alias("method"),
+    exact = paired.mapInPandas(
+        _verify_map(["a", "b"], cfg, with_lcs), schema
     )
     return exact if sure is None else exact.unionByName(sure)
