@@ -18,10 +18,11 @@ def test_registry_consistent():
     osql = entrymod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 20
-    # all but the explicitly hash-dependent ones carry an oracle
+    # all but the explicitly hash/model-dependent ones carry an oracle
     assert set(qs) - set(osql) == {
         "simhash_threshold_sweep",
         "simhash_effectiveness",
+        "ann_ivf_kmeans_topk",
     }
 
 

@@ -958,6 +958,23 @@ def q_lcs_borderline_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 production quantizer: sampled spherical k-means IVF + nprobe
+    search (operators/ann.py). The quantizer is numpy k-means on a
+    driver sample — not SQL-expressible, so the driver records rows-only
+    here; recall >= 0.95 vs brute force is gated by tests/test_ann.py,
+    and the bucketed-join machinery is hard-oracled via ann_ivf_topk."""
+    from twinspect_spark.operators.ann import ivf_topk, train_ivf_centroids
+
+    _ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = train_ivf_centroids(emb, k=8, sample_size=1024, seed=42)
+    queries = emb.where("vec_id < 10")
+    return ivf_topk(emb, queries, cent, k=IVF_TOPK, nprobe=2).orderBy(
+        "q_id", F.desc("cosine"), "neighbor_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible: effectiveness sweep (hash-dependent; rows-only check)
 # --------------------------------------------------------------------------
@@ -1072,6 +1089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # non-SQL-expressible
     "simhash_threshold_sweep": q_simhash_threshold_sweep,
     "simhash_effectiveness": q_simhash_effectiveness,
+    "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
 }
 
 
