@@ -40,6 +40,29 @@ def test_outlier_dropped_core_kept(spark):
     assert rows[(200, 9)] == 1  # singleton cluster passes through
 
 
+def test_giant_cluster_capped_bounded(spark):
+    """A pathological mega-cluster (5k members) cannot pin an executor in
+    the O(n²) kernel: input is capped at cfg.chain_bucket_size members
+    (lowest file_id), so the group and its size are bounded by the cap
+    and the call completes in bounded time."""
+    import time
+
+    rows = [
+        (i, 1, f"unique content body number {i} with filler text " * 3)
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(
+        rows, "file_id long, cluster_id long, content_norm string"
+    ).repartition(4)
+    t0 = time.perf_counter()
+    out = largest_similar_group(df, CFG).collect()
+    assert time.perf_counter() - t0 < 120  # bounded, not O(5000²) scalar
+    assert 1 <= len(out) <= CFG.chain_bucket_size
+    assert all(r["group_size"] <= CFG.chain_bucket_size for r in out)
+    # deterministic: kept members come from the lowest-file_id slice
+    assert all(r["file_id"] < CFG.chain_bucket_size for r in out)
+
+
 def test_full_pipeline_groups(spark):
     """Over planted clusters, the kept group is the whole cluster (all
     transforms stay similar to the original)."""

@@ -42,6 +42,7 @@ def _canon_type(t: str) -> str:
         ("bigint", "i64"), ("int64", "i64"),
         ("smallint", "i16"), ("int16", "i16"),
         ("tinyint", "i8"), ("int8", "i8"),
+        ("interval", "interval"),  # before bare "int": Arrow interval types
         ("int32", "i32"), ("integer", "i32"), ("int", "i32"),
         ("double", "f64"), ("float64", "f64"),
         ("float32", "f32"), ("float", "f32"),

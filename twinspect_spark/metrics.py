@@ -208,8 +208,10 @@ def robustness(
 
 def speed_stats(signatures: DataFrame) -> DataFrame:
     """Per-file signature throughput stats in MB/s (speed.py:25-47);
-    micros is the per-row share of UDF batch wall time."""
-    mbps = (F.col("size") / (1024 * 1024)) / (F.col("micros") / 1e6)
+    micros is the per-row share of UDF batch wall time. Decimal MB
+    (1e6 bytes), matching the reference convention bytes/ms * 1000/1e6
+    (speed.py benchmark() -> utils humanization), not MiB."""
+    mbps = (F.col("size") / F.lit(1e6)) / (F.col("micros") / 1e6)
     return signatures.where(F.col("micros") > 0).agg(
         F.count("*").alias("n_files"),
         F.round(F.min(mbps), 3).alias("min_mbps"),

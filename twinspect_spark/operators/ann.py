@@ -78,13 +78,17 @@ def train_ivf_centroids(
     for _ in range(iters):
         sim = X @ centroids.T                      # n × k
         assign = sim.argmax(axis=1)
+        # re-seed empty cells from DISTINCT worst-covered points: argsort
+        # of max-sim ascending, one entry per empty cell — two cells
+        # emptying in the same iteration must not collapse onto the same
+        # point (that would leave one permanently empty)
+        far_order = iter(np.argsort(sim.max(axis=1), kind="stable"))
         for c in range(k):
             members = X[assign == c]
             if len(members):
                 centroids[c] = members.mean(axis=0)
-            else:  # deterministic re-seed: farthest point from its centroid
-                far = int(np.argmin(sim.max(axis=1)))
-                centroids[c] = X[far]
+            else:
+                centroids[c] = X[int(next(far_order))]
         centroids = _normalize(centroids)
     return centroids
 

@@ -32,11 +32,20 @@ def largest_similar_group(
     """
     t = cfg.jaccard_threshold if threshold is None else threshold
     k = cfg.shingle_size
+    # Giant-cluster guard: the kernel's pairwise loop is O(n²·|shingles|)
+    # scalar Python — safe for the tiny clusters this operator exists for,
+    # lethal if a pathological mega-cluster (boilerplate fused by CC)
+    # lands on one executor. Cap kernel input at the same knob that caps
+    # all-pairs generation upstream (cfg.chain_bucket_size), deterministic
+    # lowest-file_id members kept — by construction no group can exceed it.
+    cap = max(2, cfg.chain_bucket_size)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from twinspect_spark.functions import hashing as H
 
         pdf = pdf.sort_values("file_id").reset_index(drop=True)
+        if len(pdf) > cap:
+            pdf = pdf.iloc[:cap].reset_index(drop=True)
         n = len(pdf)
         if n < 2:
             return pd.DataFrame(

@@ -1508,7 +1508,7 @@ ORACLE_SQL: dict[str, str] = {
     "speed_stats": """
         WITH s AS (SELECT strlen(text) AS size, n_chars + 1 AS micros
                    FROM documents),
-        m AS (SELECT (size / 1048576.0) / (micros / 1e6) AS mbps
+        m AS (SELECT (size / 1e6) / (micros / 1e6) AS mbps
               FROM s WHERE micros > 0)
         SELECT count(*) AS n_files,
                cast(round(min(mbps), 3) AS double) AS min_mbps,
