@@ -137,6 +137,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "speed_stats",
         "ann_cosine_topk",
         "ann_ivf_topk",
+        "ann_ivf_kmeans_topk",
         "embedding_norms",
         # NOT eff_sweep_exact / distance_histogram / simhash_effectiveness
         # / ngram_jaccard_pairs / embedding_cosine_dup: brute-force

@@ -80,6 +80,29 @@ def test_centroids_deterministic_under_partitioning(spark, emb_random):
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
 
 
+def test_centroid_cache_skips_training(spark, emb_random, tmp_path):
+    """Persistence contract (reference hamming.py:278-305 index cache):
+    second run loads the committed centroid parquet WITHOUT touching the
+    embeddings relation (we pass one that would fail any training job)
+    and returns bit-identical centroids → identical cell assignments."""
+    from twinspect_spark.operators.ann import cached_ivf_centroids
+
+    root = str(tmp_path / "ivf")
+    c1 = cached_ivf_centroids(
+        spark, emb_random, root, "tok", k=8, sample_size=512, seed=7
+    )
+    poisoned = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    c2 = cached_ivf_centroids(
+        spark, poisoned, root, "tok", k=8, sample_size=512, seed=7
+    )
+    assert np.array_equal(c1, c2)  # exact float64 parquet round-trip
+    # different params → different key → must train (and fail on poison)
+    with pytest.raises(Exception):
+        cached_ivf_centroids(
+            spark, poisoned, root, "tok", k=4, sample_size=512, seed=7
+        )
+
+
 def test_ivf_recall_on_clustered_embeddings(spark, emb_clustered):
     """The headline gate: recall@10 >= 0.95 probing 2 of 16 cells."""
     recall = _recall(spark, emb_clustered, k_cells=16, nprobe=2)

@@ -18,11 +18,12 @@ def test_registry_consistent():
     osql = entrymod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 20
-    # all but the explicitly hash/model-dependent ones carry an oracle
+    # all but the explicitly hash-dependent ones carry an oracle
+    # (ann_ivf_kmeans_topk joined the hard gate in round 3: persisted
+    # centroids let the oracle replay assignment + search in SQL)
     assert set(qs) - set(osql) == {
         "simhash_threshold_sweep",
         "simhash_effectiveness",
-        "ann_ivf_kmeans_topk",
     }
 
 

@@ -21,6 +21,7 @@ verified here by EXACT n-gram Jaccard on their candidate pairs, so
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -958,20 +959,79 @@ def q_lcs_borderline_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 production quantizer: sampled spherical k-means IVF + nprobe
-    search (operators/ann.py). The quantizer is numpy k-means on a
-    driver sample — not SQL-expressible, so the driver records rows-only
-    here; recall >= 0.95 vs brute force is gated by tests/test_ann.py,
-    and the bucketed-join machinery is hard-oracled via ann_ivf_topk."""
-    from twinspect_spark.operators.ann import ivf_topk, train_ivf_centroids
+IVF_KM_K = 8
+IVF_KM_NPROBE = 2
+IVF_CENTROIDS_PATH = "/tmp/twinspect_ivf_centroids.parquet"
+IVF_CACHE_ROOT = "/tmp/twinspect_ivf_cache"
 
-    _ship_package(spark)
+
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 production quantizer under the HARD oracle: sampled spherical
+    k-means training (numpy, operators/ann.py — cached via the manifest
+    idiom, reference hamming.py:278-305) persists its centroids to a
+    parquet table; assignment (argmax over k rounded dot products, lower
+    cid tie-break), nprobe=2 probing and top-k search are then pure
+    column expressions the DuckDB oracle replays against the SAME
+    persisted centroid table — only training stays outside the gate."""
+    from twinspect_spark.operators.ann import cached_ivf_centroids, save_centroids
+    from pyspark.sql import Window as W
+
     emb = _t(spark, sf_dir, "embeddings")
-    cent = train_ivf_centroids(emb, k=8, sample_size=1024, seed=42)
-    queries = emb.where("vec_id < 10")
-    return ivf_topk(emb, queries, cent, k=IVF_TOPK, nprobe=2).orderBy(
-        "q_id", F.desc("cosine"), "neighbor_id"
+    tok = os.path.basename(sf_dir.rstrip("/")) or "default"
+    cent = cached_ivf_centroids(
+        spark, emb, IVF_CACHE_ROOT, tok, k=IVF_KM_K, sample_size=1024, seed=42
+    )
+    # fixed-path copy for the oracle (overwritten per run; the cache above
+    # is the keyed durable store)
+    save_centroids(spark, cent, IVF_CENTROIDS_PATH)
+    cdf = F.broadcast(spark.read.parquet(IVF_CENTROIDS_PATH))
+
+    n = _normed_embeddings(spark, sf_dir)
+    # centroids are unit-norm by construction; both sides still divide by
+    # nrm only (identical formula → identical rounding)
+    scored = n.crossJoin(cdf).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "cid",
+        F.round(
+            F.expr(_DOT.format(x="embedding", y="cemb")) / F.col("nrm"), 6
+        ).alias("c"),
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(wq))
+    asg = ranked.where("rn = 1").select("vec_id", F.col("cid").alias("cell"))
+    cells = n.join(asg, "vec_id")
+    q = (
+        ranked.where(
+            (F.col("rn") <= IVF_KM_NPROBE) & (F.col("vec_id") < 10)
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.col("cid").alias("cell"),
+        )
+    )
+    pairs = (
+        q.join(cells, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.round(
+                F.expr(_DOT.format(x="qe", y="embedding"))
+                / (F.col("qn") * F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= IVF_TOPK)
+        .select("q_id", "neighbor_id", "cell", "cosine")
     )
 
 
@@ -1424,6 +1484,53 @@ ORACLE_SQL: dict[str, str] = {
         q AS (
           SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, cell
           FROM cells WHERE vec_id < 10
+        ),
+        pairs AS (
+          SELECT q_id, c.vec_id AS neighbor_id, q.cell,
+                 round(list_sum(list_transform(list_zip(qe, c.embedding),
+                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                       / (qn * c.nrm), 6) AS cosine
+          FROM q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.q_id
+        )
+        SELECT q_id, neighbor_id, cell, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs
+        ) WHERE rn <= {IVF_TOPK}
+    """,
+    "ann_ivf_kmeans_topk": f"""
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> cast(x AS double) * cast(x AS double)))) AS nrm
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT cid, cemb FROM read_parquet('{IVF_CENTROIDS_PATH}/*.parquet')
+        ),
+        scored AS (
+          SELECT n.vec_id, cid,
+                 round(list_sum(list_transform(list_zip(n.embedding, cemb),
+                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                       / n.nrm, 6) AS c
+          FROM n CROSS JOIN cent
+        ),
+        ranked AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY c DESC, cid) AS rn
+          FROM scored
+        ),
+        asg AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+        cells AS (
+          SELECT n.vec_id, n.embedding, n.nrm, asg.cell
+          FROM n JOIN asg ON n.vec_id = asg.vec_id
+        ),
+        q AS (
+          SELECT r.vec_id AS q_id, n.embedding AS qe, n.nrm AS qn,
+                 r.cid AS cell
+          FROM ranked r JOIN n ON n.vec_id = r.vec_id
+          WHERE r.rn <= {IVF_KM_NPROBE} AND r.vec_id < 10
         ),
         pairs AS (
           SELECT q_id, c.vec_id AS neighbor_id, q.cell,
