@@ -17,8 +17,19 @@ man's Iceberg bucketing — the Iceberg migration only swaps the writer):
                                       keyspace), p = pmod(xxhash64(space,
                                       bucket_idx, bucket_key), BUCKET_PARTS)
   edges/batch_id=<id>/                verified pair edges
-  clusters/                           current assignment (full overwrite)
-  _batch_<id>.done                    commit markers
+  clusters/batch_id=<id>/id_pt=<p>/   APPEND-ONLY arrival assignments:
+                                      one immutable (file_id, cluster_id)
+                                      row per file, written once when the
+                                      file arrives
+  remap/batch_id=<id>/                composed label remap
+                                      (old_label → new_label), small —
+                                      ALL later reassignment flows
+                                      through it, never through row
+                                      rewrites
+  _meta.json                          commit record: format version,
+                                      high-water mark + exception list,
+                                      cluster compaction base. Atomic
+                                      rename is the commit point.
 
 Why this scales where a naive design is O(|state|) per batch:
 
@@ -35,28 +46,38 @@ Why this scales where a naive design is O(|state|) per batch:
    unified_candidates path caps both.
 4. Signature/content lookups for verification fetch only the candidate
    endpoints: pruned scan on id_pt + broadcast semi-join on file_id.
-5. Clusters fold in via contraction (operators/cc.merge_components):
-   CC runs on a graph of O(|new edges|) contracted nodes.
+5. Cluster assignments are append-only: each file's arrival row is
+   written once and never touched again. Merges write ONLY a composed
+   (old_label → new_label) remap — O(total merges) rows, reset by
+   compaction — so per-batch cluster-store write bytes track |batch|,
+   not |state|. The current assignment is
+   ``coalesce(remap[cluster_id], cluster_id)`` — one broadcast join.
+   When the remap outgrows ``compact_remap_rows`` the store folds it
+   into a resolved snapshot (clusters/batch_id=<base>/) and clears it —
+   the LSM/Iceberg compaction idiom.
+6. Commit bookkeeping is O(1) in stream length: a high-water mark W
+   ("all batches ≤ W committed") + a usually-empty exception list,
+   rewritten atomically per batch; the committed-rows predicate is a
+   constant-size PartitionFilter, not a growing IN-list.
 
 Replay safety (Structured Streaming retry semantics): every per-batch
 write goes to a batch-scoped directory with mode("overwrite"), so a
 replayed batch REPLACES its own partial output instead of appending;
-readers filter to committed batch_ids (markers), so a crashed batch's
-partial files are invisible; the marker is the commit point. A replay
-after the clusters/ overwrite but before the marker re-merges the same
-edges into an assignment that already contains them — merge_components
-is idempotent under edge replay, so the store converges.
+readers filter to committed batch_ids, so a crashed batch's partial
+files are invisible; the atomic _meta.json rename is the commit point.
 
 Contract: a file_id (xxhash64 of repo,path,commit) arrives at most once
-across the stream; re-sends of the same batch are deduplicated by batch
-marker, not by content. Micro-batches are assumed broadcast-sized
+across the stream; re-sends of the same batch are deduplicated by the
+commit record, not by content. Micro-batches are assumed broadcast-sized
 (thousands of files); bulk backfills belong to the batch pipeline.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,7 +85,7 @@ from pyspark.sql import functions as F
 from twinspect_spark.config import DedupConfig
 from twinspect_spark.ingest import FILES_SCHEMA, ingest_files
 from twinspect_spark.operators.buckets import bucket_table
-from twinspect_spark.operators.cc import merge_components
+from twinspect_spark.operators.cc import connected_components
 from twinspect_spark.operators.verify import (
     estimate_filter_candidates,
     verify_pairs,
@@ -73,6 +94,10 @@ from twinspect_spark.signatures import compute_signatures
 
 STATE_COLS = ["file_id", "sha256", "size", "content_norm", "minhash", "mh32", "simhash"]
 BUCKET_COLS = ["file_id", "simhash", "space", "bucket_idx", "bucket_key"]
+REMAP_SCHEMA = "old_label long, new_label long"
+
+STORE_FORMAT = 2
+META = "_meta.json"
 
 # Directory-partition fan-out of the two stores. At 10^12-file scale
 # these become Iceberg bucket transforms with far higher counts; here
@@ -80,7 +105,8 @@ BUCKET_COLS = ["file_id", "simhash", "space", "bucket_idx", "bucket_key"]
 ID_PARTS = 64
 BUCKET_PARTS = 64
 
-_MARKER_RE = re.compile(r"_batch_(\d+)\.done$")
+_MARKER_RE = re.compile(r"_batch_(\d+)\.done$")  # v1 layout, detect-only
+_BATCH_DIR_RE = re.compile(r"batch_id=(\d+)$")
 
 
 def _id_pt() -> F.Column:
@@ -94,10 +120,92 @@ def _bucket_pt() -> F.Column:
 
 
 class DedupStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        compact_remap_rows: int = 100_000,
+    ):
         self.spark = spark
         self.root = root
+        self.compact_remap_rows = compact_remap_rows
         os.makedirs(root, exist_ok=True)
+        self._meta = self._load_meta()
+        self._pending_base: int | None = None
+
+    # ---- commit record -------------------------------------------------
+
+    def _load_meta(self) -> dict:
+        p = self._path(META)
+        if os.path.exists(p):
+            with open(p) as f:
+                m = json.load(f)
+            if m.get("format") != STORE_FORMAT:
+                raise ValueError(
+                    f"store at {self.root} has format {m.get('format')}; "
+                    f"this build reads format {STORE_FORMAT} — rebuild the "
+                    "store (no in-place migration)"
+                )
+            return m
+        if any(_MARKER_RE.match(f) for f in os.listdir(self.root)):
+            raise ValueError(
+                f"store at {self.root} is format v1 (per-batch .done "
+                "markers, flat clusters/); this build reads format "
+                f"{STORE_FORMAT} — rebuild the store"
+            )
+        return {
+            "format": STORE_FORMAT,
+            "high_water": -1,   # all batch_ids <= this are committed
+            "exceptions": [],   # committed ids > high_water (out-of-order)
+            "cluster_base": 0,  # clusters/remap dirs < this were compacted
+        }
+
+    def _write_meta(self) -> None:
+        """Atomic rewrite — the rename IS the batch commit point."""
+        tmp = self._path(META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(self._meta, f)
+        os.replace(tmp, self._path(META))
+
+    def committed_pred(self) -> F.Column:
+        """O(1)-size committed-batch predicate regardless of stream
+        length (v1 grew an isin() literal per batch); batch_id is a
+        directory partition, so this prunes at file-listing time."""
+        pred = F.col("batch_id") <= self._meta["high_water"]
+        if self._meta["exceptions"]:
+            pred = pred | F.col("batch_id").isin(self._meta["exceptions"])
+        return pred
+
+    def committed_ids(self) -> list[int]:
+        return sorted(
+            set(range(self._meta["high_water"] + 1))
+            | set(self._meta["exceptions"])
+        )
+
+    def batch_done(self, batch_id: int) -> bool:
+        return (
+            batch_id <= self._meta["high_water"]
+            or batch_id in self._meta["exceptions"]
+        )
+
+    def mark_batch(self, batch_id: int) -> None:
+        """Fold ``batch_id`` into the high-water mark: contiguous commits
+        advance W and the exception list stays empty; out-of-order ones
+        park in it until the gap closes."""
+        m = self._meta
+        ex = set(m["exceptions"])
+        ex.add(batch_id)
+        w = m["high_water"]
+        while w + 1 in ex:
+            w += 1
+            ex.discard(w)
+        m["high_water"], m["exceptions"] = w, sorted(ex)
+        if self._pending_base is not None:
+            m["cluster_base"] = self._pending_base
+            self._pending_base = None
+        self._write_meta()
+
+    # ---- paths / reads -------------------------------------------------
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -111,19 +219,12 @@ class DedupStore:
                 return True
         return False
 
-    def committed_ids(self) -> list[int]:
-        return sorted(
-            int(m.group(1))
-            for f in os.listdir(self.root)
-            if (m := _MARKER_RE.match(f))
-        )
-
     def _read_committed(self, name: str) -> DataFrame | None:
         """Read a batch-partitioned store, visible-committed rows only."""
         if not self._has(name):
             return None
         df = self.spark.read.parquet(self._path(name))
-        return df.where(F.col("batch_id").isin(self.committed_ids()))
+        return df.where(self.committed_pred())
 
     def state(self) -> DataFrame | None:
         df = self._read_committed("state")
@@ -155,12 +256,78 @@ class DedupStore:
     def edges(self) -> DataFrame | None:
         return self._read_committed("edges")
 
-    def clusters(self) -> DataFrame | None:
-        return (
-            self.spark.read.parquet(self._path("clusters"))
-            if self._has("clusters")
-            else None
+    # ---- cluster store (append-only rows + label remap) ----------------
+
+    def _stored_clusters(self) -> DataFrame | None:
+        """Raw arrival rows (committed, >= compaction base), WITHOUT
+        remap resolution; keeps id_pt for pruned lookups."""
+        df = self._read_committed("clusters")
+        if df is None:
+            return None
+        return df.where(F.col("batch_id") >= self._meta["cluster_base"])
+
+    def remap_table(self) -> DataFrame | None:
+        """The composed (old_label → new_label) remap as of the LATEST
+        committed batch that wrote one. Bounded by compact_remap_rows —
+        always broadcast-sized by construction."""
+        p = self._path("remap")
+        if not os.path.exists(p):
+            return None
+        best = -1
+        for d in os.listdir(p):
+            m = _BATCH_DIR_RE.match(d)
+            if m and self.batch_done(int(m.group(1))):
+                best = max(best, int(m.group(1)))
+        if best < 0:
+            return None
+        return self.spark.read.parquet(
+            self._path(f"remap/batch_id={best}")
         )
+
+    @staticmethod
+    def _resolve(asg: DataFrame, rm: DataFrame | None) -> DataFrame:
+        """assignment ∘ remap: one broadcast join, the ONLY read-side
+        cost the remap design adds."""
+        if rm is None:
+            return asg.select("file_id", "cluster_id")
+        return (
+            asg.join(
+                F.broadcast(rm),
+                asg.cluster_id == rm.old_label,
+                "left",
+            )
+            .select(
+                "file_id",
+                F.coalesce("new_label", "cluster_id").alias("cluster_id"),
+            )
+        )
+
+    def clusters(self) -> DataFrame | None:
+        """Current assignment: append-only arrival rows resolved through
+        the (small, broadcast) label remap."""
+        stored = self._stored_clusters()
+        if stored is None:
+            return None
+        return self._resolve(stored, self.remap_table())
+
+    def cluster_rows_for(self, ids: DataFrame) -> DataFrame | None:
+        """Current assignments for specific file_ids — pruned id_pt scan
+        + broadcast semi-join + remap resolve: O(|ids|), never a full
+        store scan (v1 joined new edges against the whole relation)."""
+        stored = self._stored_clusters()
+        if stored is None:
+            return None
+        pts = [
+            r[0]
+            for r in ids.select(_id_pt().alias("pt")).distinct().collect()
+        ]
+        hit = (
+            stored.where(F.col("id_pt").isin(pts))
+            .join(F.broadcast(ids.select("file_id")), "file_id", "left_semi")
+        )
+        return self._resolve(hit, self.remap_table())
+
+    # ---- writes --------------------------------------------------------
 
     def write_batch(self, name: str, df: DataFrame, batch_id: int,
                     partition_col: str | None = None) -> None:
@@ -172,12 +339,42 @@ class DedupStore:
             w = w.partitionBy(partition_col)
         w.parquet(self._path(f"{name}/batch_id={batch_id}"))
 
-    def batch_done(self, batch_id: int) -> bool:
-        return os.path.exists(self._path(f"_batch_{batch_id}.done"))
+    def compact_clusters(
+        self, batch_id: int, extra: DataFrame, rm: DataFrame
+    ) -> None:
+        """Fold the remap into a resolved snapshot: rewrite all arrival
+        rows with their CURRENT labels (resolved through ``rm``, this
+        batch's composed remap) into this batch's clusters dir, write an
+        empty remap, and (at commit) advance cluster_base so older dirs
+        become invisible. Amortized O(|state| / period); replay-safe
+        because the base only moves at mark_batch. GC of the superseded
+        dirs happens after commit."""
+        stored = self._stored_clusters()
+        full = self._resolve(stored, rm) if stored is not None else None
+        full = extra if full is None else full.unionByName(extra)
+        self.write_batch(
+            "clusters", full.withColumn("id_pt", _id_pt()), batch_id, "id_pt"
+        )
+        self.write_batch(
+            "remap",
+            self.spark.createDataFrame([], REMAP_SCHEMA).repartition(1),
+            batch_id,
+        )
+        self._pending_base = batch_id
 
-    def mark_batch(self, batch_id: int) -> None:
-        with open(self._path(f"_batch_{batch_id}.done"), "w") as f:
-            f.write("done")
+    def gc_compacted(self) -> None:
+        """Remove clusters/remap batch dirs superseded by the compaction
+        base. Safe anytime after commit: readers never touch dirs below
+        cluster_base, and committed batches are never replayed."""
+        base = self._meta["cluster_base"]
+        for name in ("clusters", "remap"):
+            p = self._path(name)
+            if not os.path.exists(p):
+                continue
+            for d in os.listdir(p):
+                m = _BATCH_DIR_RE.match(d)
+                if m and int(m.group(1)) < base:
+                    shutil.rmtree(os.path.join(p, d), ignore_errors=True)
 
 
 def _incremental_candidates(
@@ -235,6 +432,86 @@ def _incremental_candidates(
     return pairs.groupBy("a", "b").agg(F.min("src").alias("src"))
 
 
+def _cluster_fold(
+    spark: SparkSession,
+    store: DedupStore,
+    edges_new: DataFrame,
+    new_vertices: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Merge this batch's verified edges into the cluster store WITHOUT
+    touching existing rows: returns (arrival_rows, composed_remap).
+
+    Contraction (operators/cc.merge_components idiom): endpoints of the
+    new edges are mapped through their CURRENT assignment — fetched via
+    the pruned id_pt lookup, O(|endpoints|) — contracting every existing
+    component to its min-id representative; CC on that contracted graph
+    is O(new edges). The resulting (old_label → new_label) delta is
+    composed onto the store's remap; new files' arrival rows are written
+    already-resolved, so only once-minimal labels ever enter the remap.
+    ``cluster_id = min(file_id)`` survives: contracted node ids ARE
+    component minima, so the contracted CC's min is the global min."""
+    ep = (
+        edges_new.select(F.col("a").alias("file_id"))
+        .unionByName(edges_new.select(F.col("b").alias("file_id")))
+        .distinct()
+    )
+    old_asg = store.cluster_rows_for(ep)
+    if old_asg is None:
+        old_asg = spark.createDataFrame([], "file_id long, cluster_id long")
+    ca = old_asg.select(F.col("file_id").alias("a"), F.col("cluster_id").alias("la"))
+    cb = old_asg.select(F.col("file_id").alias("b"), F.col("cluster_id").alias("lb"))
+    contracted = (
+        edges_new.join(F.broadcast(ca), "a", "left")
+        .join(F.broadcast(cb), "b", "left")
+        .select(
+            F.coalesce("la", F.col("a")).alias("a"),
+            F.coalesce("lb", F.col("b")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+    )
+    delta = (
+        connected_components(contracted)
+        .where(F.col("file_id") != F.col("cluster_id"))
+        .select(
+            F.col("file_id").alias("old_label"),
+            F.col("cluster_id").alias("new_label"),
+        )
+        .localCheckpoint()
+    )
+    arrivals = (
+        new_vertices.select("file_id")
+        .join(
+            F.broadcast(delta),
+            new_vertices.file_id == delta.old_label,
+            "left",
+        )
+        .select(
+            "file_id",
+            F.coalesce("new_label", "file_id").alias("cluster_id"),
+        )
+    )
+    rm = store.remap_table()
+    if rm is None:
+        composed = delta
+    else:
+        mid = delta.select(
+            F.col("old_label").alias("mid"), F.col("new_label").alias("nl2")
+        )
+        rechained = (
+            rm.join(F.broadcast(mid), rm.new_label == F.col("mid"), "left")
+            .select(
+                "old_label",
+                F.coalesce("nl2", "new_label").alias("new_label"),
+            )
+        )
+        composed = (
+            rechained.unionByName(delta)
+            .groupBy("old_label")
+            .agg(F.min("new_label").alias("new_label"))
+        )
+    return arrivals, composed.localCheckpoint()
+
+
 def process_batch(
     spark: SparkSession,
     batch_files: DataFrame,
@@ -243,8 +520,8 @@ def process_batch(
     batch_id: int = 0,
 ) -> None:
     """One micro-batch: signatures → incremental candidates → verify →
-    cluster merge → batch-scoped state commit. Idempotent per batch_id
-    (marker short-circuit; all writes overwrite their own batch dir)."""
+    cluster fold → commit. Idempotent per batch_id (commit-record
+    short-circuit; all writes overwrite their own batch dir)."""
     if store.batch_done(batch_id):
         return
     ingested_new = ingest_files(batch_files, cfg).localCheckpoint()
@@ -284,16 +561,10 @@ def process_batch(
         .localCheckpoint()
     )
 
-    old_clusters = store.clusters()
-    base = (
-        old_clusters
-        if old_clusters is not None
-        else spark.createDataFrame([], "file_id long, cluster_id long")
+    arrivals, composed = _cluster_fold(
+        spark, store, edges_new.select("a", "b"),
+        new_state.select("file_id"),
     )
-    merged = merge_components(
-        base, edges_new.select("a", "b"),
-        new_vertices=new_state.select("file_id"),
-    ).localCheckpoint()  # materialize BEFORE overwriting the path it read
 
     store.write_batch(
         "state", new_state.withColumn("id_pt", _id_pt()), batch_id, "id_pt"
@@ -305,8 +576,22 @@ def process_batch(
         "bucket_pt",
     )
     store.write_batch("edges", edges_new, batch_id)
-    merged.write.mode("overwrite").parquet(store._path("clusters"))
+    if composed.count() > store.compact_remap_rows:
+        # arrivals are already resolved as of this batch, so they join
+        # the snapshot verbatim; the fold's composed remap is exactly
+        # what the snapshot absorbs
+        store.compact_clusters(batch_id, arrivals.localCheckpoint(), composed)
+    else:
+        store.write_batch(
+            "clusters",
+            arrivals.withColumn("id_pt", _id_pt()),
+            batch_id,
+            "id_pt",
+        )
+        # remap is broadcast-small by construction — one part file
+        store.write_batch("remap", composed.repartition(1), batch_id)
     store.mark_batch(batch_id)
+    store.gc_compacted()
 
 
 def incremental_dedup_stream(
