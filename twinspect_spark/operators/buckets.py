@@ -82,6 +82,34 @@ def bucket_table(
     return b.select(*names, "e.space", "e.bucket_idx", "e.bucket_key")
 
 
+def capped_bucket_table(
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    materialize: bool = True,
+    prefix_gate: bool = True,
+) -> DataFrame:
+    """Substage 1 of unified_candidates: bucket rows with per-bucket
+    counts from ONE count-window pass on the self-join's own exchange,
+    singleton and hot (> max_band_bucket) buckets dropped, result
+    optionally materialized (localCheckpoint) so both join sides and the
+    chain window read a materialized relation. Exposed separately so the
+    scaling-evidence bench (bench.py --candbench) can meter this
+    exchange apart from the pair join."""
+    from pyspark.sql import Window as W
+
+    b = bucket_table(signatures, cfg, with_prefix=prefix_gate)
+    keys = ["space", "bucket_idx", "bucket_key"]
+    kept = (
+        b.withColumn("count", F.count("*").over(W.partitionBy(*keys)))
+        .where(
+            (F.col("count") > 1) & (F.col("count") <= cfg.max_band_bucket)
+        )
+    )
+    if materialize:
+        kept = kept.localCheckpoint()
+    return kept
+
+
 def unified_candidates(
     signatures: DataFrame,
     cfg: DedupConfig,
@@ -110,19 +138,24 @@ def unified_candidates(
     packed in-join MinHash prefix gate at (jaccard_threshold - 2*margin)
     — same predicate estimate_filter_candidates would apply, hoisted
     into the join stage."""
+    kept = capped_bucket_table(signatures, cfg, materialize, prefix_gate)
+    return bucket_pairs(kept, cfg, prefix_gate, margin)
+
+
+def bucket_pairs(
+    kept: DataFrame,
+    cfg: DedupConfig,
+    prefix_gate: bool = True,
+    margin: float = 0.15,
+) -> DataFrame:
+    """Substage 2 of unified_candidates: self-join small buckets
+    (all-pairs) + spanning-chain big buckets, in-join Hamming and packed
+    prefix gates, then the SO3 pair dedupe. See unified_candidates for
+    semantics."""
     from pyspark.sql import Window as W
 
-    b = bucket_table(signatures, cfg, with_prefix=prefix_gate)
     keys = ["space", "bucket_idx", "bucket_key"]
-    payload = [c for c in b.columns if c not in keys]
-    kept = (
-        b.withColumn("count", F.count("*").over(W.partitionBy(*keys)))
-        .where(
-            (F.col("count") > 1) & (F.col("count") <= cfg.max_band_bucket)
-        )
-    )
-    if materialize:
-        kept = kept.localCheckpoint()
+    payload = [c for c in kept.columns if c not in (*keys, "count")]
 
     hamming_ok = (F.col("space") == 0) | (
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
@@ -147,9 +180,18 @@ def unified_candidates(
             ]
         return df.select(*keys, *cols)
 
+    # SHUFFLE_HASH, not sort-merge: the bucket self-join is the
+    # byte-heaviest exchange in the pipeline, and SMJ pays two full
+    # sorts of the bucket table for a join whose per-key groups are
+    # cap-bounded (<= max_band_bucket) — a per-partition hash build is
+    # strictly cheaper and measured 2.3x faster with 2.3x less CPU at
+    # 1M files (the sorts were also the main memory-contention source
+    # at higher core counts). Cluster-valid: hash map size per task =
+    # partition slice of the capped table, bounded by shuffle
+    # partitioning, never the whole relation.
     small = kept.where(F.col("count") <= cfg.chain_bucket_size)
     all_pairs = (
-        side(small, "a").join(side(small, "b"), keys)
+        side(small, "a").join(side(small, "b").hint("shuffle_hash"), keys)
         .where(F.col("a") < F.col("b"))
         .where(hamming_ok)
         .where(gate_ok)
@@ -175,7 +217,7 @@ def unified_candidates(
         ]
     chained = (
         ranked.select(*this_cols)
-        .join(nxt, [*keys, "rk"])
+        .join(nxt.hint("shuffle_hash"), [*keys, "rk"])
         .select(
             F.least("file_id", "nxt_id").alias("a"),
             F.greatest("file_id", "nxt_id").alias("b"),

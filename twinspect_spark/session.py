@@ -38,6 +38,20 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
+    # Executor-faithful JVM sizing. A cluster executor runs N cores with
+    # a few GB/core and GC threads matched to its slice of the machine;
+    # local mode's old one-size 90g heap measurably poisoned throughput
+    # (G1 card/remset span + first-touch page faults over a mostly-empty
+    # 90 GB address range): the 1M-file bucket self-join at local[8]
+    # spent 296 CPU-sec under the 90g heap vs 131 under a 24g heap with
+    # GC threads pinned to the core count — a 2.3x tax that grew WITH
+    # parallelism and corrupted scaling measurements (BASELINE.md r3).
+    mem = os.environ.get("SPARK_DRIVER_MEM") or f"{min(max(8, 3 * cores), 64)}g"
+    gc_threads = max(2, min(cores, 16))
+    gc_opts = (
+        f"-XX:ParallelGCThreads={gc_threads} "
+        f"-XX:ConcGCThreads={max(1, gc_threads // 4)}"
+    )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -48,7 +62,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
+        .config("spark.driver.memory", mem)
+        .config("spark.driver.extraJavaOptions", gc_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Static broadcasts (tiny dims) stay enabled above; the ADAPTIVE
