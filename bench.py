@@ -238,6 +238,153 @@ _SCALED_SIGS = os.environ.get(
 )
 
 
+def _skew_corpus(spark, sf_dir: str, n_groups: int, group_size: int,
+                 bg_replicas: int):
+    """Planted boilerplate-heavy corpus for the skew bench (SURVEY §4
+    item 1 evidence): ``n_groups`` template cliques of ``group_size``
+    near-identical members — one long shared boilerplate block plus a
+    short unique tail, so they are NEAR-dups (survive exact collapse)
+    whose LSH bands and SimHash chunks all collide — on top of a diverse
+    background (the documents table, alphabet-rotated per replica).
+    Deterministic, derived only from the driver's synthetic table."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bg_parts = []
+    for k in range(bg_replicas):
+        rot = _ALPHA[k % 26:] + _ALPHA[: k % 26]
+        bg_parts.append(
+            docs.select(
+                F.concat(F.lit(f"bg{k}/"), "source").alias("repo"),
+                F.concat(F.lit("doc/"), "doc_id").alias("path"),
+                F.lit("0" * 40).alias("commit"),
+                F.col("lang"),
+                F.concat(
+                    F.lit(f"b{k:02d} "), F.translate("text", _ALPHA, rot)
+                ).alias("content"),
+            )
+        )
+    # boilerplate: a deterministic ~2 kB license-header-like block
+    boiler = " ".join(
+        f"permission notice clause {i} shall be included in all copies "
+        "or substantial portions of the software provided as is without "
+        "warranty of any kind express or implied"
+        for i in range(12)
+    )
+    members = spark.range(n_groups * group_size).select(
+        (F.col("id") % n_groups).alias("g"), F.col("id").alias("i")
+    )
+    cliques = members.select(
+        F.concat(F.lit("clique"), "g").alias("repo"),
+        F.concat(F.lit("lic/"), "i").alias("path"),
+        F.lit("1" * 40).alias("commit"),
+        F.lit("en").alias("lang"),
+        F.concat(
+            F.lit(boiler),
+            F.lit(" variant marker "),
+            F.col("i").cast("string"),
+            F.lit(" group "),
+            F.col("g").cast("string"),
+        ).alias("content"),
+    )
+    return reduce(lambda a, b: a.unionByName(b), bg_parts + [cliques])
+
+
+def _new_stage_task_skew(spark, before_ids: set) -> dict:
+    """Max/median task duration of the heaviest stage completed since
+    ``before_ids`` (REST taskSummary) — the straggler evidence."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages?status=complete"
+    ) as r:
+        stages = json.loads(r.read())
+    new = [s for s in stages if s["stageId"] not in before_ids]
+    if not new:
+        return {}
+    heavy = max(new, key=lambda s: s.get("executorRunTime") or 0)
+    url = (
+        f"{base}/api/v1/applications/{app}/stages/{heavy['stageId']}/"
+        f"{heavy['attemptId']}/taskSummary?quantiles=0.0,0.5,1.0"
+    )
+    with urllib.request.urlopen(url) as r:
+        ts = json.loads(r.read())
+    lo, med, hi = ts["duration"]
+    return {
+        "stage_id": heavy["stageId"],
+        "num_tasks": heavy["numCompleteTasks"],
+        "task_sec_median": round(med / 1e3, 2),
+        "task_sec_max": round(hi / 1e3, 2),
+        "max_over_median": round(hi / max(med, 1.0), 1),
+        "stage_run_sec": round((heavy.get("executorRunTime") or 0) / 1e3, 1),
+    }
+
+
+def _stage_ids(spark) -> set:
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages"
+    ) as r:
+        return {s["stageId"] for s in json.loads(r.read())}
+
+
+def run_skewbench(sf_dir: str) -> dict:
+    """Skew evidence (VERDICT r2 item 8): the same planted
+    boilerplate-heavy corpus through candidate generation WITH the
+    spanning-chain guard (chain_bucket_size=64, the default) and WITHOUT
+    it (chain_bucket_size > any bucket → hot buckets do all-pairs).
+    Reports wall seconds, emitted pairs, and max/median task duration of
+    the heaviest stage per variant. The cliques (size 800) sit inside
+    the (chain_bucket_size, max_band_bucket] window, so the cap does not
+    mask the comparison."""
+    from twinspect_spark.config import DedupConfig
+    from twinspect_spark.ingest import ingest_files
+    from twinspect_spark.operators.buckets import unified_candidates
+    from twinspect_spark.operators.exact import collapse_exact_dups
+    from twinspect_spark.signatures import compute_signatures
+
+    from twinspect_spark.session import get_spark
+
+    cores = int(os.environ.get("SPARK_GRAFT_SKEW_CPUS", "8"))
+    spark = get_spark(
+        "skewbench", cores=cores, shuffle_partitions=64,
+        extra_conf={"spark.ui.enabled": "true",
+                    "spark.ui.retainedStages": "5000"},
+    )
+    n_groups = int(os.environ.get("SPARK_GRAFT_SKEW_GROUPS", "4"))
+    group_size = int(os.environ.get("SPARK_GRAFT_SKEW_GROUP_SIZE", "800"))
+    bg = int(os.environ.get("SPARK_GRAFT_SKEW_BG_REPLICAS", "6"))
+    files = _skew_corpus(spark, sf_dir, n_groups, group_size, bg)
+    base_cfg = dict(jaccard_threshold=0.7, shingle_size=9)
+    cfg = DedupConfig(**base_cfg)
+    reps, _ = collapse_exact_dups(ingest_files(files, cfg))
+    sig = compute_signatures(reps, cfg).localCheckpoint()
+    n_files = sig.count()
+    out: dict = {"metric": "skewbench", "n_files": n_files,
+                 "n_cliques": n_groups, "clique_size": group_size,
+                 "variants": {}}
+    for name, chain in (("chain", 64), ("nochain", 1 << 30)):
+        vcfg = DedupConfig(**base_cfg, chain_bucket_size=chain)
+        before = _stage_ids(spark)
+        t0 = time.perf_counter()
+        n_pairs = unified_candidates(sig, vcfg).count()
+        wall = time.perf_counter() - t0
+        out["variants"][name] = {
+            "wall_sec": round(wall, 2),
+            "n_pairs": n_pairs,
+            **_new_stage_task_skew(spark, before),
+        }
+    spark.stop()
+    return out
+
+
 def _rest_metrics(spark) -> dict[str, float]:
     """Aggregate task metrics over all completed stages via the UI REST
     API (local-mode AppStatusStore): executor run/CPU time, GC, shuffle
@@ -362,6 +509,10 @@ def main() -> None:
 
     if "--membench" in sys.argv:
         print(json.dumps({"metric": "membench", **run_membench()}))
+        return
+
+    if "--skewbench" in sys.argv:
+        print(json.dumps(run_skewbench(sf_dir)))
         return
 
     if "--candbench-prep" in sys.argv:

@@ -71,6 +71,7 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iter: int = 30,
+    max_driver_edges: int | None = None,
 ) -> DataFrame:
     """edges(a, b) [+ vertices(file_id)] → clusters(file_id, cluster_id).
 
@@ -83,7 +84,8 @@ def connected_components(
     immediately — the iterative loop costs ~8 driver-blocking jobs that
     dominate wall time on small graphs. Above the threshold, hash-min
     label propagation over DataFrame joins (unbounded scale, lineage cut
-    per round).
+    per round). ``max_driver_edges`` overrides the threshold (0 forces
+    the distributed loop — used by the oracle gate to exercise it).
     """
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
@@ -93,7 +95,10 @@ def connected_components(
     # joins, verification UDFs) re-executes per iteration
     sym = sym.localCheckpoint()
     n_edges = sym.count() // 2
-    if n_edges <= DRIVER_CC_MAX_EDGES:
+    threshold = (
+        DRIVER_CC_MAX_EDGES if max_driver_edges is None else max_driver_edges
+    )
+    if n_edges <= threshold:
         # Arrow toPandas, not collect(): per-Row materialization costs
         # ~30s/M rows; the Arrow path moves the same edges in ~1s
         pdf = sym.where(F.col("src") < F.col("dst")).toPandas()

@@ -231,6 +231,21 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
+def q_dup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical contract to q_dup_clusters, but forced through the
+    distributed hash-min label-propagation loop (``max_driver_edges=0``
+    disables the driver union-find fast path) so the oracle gate verifies
+    the iterative path that runs at 10^12-edge scale — where the
+    reference's in-memory DFS (twinspect/datasets/ultils.py:60-91) and
+    our own driver-sized solver are both unavailable."""
+    edges = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id")
+    )
+    cc = connected_components(edges, vertices=docs, max_driver_edges=0)
+    return cc.select(F.col("file_id").alias("doc_id"), "cluster_id")
+
+
 def q_engine_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE PRODUCTION PIPELINE, oracle-checked end-to-end: documents →
     run_dedup (exact collapse → OPH signatures → unified LSH/SimHash
@@ -1107,6 +1122,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_dedup": q_simhash_dedup,
     "dup_clusters": q_dup_clusters,
+    "dup_clusters_distributed": q_dup_clusters_distributed,
     "engine_dup_clusters": q_engine_dup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1225,6 +1241,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_dedup": _PAIRS_SQL,
     "simhash_dedup": _PAIRS_SQL,
     "dup_clusters": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
+    "dup_clusters_distributed": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
     "engine_dup_clusters": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
     "dedup_keep_canonical": (
         f"WITH RECURSIVE {_EDGES_CTE} "
