@@ -1,0 +1,87 @@
+"""SVG plot rendering (reference render/plot.py analog)."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from twinspect_spark.plot import (
+    grouped_bar_chart,
+    humanize,
+    line_chart,
+    plot_distance_distribution,
+    plot_effectiveness,
+)
+
+
+def _parse(svg: str) -> ET.Element:
+    return ET.fromstring(svg)  # raises on malformed XML
+
+
+def test_humanize():
+    assert humanize(950) == "950.0"
+    assert humanize(1234567) == "1.2M"
+    assert humanize(-2_500_000_000) == "-2.5B"
+
+
+def test_line_chart_wellformed_and_labeled():
+    rows = [
+        {"threshold": t, "p": 1.0 - t / 40, "r": t / 32}
+        for t in range(0, 17, 4)
+    ]
+    svg = line_chart(rows, "threshold", ["p", "r"], "sweep", y_label="score")
+    root = _parse(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    polys = root.findall(f"{ns}polyline")
+    assert len(polys) == 2
+    texts = [t.text for t in root.iter(f"{ns}text")]
+    # legend + direct end-label per series → each name appears twice
+    assert texts.count("p") == 2 and texts.count("r") == 2
+    assert "sweep" in texts
+
+
+def test_line_chart_series_cap():
+    rows = [{"x": 0, "a": 1, "b": 1, "c": 1, "d": 1}]
+    try:
+        line_chart(rows, "x", ["a", "b", "c", "d"], "too many")
+    except ValueError as e:
+        assert "at most" in str(e)
+    else:
+        raise AssertionError("expected ValueError for >3 series")
+
+
+def test_grouped_bar_chart_marks_and_tooltips():
+    rows = [
+        {"d": d, "kind": k, "n": 10 * (d + 1) * (1 if k == "intra" else 3)}
+        for d in range(4)
+        for k in ("intra", "inter")
+    ]
+    svg = grouped_bar_chart(rows, "d", "kind", "n", "dist")
+    root = _parse(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    bars = [
+        r for r in root.iter(f"{ns}rect")
+        if r.find(f"{ns}title") is not None
+    ]
+    assert len(bars) == 8  # one mark per (x, group), each with a tooltip
+
+
+def test_plot_effectiveness_from_metrics(spark):
+    from twinspect_spark.metrics import distance_distribution, effectiveness
+
+    gt = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    found = spark.createDataFrame(
+        [(1, 2, 1), (3, 5, 2)], "a long, b long, distance int"
+    )
+    eff = effectiveness(gt, found, [0, 1, 2, 3])
+    svg = plot_effectiveness(eff)
+    _parse(svg)
+    assert "avg_precision" in svg and "f1" in svg
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)],
+        "file_id long, cluster_id long",
+    )
+    dist = distance_distribution(found, clusters)
+    svg2 = plot_distance_distribution(dist)
+    _parse(svg2)
+    assert "intra" in svg2 or "inter" in svg2
