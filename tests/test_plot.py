@@ -65,6 +65,25 @@ def test_grouped_bar_chart_marks_and_tooltips():
     assert len(bars) == 8  # one mark per (x, group), each with a tooltip
 
 
+def test_write_run_artifacts(spark, tmp_path):
+    from twinspect_spark import DedupConfig
+    from twinspect_spark.corpus import generate_corpus
+    from twinspect_spark.pipeline import run_dedup
+    from twinspect_spark.report import write_run_artifacts
+
+    corpus = generate_corpus(
+        n_clusters=8, transforms_per_original=2, n_distractors=20, seed=7
+    )
+    cfg = DedupConfig(jaccard_threshold=0.7)
+    res = run_dedup(spark.createDataFrame(corpus.files), cfg)
+    paths = write_run_artifacts(res, str(tmp_path), cfg)
+    assert len(paths) == 3
+    md = open(paths[0]).read()
+    assert "Cluster-size histogram" in md and "config fingerprint" in md
+    for svg_path in paths[1:]:
+        _parse(open(svg_path).read())
+
+
 def test_plot_effectiveness_from_metrics(spark):
     from twinspect_spark.metrics import distance_distribution, effectiveness
 

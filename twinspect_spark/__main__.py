@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--format", choices=["parquet", "directory"], default="parquet")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--report", default=None, metavar="DIR",
+        help="also write report.md + SVG plots into DIR",
+    )
     args = ap.parse_args(argv)
 
     from twinspect_spark.config import DedupConfig
@@ -60,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
         res, status = run_dedup(files, cfg), None
 
     res.clusters.write.mode("overwrite").parquet(args.output)
+    if args.report:
+        from twinspect_spark.report import write_run_artifacts
+
+        write_run_artifacts(res, args.report, cfg)
     out = spark.read.parquet(args.output)
     summary = {
         "n_files": out.count(),

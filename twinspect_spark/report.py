@@ -63,3 +63,70 @@ def render_run_report(
 def write_report(path: str, content: str) -> None:
     with open(path, "w") as f:
         f.write(content)
+
+
+def write_run_artifacts(res, out_dir: str, cfg) -> list[str]:
+    """Render the full run-report family for a finished DedupResult:
+    ``report.md`` (metric tables + stage timings) plus the two reference
+    plot analogs as SVG (distance distribution; cluster-size histogram
+    as a single-series bar chart). Returns the written paths. The
+    effectiveness sweep needs ground-truth labels production runs don't
+    have, so it is rendered by the benchmark harness instead."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twinspect_spark.metrics import dataset_info, distance_distribution
+    from twinspect_spark.plot import (
+        grouped_bar_chart,
+        plot_distance_distribution,
+        write_svg,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    verified = res.pairs.where("verified").select(
+        "a", "b",
+        F.round((1 - F.col("jaccard")) * 64).cast("int").alias("distance"),
+    )
+    clusters = res.clusters.select("file_id", "cluster_id")
+    dist = distance_distribution(verified, clusters).localCheckpoint()
+    info = dataset_info(clusters)
+    size_hist = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+    md = render_run_report(
+        "Dedup run report",
+        {
+            "Dataset info": info,
+            "Cluster-size histogram": size_hist,
+            "Distance distribution": dist.orderBy("kind", "distance"),
+        },
+        stage_seconds=res.stage_seconds,
+        config_fingerprint=cfg.fingerprint(),
+    )
+    paths = []
+    p = os.path.join(out_dir, "report.md")
+    write_report(p, md)
+    paths.append(p)
+    p = os.path.join(out_dir, "distance_distribution.svg")
+    write_svg(p, plot_distance_distribution(dist))
+    paths.append(p)
+    rows = [
+        {"cluster_size": r["cluster_size"], "kind": "clusters",
+         "n": r["n_clusters"]}
+        for r in size_hist.limit(500).collect()
+    ]
+    p = os.path.join(out_dir, "cluster_sizes.svg")
+    write_svg(
+        p,
+        grouped_bar_chart(
+            rows, "cluster_size", "kind", "n", "Cluster sizes",
+            y_label="clusters",
+        ),
+    )
+    paths.append(p)
+    return paths
