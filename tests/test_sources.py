@@ -73,3 +73,40 @@ def test_spark_submit_entrypoint(tmp_path):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["n_files"] == len(corpus.files)
     assert summary["n_dup_members"] > 0
+
+
+def test_augment_simprints(spark):
+    from twinspect_spark.sources.simprint import augment_simprints
+
+    rows = [
+        (1, "0000001/img_crop.jpg"),
+        (2, "0000001/img2_blur.jpg"),
+        (3, "toplevel.jpg"),
+        (4, "0000002/noext_jpg"),
+        (5, "0000002/plain.jpg"),
+    ]
+    df = spark.createDataFrame(rows, "id long, file string")
+    got = {
+        r["id"]: (r["cluster"], r["transform"], r["is_original"])
+        for r in augment_simprints(df).collect()
+    }
+    # reference semantics (eff.py:150-190): cluster = first segment,
+    # transform = last _-segment sans extension, original = first id
+    assert got[1] == ("0000001", "crop", True)
+    assert got[2] == ("0000001", "blur", False)
+    assert got[3] == (None, None, False)
+    assert got[4] == ("0000002", "jpg", True)
+    assert got[5] == ("0000002", None, False)
+
+
+def test_min_content_length_filter(spark):
+    from twinspect_spark.config import DedupConfig
+    from twinspect_spark.ingest import ingest_files
+
+    rows = [("r", "a", "c", "py", "x" * 10), ("r", "b", "c", "py", "x" * 200)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    assert ingest_files(df, DedupConfig()).count() == 2
+    kept = ingest_files(df, DedupConfig(min_content_length=100))
+    assert [r["path"] for r in kept.collect()] == ["b"]

@@ -44,6 +44,11 @@ class DedupConfig:
     simhash_chunks: int = 4        # pigeonhole chunks; detects hamming <= chunks-1
     hamming_threshold: int = 3     # keep pairs with bit_count(xor) <= this
 
+    # --- ingest filtering ---
+    min_content_length: int = 0    # drop files shorter than this at ingest
+                                   # (F1; reference newsedits.py:144-208,
+                                   # dataset-level min_content_length)
+
     # --- verification ---
     jaccard_threshold: float = 0.8   # exact n-gram Jaccard acceptance
     lcs_threshold: float = 0.6       # normalized longest-common-substring floor

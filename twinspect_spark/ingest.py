@@ -72,12 +72,17 @@ def ingest_files(files: DataFrame, cfg: DedupConfig) -> DataFrame:
     sorted directory traversal for stable ids, processing.py:67-72 — an
     ordering dependency Spark must not have).
     """
-    return (
+    out = (
         files.withColumn("file_id", F.xxhash64("repo", "path", "commit"))
         .withColumn("sha256", F.sha2("content", 256))
         .withColumn("size", F.octet_length("content").cast("long"))
         .withColumn("content_norm", normalize_expr(F.col("content"), cfg.normalize))
     )
+    if cfg.min_content_length > 0:
+        # F1 (reference newsedits.py:208): scan-level predicate, pushed
+        # to the parquet reader when content length is a stored column
+        out = out.where(F.col("size") >= cfg.min_content_length)
+    return out
 
 
 def empty_content_errors(files: DataFrame) -> DataFrame:

@@ -231,6 +231,32 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
+def q_simprint_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3 under the hard gate: derive a deterministic simprint
+    file path per document (some top-level → NULL cluster, some without
+    ``_`` → NULL transform), then parse cluster / transform /
+    is_original back out with sources.simprint.augment_simprints (the
+    reference's load_simprints augmentation, eff.py:150-190)."""
+    from twinspect_spark.sources.simprint import augment_simprints
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    name = F.concat(
+        F.lit("doc"), i,
+        F.when(i % 5 != 0, F.concat(F.lit("_t"), i % 3)).otherwise(F.lit("")),
+        F.lit(".txt"),
+    )
+    path = F.concat(
+        F.when(i % 7 != 0, F.concat(F.lit("c"), i % 50, F.lit("/")))
+        .otherwise(F.lit("")),
+        name,
+    )
+    sp = docs.select(i.alias("id"), path.alias("file"))
+    return augment_simprints(sp).select(
+        "id", "file", "cluster", "transform", "is_original"
+    )
+
+
 def q_dup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identical contract to q_dup_clusters, but forced through the
     distributed hash-min label-propagation loop (``max_driver_edges=0``
@@ -1123,6 +1149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": q_simhash_dedup,
     "dup_clusters": q_dup_clusters,
     "dup_clusters_distributed": q_dup_clusters_distributed,
+    "simprint_fields": q_simprint_fields,
     "engine_dup_clusters": q_engine_dup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1242,6 +1269,31 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_dedup": _PAIRS_SQL,
     "dup_clusters": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
     "dup_clusters_distributed": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
+    "simprint_fields": """
+        WITH sp AS (
+            SELECT doc_id AS id,
+                   concat(
+                       CASE WHEN doc_id % 7 <> 0
+                            THEN concat('c', doc_id % 50, '/') ELSE '' END,
+                       'doc', doc_id,
+                       CASE WHEN doc_id % 5 <> 0
+                            THEN concat('_t', doc_id % 3) ELSE '' END,
+                       '.txt') AS file
+            FROM documents
+        )
+        SELECT id, file,
+               CASE WHEN contains(file, '/')
+                    THEN regexp_extract(file, '^([^/]*)/', 1) END AS cluster,
+               CASE WHEN contains(file, '_')
+                    THEN regexp_extract(file, '_([^_.]*)[^_]*$', 1)
+                    END AS transform,
+               CASE WHEN contains(file, '/')
+                    THEN row_number() OVER (
+                        PARTITION BY regexp_extract(file, '^([^/]*)/', 1)
+                        ORDER BY id) = 1
+                    ELSE FALSE END AS is_original
+        FROM sp
+    """,
     "engine_dup_clusters": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
     "dedup_keep_canonical": (
         f"WITH RECURSIVE {_EDGES_CTE} "

@@ -79,6 +79,35 @@ def write_simprints(
     ).option("header", "true").csv(path)
 
 
+def augment_simprints(df: DataFrame, file_col: str = "file") -> DataFrame:
+    """Augment a simprint frame with ``cluster`` / ``transform`` /
+    ``is_original`` parsed from the file path (reference
+    twinspect/metrics/eff.py:150-190, P1/P2/P3):
+
+    * cluster   — first path segment, NULL for top-level files;
+    * transform — last ``_``-segment with the extension stripped, NULL
+      when the name has no ``_``;
+    * is_original — True for the min-id member of each cluster. (The
+      reference marks the first row of each cluster run in its id-sorted
+      CSV — identical output on its datasets, where clusters are
+      contiguous; the window form is order-independent, so it survives
+      any partitioning.)
+    """
+    from pyspark.sql import Window as W
+
+    f = F.col(file_col)
+    cluster = F.when(f.contains("/"), F.split(f, "/")[0])
+    transform = F.when(
+        f.contains("_"), F.regexp_extract(f, r"_([^_.]*)[^_]*$", 1)
+    )
+    out = df.withColumn("cluster", cluster).withColumn("transform", transform)
+    w = W.partitionBy("cluster").orderBy("id")
+    return out.withColumn(
+        "is_original",
+        F.col("cluster").isNotNull() & (F.row_number().over(w) == 1),
+    )
+
+
 def files_from_directory(
     spark: SparkSession, root: str, repo: str = "local", commit: str = "0" * 40
 ) -> DataFrame:
