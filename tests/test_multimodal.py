@@ -88,3 +88,29 @@ def test_frame_sample_row_expansion(media):
     assert set(by_id) == {2, 5}
     assert by_id[2] == [(0, 0), (1, 4096), (2, 8192)]  # 9000 bytes
     assert by_id[5] == [(0, 0), (1, 4096)]  # 5000 bytes
+
+
+def test_filter_media(spark):
+    from twinspect_spark.multimodal import filter_media
+
+    rows = [
+        # media_id, media_type, n_bytes, width, height, n_frames, sample_rate
+        (1, "img", 100, 8, 8, 1, 0),
+        (2, "audio", 5000, 0, 0, 44100 * 30, 44100),   # 30 s
+        (3, "audio", 9000, 0, 0, 44100 * 90, 44100),   # 90 s
+        (4, "video", 50, 32, 32, 24 * 120, 24),        # 120 s, tiny file
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, n_bytes long, width int,"
+        " height int, n_frames int, sample_rate int",
+    )
+    # min 60 s (the reference's FMA gate) keeps long audio/video and all
+    # duration-less images
+    got = {r["media_id"] for r in filter_media(df, min_duration_s=60).collect()}
+    assert got == {1, 3, 4}
+    got = {
+        r["media_id"]
+        for r in filter_media(df, min_bytes=100, max_duration_s=60).collect()
+    }
+    assert got == {1, 2}

@@ -74,6 +74,34 @@ def _fake_decode(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def filter_media(
+    decoded: DataFrame,
+    min_bytes: int | None = None,
+    max_bytes: int | None = None,
+    min_duration_s: float | None = None,
+    max_duration_s: float | None = None,
+) -> DataFrame:
+    """F6: size/duration admission predicates over the decoded media
+    table (reference fma.py:106-125 filters FMA tracks to >=60 s; file
+    size guards appear throughout its dataset builders). Duration is
+    derived as n_frames / sample_rate where sample_rate > 0 (audio /
+    video rows); pure column predicates, pushed to the scan when the
+    decoded table is stored."""
+    out = decoded
+    if min_bytes is not None:
+        out = out.where(F.col("n_bytes") >= min_bytes)
+    if max_bytes is not None:
+        out = out.where(F.col("n_bytes") <= max_bytes)
+    if min_duration_s is not None or max_duration_s is not None:
+        dur = F.col("n_frames") / F.col("sample_rate")
+        has_dur = F.col("sample_rate") > 0
+        if min_duration_s is not None:
+            out = out.where(~has_dur | (dur >= min_duration_s))
+        if max_duration_s is not None:
+            out = out.where(~has_dur | (dur <= max_duration_s))
+    return out
+
+
 def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
     """Per-blob metadata decode as a mapInPandas stage. ``fake`` derives
     deterministic metadata from byte length; ``real`` is the seam for
