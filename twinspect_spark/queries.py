@@ -412,6 +412,74 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_grams(n: int) -> F.Column:
+    """Word n-gram spans over ``text`` as an array<string> column —
+    empty when the doc has fewer than n words (sequence() would
+    otherwise descend)."""
+    words = F.split(F.trim("text"), r"\s+")
+    cnt = F.size(words) - (n - 1)
+    idx = F.when(cnt > 0, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i, n), " ")
+    )
+
+
+def q_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span profile (the train-data dedup idiom
+    of removing spans that recur verbatim across documents — word
+    7-grams here standing in for the 50-token spans used at full scale):
+    per document, total spans and the fraction occurring in ≥2 distinct
+    documents. Scale shape: explode → groupBy(gram) with map-side
+    combine → broadcast-joinable per-gram doc counts → one re-join on
+    gram; no all-pairs, no collect."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_word_grams(7)).alias("gram")
+    )
+    df_counts = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        grams.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_spans"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_shared_spans",
+        F.round(F.col("n_shared_spans") / F.col("n_spans"), 6).alias(
+            "shared_frac"
+        ),
+    )
+
+
+def q_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (the Gopher-style duplicate
+    n-gram quality gate): fraction of word bigrams that are repeats of
+    an earlier bigram in the same document. Pure per-row expression —
+    no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = _word_grams(2)
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_bigrams"),
+        nd.cast("long").alias("n_distinct_bigrams"),
+        F.round(
+            F.when(n > 0, 1 - nd / n).otherwise(F.lit(0.0)), 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
 # --------------------------------------------------------------------------
 # relational operators on the TPC-H-ish tables
 # --------------------------------------------------------------------------
@@ -1157,6 +1225,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text analysis
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
+    "repeated_span_stats": q_repeated_span_stats,
+    "intra_doc_repetition": q_intra_doc_repetition,
     "lang_id": q_lang_id,
     "lang_profile": q_lang_profile,
     # relational
@@ -1320,6 +1390,51 @@ ORACLE_SQL: dict[str, str] = {
                len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
                length(text) AS n_chars_actual
         FROM documents
+    """,
+    "repeated_span_stats": """
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, array_to_string(words[i:i+6], ' ') AS gram
+            FROM w, unnest(generate_series(1, len(words) - 6)) AS t(i)
+        ),
+        dfc AS (
+            SELECT gram, count(DISTINCT doc_id) AS n_docs
+            FROM g GROUP BY gram
+        )
+        SELECT g.doc_id,
+               cast(count(*) AS bigint) AS n_spans,
+               cast(sum(CASE WHEN dfc.n_docs >= 2 THEN 1 ELSE 0 END)
+                    AS bigint) AS n_shared_spans,
+               round(sum(CASE WHEN dfc.n_docs >= 2 THEN 1 ELSE 0 END)
+                     / count(*), 6) AS shared_frac
+        FROM g JOIN dfc USING (gram)
+        GROUP BY g.doc_id
+    """,
+    "intra_doc_repetition": """
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   [words[i] || ' ' || words[i + 1]
+                    FOR i IN generate_series(1, len(words) - 1)] AS grams
+            FROM w
+        )
+        SELECT doc_id,
+               cast(len(grams) AS bigint) AS n_bigrams,
+               cast(len(list_distinct(grams)) AS bigint)
+                   AS n_distinct_bigrams,
+               round(CASE WHEN len(grams) > 0
+                          THEN 1 - len(list_distinct(grams))
+                               / cast(len(grams) AS double)
+                          ELSE 0.0 END, 6) AS dup_bigram_frac
+        FROM g
     """,
     "quality_scores": f"""
         WITH t AS (SELECT doc_id, lower(text) AS t, length(text) AS len FROM documents),
