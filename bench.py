@@ -133,6 +133,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "events_hourly",
         "token_stats",
         "quality_scores",
+        "repeated_span_stats",
+        "intra_doc_repetition",
         "lang_profile",
         "speed_stats",
         "ann_cosine_topk",
