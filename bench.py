@@ -156,6 +156,28 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
     return timings, rows
 
 
+def _run_worker_json(cmd: list[str], retries: int = 1) -> dict:
+    """Run a worker subprocess and parse its last stdout line as JSON;
+    retry once on empty output (a killed JVM leaves nothing), raising
+    with the stderr tail so orchestrator failures are diagnosable."""
+    import subprocess
+
+    last_err = ""
+    for _ in range(retries + 1):
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=os.environ
+        )
+        lines = out.stdout.strip().splitlines()
+        if lines:
+            try:
+                return json.loads(lines[-1])
+            except json.JSONDecodeError:
+                last_err = f"unparseable stdout tail: {lines[-1][:500]}"
+                continue
+        last_err = f"no stdout; stderr tail: {out.stderr[-2000:]}"
+    raise RuntimeError(f"worker {cmd[-2:]} failed: {last_err}")
+
+
 def _fresh_spark(cores: int):
     from twinspect_spark.session import get_spark
 
@@ -566,12 +588,9 @@ def main() -> None:
         )
         best: dict[int, dict] = {}
         for cores in (lo, hi, hi, lo):
-            out = subprocess.run(
-                [sys.executable, __file__, "--candbench-worker", str(cores)],
-                capture_output=True, text=True, env=os.environ,
+            r = _run_worker_json(
+                [sys.executable, __file__, "--candbench-worker", str(cores)]
             )
-            line = out.stdout.strip().splitlines()[-1]
-            r = json.loads(line)
             if cores not in best:
                 best[cores] = r
             else:
@@ -694,12 +713,9 @@ def main() -> None:
         stage_min: dict[int, dict[str, float]] = {}
         n_files = None
         for cores in (lo, hi, lo, hi):
-            out = subprocess.run(
-                [sys.executable, __file__, "--scaling-worker", str(cores)],
-                capture_output=True, text=True, env=os.environ,
+            r = _run_worker_json(
+                [sys.executable, __file__, "--scaling-worker", str(cores)]
             )
-            line = out.stdout.strip().splitlines()[-1]
-            r = json.loads(line)
             n_files = r["n_files"]
             sm = stage_min.setdefault(cores, {})
             for s, v in r.get("stages_min", {}).items():

@@ -49,7 +49,10 @@ def main(argv: list[str] | None = None) -> int:
 
         files = files_from_directory(spark, args.input)
     else:
-        files = spark.read.parquet(args.input)
+        # parquet path OR catalog (e.g. Iceberg) table reference
+        from twinspect_spark.sources.tables import read_table
+
+        files = read_table(spark, args.input)
 
     t0 = time.perf_counter()
     if args.checkpoint:
@@ -63,12 +66,14 @@ def main(argv: list[str] | None = None) -> int:
 
         res, status = run_dedup(files, cfg), None
 
-    res.clusters.write.mode("overwrite").parquet(args.output)
+    from twinspect_spark.sources.tables import read_table, write_table
+
+    write_table(res.clusters, args.output)
     if args.report:
         from twinspect_spark.report import write_run_artifacts
 
         write_run_artifacts(res, args.report, cfg)
-    out = spark.read.parquet(args.output)
+    out = read_table(spark, args.output)
     summary = {
         "n_files": out.count(),
         "n_dup_members": out.where("file_id != cluster_id").count(),

@@ -60,11 +60,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # managed-table warehouse out of cwd; real deployments override
+        # (an Iceberg catalog carries its own warehouse location)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR",
+                os.path.join(tempfile.gettempdir(), "twinspect_warehouse"),
+            ),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", mem)
         .config("spark.driver.extraJavaOptions", gc_opts)
         .config("spark.ui.enabled", "false")
+        # real traceback when an Arrow/pandas worker dies mid-batch
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Static broadcasts (tiny dims) stay enabled above; the ADAPTIVE
         # runtime conversion is disabled because AQE re-plans the LSH

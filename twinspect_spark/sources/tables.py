@@ -1,0 +1,70 @@
+"""Catalog-table source/sink — the north-rule's Iceberg seam.
+
+The engine's input contract is a files TABLE ``(repo, path, commit,
+lang, content)`` served by the cluster's catalog. On a real deployment
+that catalog is Iceberg (``spark.sql.catalog.<name>`` conf + the
+iceberg-spark-runtime jar) and these helpers resolve through
+``spark.table()`` / ``DataFrame.writeTo()`` — the DataSourceV2 API
+Iceberg implements, which is also where partition pruning, hidden
+partitioning, and snapshot reads come from. This sandbox ships no
+Iceberg runtime jar, so tests exercise the same code path against the
+built-in ``spark_catalog`` with parquet-backed managed tables; pointing
+at Iceberg is a deploy-time ``--conf`` change, not a code change.
+
+A ``source`` string is treated as a catalog table reference when it
+looks like a (possibly catalog-/schema-qualified) identifier and does
+not exist on the filesystem; otherwise it is a parquet path. That rule
+keeps one CLI flag working for both worlds.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# at least one dot (db.table or catalog.db.table): a bare single
+# segment like "clusters_out" is far more likely a relative output path
+# than a default-namespace table, and misrouting a write is worse than
+# asking the user to qualify the name
+_TABLE_RE = re.compile(r"^[A-Za-z_][\w]*(\.[A-Za-z_][\w]*){1,2}$")
+
+
+_DATA_EXTS = {"parquet", "csv", "json", "orc", "txt"}
+
+
+def is_table_ref(source: str) -> bool:
+    if not _TABLE_RE.match(source) or os.path.exists(source):
+        return False
+    # "out.parquet" is a dotted identifier too — but an extension-shaped
+    # last segment means a file path, not a table
+    return source.rsplit(".", 1)[-1].lower() not in _DATA_EXTS
+
+
+def read_table(spark: SparkSession, source: str) -> DataFrame:
+    """Catalog table name → ``spark.table`` (Iceberg et al.); anything
+    else → parquet path."""
+    if is_table_ref(source):
+        return spark.table(source)
+    return spark.read.parquet(source)
+
+
+def write_table(df: DataFrame, target: str, provider: str = "parquet") -> None:
+    """Replace ``target`` with ``df``. Catalog references go through the
+    DataSourceV2 ``writeTo`` API (Iceberg's native write path — becomes
+    a transactional snapshot commit there); paths fall back to a parquet
+    overwrite. ``provider`` applies only to catalog creation and is
+    ignored by catalogs with a fixed format (Iceberg)."""
+    if is_table_ref(target):
+        try:
+            df.writeTo(target).using(provider).createOrReplace()
+        except Exception:
+            # transactional REPLACE TABLE AS SELECT needs a V2 catalog
+            # with staging support (Iceberg has it); the built-in
+            # session catalog does not — fall back to drop + create,
+            # which loses atomicity but not correctness
+            df.sparkSession.sql(f"DROP TABLE IF EXISTS {target}")
+            df.writeTo(target).using(provider).create()
+    else:
+        df.write.mode("overwrite").parquet(target)
