@@ -654,7 +654,13 @@ def main() -> None:
         # IDENTICAL partitioning at every level: per-task work is then a
         # constant and slot count is the only experimental variable
         # (cores-sized shuffles would conflate parallelism with plan shape)
-        spark = _fresh_spark_sp(cores, 64)
+        from twinspect_spark.session import get_spark
+
+        spark = get_spark(
+            "bench", cores=cores, shuffle_partitions=64,
+            extra_conf={"spark.ui.enabled": "true",
+                        "spark.ui.retainedStages": "5000"},
+        )
         files = spark.read.parquet(_SCALED_CORPUS)
         n_files = files.count()
         # full-width warmup: touch EVERY task slot so the Python worker
@@ -665,13 +671,38 @@ def main() -> None:
         run_dedup(warm, cfg).clusters.count()
         best = None
         stage_min: dict[str, float] = {}
+        stage_metrics_at_min: dict[str, dict] = {}
         for _ in range(trials):
+            snaps = [("_start", _rest_metrics(spark))]
+
+            def hook(stage: str) -> None:
+                snaps.append((stage, _rest_metrics(spark)))
+
             t0 = time.perf_counter()
-            res = run_dedup(files, cfg)
+            res = run_dedup(files, cfg, stage_hook=hook)
             n_dup = res.clusters.where("file_id != cluster_id").count()
             wall = time.perf_counter() - t0
-            for s, v in (res.stage_seconds or {}).items():
-                stage_min[s] = min(stage_min.get(s, v), v)
+            for (_, lo_), (s, hi_) in zip(snaps, snaps[1:]):
+                sm = {
+                    "cpu_sec": round(
+                        (hi_["executorCpuTime"] - lo_["executorCpuTime"]) / 1e9, 1
+                    ),
+                    "run_sec": round(
+                        (hi_["executorRunTime"] - lo_["executorRunTime"]) / 1e3, 1
+                    ),
+                    "gc_sec": round(
+                        (hi_["jvmGcTime"] - lo_["jvmGcTime"]) / 1e3, 1
+                    ),
+                    "shuffle_gb": round(
+                        (hi_["shuffleReadBytes"] + hi_["shuffleWriteBytes"]
+                         - lo_["shuffleReadBytes"] - lo_["shuffleWriteBytes"])
+                        / 1e9, 2,
+                    ),
+                }
+                v = (res.stage_seconds or {}).get(s)
+                if v is not None and v <= stage_min.get(s, 1e18):
+                    stage_min[s] = v
+                    stage_metrics_at_min[s] = sm
             if best is None or wall < best["wall_sec"]:
                 best = {
                     "wall_sec": round(wall, 2),
@@ -684,6 +715,7 @@ def main() -> None:
             "trials": trials,
             "files_per_sec": round(n_files / best["wall_sec"], 1),
             "stages_min": stage_min,
+            "stage_metrics": stage_metrics_at_min,
             **best,
         }))
         spark.stop()

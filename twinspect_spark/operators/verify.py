@@ -78,27 +78,45 @@ def packed_prefix_frac(cfg: DedupConfig, a_prefix: str, b_prefix: str):
     return total / F.lit(float(p))
 
 
-def _est_filter_map(keep_cols: list[str], threshold: float):
-    """mapInPandas kernel: lane-match estimate + threshold filter in ONE
-    Python pass. A pandas-UDF column consumed by both a Filter and the
-    output Project is extracted into TWO ArrowEvalPython nodes by
-    Catalyst — every pair paid the Arrow roundtrip twice; fusing compute
-    and filter into mapInPandas makes double evaluation structurally
-    impossible. The numpy kernel itself replaces the SQL higher-order
-    equivalent (zip_with + filter + size), which is interpreted per
-    element — measured ~100x slower on multi-million-pair streams."""
+def _est_filter_arrow(keep_cols: list[str], threshold: float, num_perm: int):
+    """mapInArrow kernel: lane-match estimate + threshold filter in ONE
+    Python pass over raw Arrow record batches. Two lessons baked in:
+    (1) a pandas-UDF column consumed by both a Filter and the output
+    Project is extracted into TWO ArrowEvalPython nodes by Catalyst —
+    every pair paid the Arrow roundtrip twice; fusing compute and filter
+    into one map kernel makes double evaluation structurally impossible.
+    (2) the pandas representation of a list column is an object array of
+    small numpy arrays — np.vstack over it is one alloc+copy per ROW,
+    and that allocator churn is what inflated this stage's CPU 3.5x at
+    8 workers on one memory controller (BASELINE.md round 3). Arrow's
+    list<int32> is already ONE contiguous values buffer: flatten() +
+    reshape is a view, the (A == B) compare is the only real work, and
+    the filtered batch is rebuilt with Arrow take/filter — no pandas, no
+    per-row allocation."""
+    import pyarrow as pa
 
     def batches(it):
-        for pdf in it:
-            if not len(pdf):
+        for rb in it:
+            n = rb.num_rows
+            if not n:
                 continue
-            A = np.vstack(pdf["mh_a"].to_numpy())
-            B = np.vstack(pdf["mh_b"].to_numpy())
+            ia = rb.schema.get_field_index("mh_a")
+            ib = rb.schema.get_field_index("mh_b")
+            A = rb.column(ia).flatten().to_numpy(
+                zero_copy_only=False
+            ).reshape(n, num_perm)
+            B = rb.column(ib).flatten().to_numpy(
+                zero_copy_only=False
+            ).reshape(n, num_perm)
             est = (A == B).mean(axis=1)
             m = est >= threshold
-            out = pdf.loc[m, keep_cols].copy()
-            out["est"] = est[m]
-            yield out
+            mask = pa.array(m)
+            cols = [
+                rb.column(rb.schema.get_field_index(c)).filter(mask)
+                for c in keep_cols
+            ]
+            cols.append(pa.array(est[m], type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(cols, names=[*keep_cols, "est"])
 
     return batches
 
@@ -171,8 +189,10 @@ def estimate_filter_candidates(
         [f for f in joined.schema.fields if f.name in keep_cols]
         + [T.StructField("est", T.DoubleType())]
     )
-    return joined.mapInPandas(
-        _est_filter_map(keep_cols, cfg.jaccard_threshold - margin), schema
+    return joined.mapInArrow(
+        _est_filter_arrow(keep_cols, cfg.jaccard_threshold - margin,
+                          cfg.num_perm),
+        schema,
     )
 
 

@@ -49,6 +49,7 @@ def run_dedup(
     files: DataFrame,
     cfg: DedupConfig | None = None,
     materialize_stages: bool = True,
+    stage_hook=None,
 ) -> DedupResult:
     """Full pipeline over files(repo, path, commit, lang, content).
 
@@ -75,6 +76,8 @@ def run_dedup(
         out = df.localCheckpoint()  # eager: materializes the stage now
         if stage:
             stage_seconds[stage] = round(time.perf_counter() - t0, 2)
+            if stage_hook is not None:
+                stage_hook(stage)  # e.g. bench REST-metrics snapshots
         return out
 
     ingested = cut(ingest_files(files, cfg), "ingest")
@@ -94,9 +97,17 @@ def run_dedup(
     # dedupe shuffle is already est-plausible, so the estimate filter
     # joins full signatures onto survivors only (pre_gated skips its
     # redundant HOF gate).
+    t0 = time.perf_counter()
     deduped = unified_candidates(
         signatures, cfg, materialize=materialize_stages
     )
+    if materialize_stages:
+        # the capped bucket table materializes eagerly inside
+        # unified_candidates — attribute it, or it vanishes from the
+        # stage table while still inflating wall (round-3 lesson)
+        stage_seconds["buckets"] = round(time.perf_counter() - t0, 2)
+        if stage_hook is not None:
+            stage_hook("buckets")
     candidates = cut(
         estimate_filter_candidates(deduped, signatures, cfg, pre_gated=True),
         "candidates",
@@ -122,6 +133,8 @@ def run_dedup(
     if materialize_stages:
         clusters = clusters.localCheckpoint()
         stage_seconds["cluster"] = round(time.perf_counter() - t0, 2)
+        if stage_hook is not None:
+            stage_hook("cluster")
     return DedupResult(
         ingested, signatures, candidates, pairs, clusters,
         stage_seconds or None,
