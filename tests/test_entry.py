@@ -38,3 +38,25 @@ def test_sample_queries_run_at_sf0001(spark):
     qs = entrymod.queries()
     for name in ["token_stats", "pricing_summary", "embedding_norms"]:
         assert qs[name](spark, SF).count() > 0
+
+
+def test_char_entropy_bounds(spark):
+    """H is bounded by log2(#distinct bigrams) and non-negative."""
+    import math
+
+    rows = entrymod.queries()["char_entropy"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.entropy_bits
+        assert r.entropy_bits <= math.log2(r.n_distinct_bigrams) + 1e-9
+
+
+def test_commit_latest_snapshot_shape(spark):
+    """Every path appears once; revised paths carry commit 2 and a sha
+    differing from the unrevised content hash."""
+    df = entrymod.queries()["commit_latest_snapshot"](spark, SF)
+    rows = df.collect()
+    paths = [r.path for r in rows]
+    assert len(paths) == len(set(paths))
+    revised = [r for r in rows if r.n_revisions == 2]
+    assert revised and all(r.latest_commit == 2 for r in revised)

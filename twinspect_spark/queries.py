@@ -1206,6 +1206,92 @@ def q_simhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("threshold")
 
 
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×source near-duplicate contamination matrix: for every
+    (unordered) pair of corpus sources, the number of near-dup pairs
+    (exact n-gram Jaccard >= t) linking them and the mean similarity.
+    This is the check a training-data pipeline runs before mixing
+    corpora (benchmark-contamination / vendored-content detection) —
+    the reference's cross-cluster dedupe idea (D2,
+    /root/reference/twinspect/datasets/newsedits.py:225-232) lifted to
+    a per-source-pair report."""
+    pairs = _exact_jaccard_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= JACCARD_T
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-bigram Shannon entropy — the model-free
+    low-information/gibberish quality signal that complements
+    quality_scores' ratio heuristics. Entropy uses the single-pass
+    identity H = log2(n) − Σ c·log2(c)/n so Spark and the oracle run
+    the same FP ops; everything is codegen'd column expressions over
+    two hash aggregations (explode → count → per-doc fold)."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    g = t.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, greatest(length(t) - 1, 1)),"
+        " i -> substring(t, i, 2))) AS bg",
+    )
+    c = g.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    s = F.sum("c")
+    s2 = F.sum(F.col("c") * F.log2("c"))
+    return c.groupBy("doc_id").agg(
+        s.cast("long").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.round(F.log2(s) - s2 / s, 6).alias("entropy_bits"),
+    )
+
+
+def q_commit_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-revision snapshot of a (repo, path, commit) file history —
+    the input_hint table shape with real multi-commit semantics. A
+    deterministic two-commit history is synthesized from documents
+    (every doc_id % 3 == 0 gets an edited second revision), then
+    collapsed to the newest revision per path with max_by + the per-row
+    sha256 invariant (SF3) on the surviving content. This is the
+    snapshot isolation step a code-dedup run performs before
+    signatures: dedup the HEAD state, not every historical blob."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def rev(seq: int, content, flt=None):
+        d = docs.where(flt) if flt is not None else docs
+        return d.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), "doc_id").alias("path"),
+            F.lit(seq).alias("commit_seq"),
+            content.alias("content"),
+        )
+
+    hist = rev(1, F.col("text")).unionByName(
+        rev(2, F.concat("text", F.lit(" rev2")), F.col("doc_id") % 3 == 0)
+    )
+    return hist.groupBy("repo", "path").agg(
+        F.count("*").alias("n_revisions"),
+        F.max("commit_seq").alias("latest_commit"),
+        F.sha2(F.max_by("content", "commit_seq"), 256).alias("sha_latest"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1222,9 +1308,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dup_groups": q_exact_dup_groups,
+    "cross_source_dup_matrix": q_cross_source_dup_matrix,
+    "commit_latest_snapshot": q_commit_latest_snapshot,
     # text analysis
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
+    "char_entropy": q_char_entropy,
     "repeated_span_stats": q_repeated_span_stats,
     "intra_doc_repetition": q_intra_doc_repetition,
     "lang_id": q_lang_id,
@@ -1383,6 +1472,48 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS canonical
         FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    """,
+    "cross_source_dup_matrix": f"""
+        SELECT src_a, src_b,
+               count(*) AS n_pairs,
+               round(avg(jaccard), 6) AS avg_jaccard
+        FROM (
+          SELECT least(da.source, db.source) AS src_a,
+                 greatest(da.source, db.source) AS src_b,
+                 p.jaccard
+          FROM ({_PAIRS_SQL}) p
+          JOIN documents da ON da.doc_id = p.a
+          JOIN documents db ON db.doc_id = p.b
+        )
+        GROUP BY src_a, src_b
+    """,
+    "commit_latest_snapshot": """
+        WITH hist AS (
+          SELECT source AS repo, 'doc/' || doc_id AS path,
+                 1 AS commit_seq, text AS content
+          FROM documents
+          UNION ALL
+          SELECT source, 'doc/' || doc_id, 2, text || ' rev2'
+          FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT repo, path,
+               cast(count(*) AS bigint) AS n_revisions,
+               cast(max(commit_seq) AS int) AS latest_commit,
+               sha256(max_by(content, commit_seq)) AS sha_latest
+        FROM hist GROUP BY repo, path
+    """,
+    "char_entropy": """
+        WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        g AS (
+          SELECT doc_id, substr(t, cast(i AS int), 2) AS bg
+          FROM t, unnest(generate_series(1, greatest(length(t) - 1, 1))) AS u(i)
+        ),
+        c AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id,
+               cast(sum(c) AS bigint) AS n_bigrams,
+               cast(count(*) AS bigint) AS n_distinct_bigrams,
+               round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+        FROM c GROUP BY doc_id
     """,
     "token_stats": """
         SELECT doc_id,
