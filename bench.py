@@ -132,13 +132,17 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
 
     bench("e2e_dedup_pipeline", _dedup)
 
-    # component: signatures only (UDF throughput)
+    # component: signatures only (UDF throughput). count() alone would
+    # let Catalyst prune the unused signature struct and skip the UDF
+    # entirely (deterministic unused expression) — aggregate a UDF
+    # OUTPUT column so the kernel is actually on the measured path.
     def _sigs():
         from twinspect_spark.ingest import ingest_files
         from twinspect_spark.signatures import compute_signatures
 
         ing = ingest_files(_files_df(spark, sf_dir), cfg)
-        return compute_signatures(ing, cfg).count()
+        sigs = compute_signatures(ing, cfg)
+        return sigs.agg(F.count("simhash")).collect()[0][0]
 
     bench("signatures", _sigs)
 
@@ -151,6 +155,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "events_hourly",
         "token_stats",
         "quality_scores",
+        "char_entropy",
+        "commit_latest_snapshot",
         "repeated_span_stats",
         "intra_doc_repetition",
         "lang_profile",

@@ -216,3 +216,17 @@ def test_run_report_renders_markdown(spark):
     big = spark.range(0, 30).selectExpr("id")
     t = df_to_markdown(big, max_rows=10)
     assert "truncated at 10 rows" in t
+
+
+def test_humanize_formatting(spark):
+    """SF8 analog: big-number display formatting, opt-in per column."""
+    from twinspect_spark.report import df_to_markdown, humanize
+
+    assert humanize(950) == "950"
+    assert humanize(1234567) == "1.23M"
+    assert humanize(2_000_000_000) == "2B"
+    assert humanize(-4.2e12) == "-4.2T"
+
+    df = spark.createDataFrame([(1234567, 1234567)], "a long, b long")
+    t = df_to_markdown(df, humanize_cols={"a"})
+    assert "| 1.23M | 1234567 |" in t

@@ -14,25 +14,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def df_to_markdown(df: DataFrame, max_rows: int = 100) -> str:
+def humanize(n: float | int) -> str:
+    """Big-number display formatting (SF8 analog — the reference's
+    render/plot.py:26-31 humanizes counts for chart labels): 1234567 →
+    '1.23M'. Reporting-layer only; data-plane values stay numeric."""
+    n = float(n)
+    for div, suffix in [(1e12, "T"), (1e9, "B"), (1e6, "M"), (1e3, "k")]:
+        if abs(n) >= div:
+            return f"{n / div:.3g}{suffix}"
+    return f"{n:g}"
+
+
+def df_to_markdown(
+    df: DataFrame, max_rows: int = 100, humanize_cols: set[str] | None = None
+) -> str:
     """Render a small (metric-sized) DataFrame as a GitHub markdown
     table; truncates at ``max_rows`` with an explicit footer so silent
-    truncation can't read as completeness."""
+    truncation can't read as completeness. Columns named in
+    ``humanize_cols`` render through humanize()."""
     cols = df.columns
     rows = df.limit(max_rows + 1).collect()
     trunc = len(rows) > max_rows
     rows = rows[:max_rows]
 
-    def fmt(v) -> str:
+    def fmt(v, c: str = "") -> str:
         if v is None:
             return ""
+        if humanize_cols and c in humanize_cols and isinstance(v, (int, float)):
+            return humanize(v)
         if isinstance(v, float):
             return f"{v:.6g}"
         return str(v)
 
     out = ["| " + " | ".join(cols) + " |",
            "|" + "|".join("---" for _ in cols) + "|"]
-    out += ["| " + " | ".join(fmt(r[c]) for c in cols) + " |" for r in rows]
+    out += ["| " + " | ".join(fmt(r[c], c) for c in cols) + " |" for r in rows]
     if trunc:
         out.append(f"\n_… truncated at {max_rows} rows_")
     return "\n".join(out)
