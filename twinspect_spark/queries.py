@@ -1214,7 +1214,10 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora (benchmark-contamination / vendored-content detection) —
     the reference's cross-cluster dedupe idea (D2,
     /root/reference/twinspect/datasets/newsedits.py:225-232) lifted to
-    a per-source-pair report."""
+    a per-source-pair report. Pair discovery here is the exact-Jaccard
+    oracle construct (sf0.01 gate); at scale the same report runs off
+    the engine's verified `pairs` table — only the tiny
+    source-annotation joins and the per-source-pair agg remain."""
     pairs = _exact_jaccard_pairs(spark, sf_dir).where(
         F.col("jaccard") >= JACCARD_T
     )
