@@ -18,7 +18,7 @@ latency that 4× the cores cannot shrink):
 * the capped table is materialized ONCE (localCheckpoint) and both join
   sides read it — the naive composed plan re-exploded the signature
   table six times and re-aggregated sizes four times;
-* the MinHash prefix gate runs INSIDE the join stage on packed 16-bit
+* the MinHash prefix gate runs INSIDE the join stage on packed 8-bit
   lane prefixes (operators/verify.packed_prefix_cols) — pure integer
   codegen, no interpreted HOFs, no signature join — so the pair stream
   entering the dedupe shuffle is already est-plausible. The estimate

@@ -30,23 +30,36 @@ from twinspect_spark.functions import hashing as H
 
 
 _PREFIX_LANES = 16
-_PACK_BITS = 16  # prefix bits per lane in the packed in-join gate
+# Prefix bits per lane in the packed in-join gate. 8 bits halves the
+# gate payload riding the byte-heaviest exchange in the pipeline (the
+# bucket self-join: 16 lanes pack into 2 longs instead of 4) at no
+# recall cost: prefix-collision probability per lane rises from 2^-16
+# to 2^-8, so an ACCIDENTAL pair's expected matched fraction is
+# s + (1-s)/256 ≈ s + 0.004 — still nowhere near the gate threshold
+# (t - 2·margin, e.g. 0.4) — while a TRULY matching lane always matches
+# its prefix, so false-reject odds are identical. The gate accepts a
+# (slightly) larger superset; the full-lane estimate filter rejects the
+# extras as before.
+_PACK_BITS = 8
+_LANES_PER_WORD = 64 // _PACK_BITS
+_LANE_MASK = (1 << _PACK_BITS) - 1
 
 
 def packed_prefix_cols(cfg: DedupConfig, minhash_col: str = "minhash",
                        prefix: str = "mp") -> list:
-    """Top-16-bits of the first min(16, num_perm) MinHash lanes, packed 4
-    sublanes per long → ceil(p/4) columns ``mp0..``. Carried as join
-    payload (8 bytes/word) so the candidate self-join can run the prefix
-    gate INSIDE the join stage with pure integer codegen — no signature
-    join, no interpreted higher-order functions, before any shuffle of
-    the pair stream."""
+    """Top ``_PACK_BITS`` bits of the first min(16, num_perm) MinHash
+    lanes, packed ``_LANES_PER_WORD`` sublanes per long → ``mp0..``
+    columns. Carried as join payload (8 bytes/word) so the candidate
+    self-join can run the prefix gate INSIDE the join stage with pure
+    integer codegen — no signature join, no interpreted higher-order
+    functions, before any shuffle of the pair stream."""
     p = min(_PREFIX_LANES, cfg.num_perm)
+    lpw = _LANES_PER_WORD
     cols = []
-    for j in range((p + 3) // 4):
+    for j in range((p + lpw - 1) // lpw):
         word = None
-        for k in range(min(4, p - 4 * j)):
-            lane = 4 * j + k
+        for k in range(min(lpw, p - lpw * j)):
+            lane = lpw * j + k
             t = F.shiftrightunsigned(
                 F.element_at(minhash_col, lane + 1), 64 - _PACK_BITS
             )
@@ -61,17 +74,19 @@ def packed_prefix_frac(cfg: DedupConfig, a_prefix: str, b_prefix: str):
     ``packed_prefix_cols`` under ``a_prefix``/``b_prefix`` names.
 
     Semantics vs the 32-bit HOF gate in estimate_filter_candidates:
-    16-bit prefixes collide at 2^-16 per lane, so this gate accepts a
-    superset of the 32-bit gate's pairs — recall-preserving; the few
-    extra accidents are rejected by the full-lane estimate filter."""
+    short prefixes collide at 2^-_PACK_BITS per lane, so this gate
+    accepts a superset of the 32-bit gate's pairs — recall-preserving;
+    the few extra accidents are rejected by the full-lane estimate
+    filter."""
     p = min(_PREFIX_LANES, cfg.num_perm)
+    lpw = _LANES_PER_WORD
     total = None
-    for j in range((p + 3) // 4):
+    for j in range((p + lpw - 1) // lpw):
         x = F.col(f"{a_prefix}{j}").bitwiseXOR(F.col(f"{b_prefix}{j}"))
-        for k in range(min(4, p - 4 * j)):
+        for k in range(min(lpw, p - lpw * j)):
             eq = F.when(
                 F.shiftrightunsigned(x, _PACK_BITS * k)
-                .bitwiseAND(F.lit(0xFFFF)) == 0,
+                .bitwiseAND(F.lit(_LANE_MASK)) == 0,
                 1,
             ).otherwise(0)
             total = eq if total is None else total + eq

@@ -783,6 +783,40 @@ def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_srp_lsh_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via signed-random-projection LSH
+    (operators/srp.py): 32-bit cosine sketch per vector (one int64
+    matmul per Arrow batch), pigeonhole chunk self-join for candidates,
+    exact cosine >= COSINE_DUP_T on survivors. The sub-n^2 scale path
+    for which q_embedding_cosine_dup is the brute-force oracle tier —
+    candidate volume is sum(|bucket|^2) over 8-bit chunk buckets, never
+    all pairs. Deterministic integer planes + quantized integer dots
+    make the sketch bit-exact reproducible in ANSI SQL (see srp.py)."""
+    from twinspect_spark.operators.srp import (
+        srp_chunk_candidates,
+        srp_code_udf,
+    )
+
+    n = _normed_embeddings(spark, sf_dir)
+    dim = 64  # embeddings table fixture width (TESTDATA.md)
+    codes = n.select(
+        "vec_id", srp_code_udf(dim)(F.col("embedding")).alias("code")
+    )
+    cand = srp_chunk_candidates(codes)
+    a = n.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
+                 F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
+                 F.col("nrm").alias("nb"))
+    cos = F.round(
+        F.expr(_DOT.format(x="ea", y="eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        cand.join(a, "a").join(b, "b")
+        .select("a", "b", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_DUP_T)
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (the scale path): deterministic coarse centroids
     = the IVF_N_CENTROIDS lowest vec_ids; every vector assigned to its
@@ -1339,6 +1373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_cosine_dup": q_embedding_cosine_dup,
+    "embedding_srp_lsh_dup": q_embedding_srp_lsh_dup,
     "ann_ivf_topk": q_ann_ivf_topk,
     # TwinSpect scoring metrics
     "eff_sweep_exact": q_eff_sweep_exact,
@@ -1768,6 +1803,55 @@ ORACLE_SQL: dict[str, str] = {
                        p -> cast(p[1] AS double) * cast(p[2] AS double)))
                        / (a.nrm * b.nrm), 6) AS cosine
           FROM n a JOIN n b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= {COSINE_DUP_T}
+    """,
+    "embedding_srp_lsh_dup": f"""
+        WITH planes AS (
+          SELECT i, j,
+                 ((1 + i * 64 + j) * 2654435761) % 4294967296
+                   - 2147483648 AS w
+          FROM range(32) t1(i) CROSS JOIN range(64) t2(j)
+        ),
+        qv AS (
+          SELECT vec_id, j,
+                 CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000)
+                      AS BIGINT) AS q
+          FROM embeddings CROSS JOIN range(64) t(j)
+        ),
+        bits AS (
+          SELECT vec_id, i,
+                 CASE WHEN sum(q * w) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM qv JOIN planes USING (j)
+          GROUP BY vec_id, i
+        ),
+        codes AS (
+          SELECT vec_id,
+                 sum(bit * (CAST(1 AS BIGINT) << CAST(i AS INT))) AS code
+          FROM bits GROUP BY vec_id
+        ),
+        chunks AS (
+          SELECT vec_id, c,
+                 (code >> CAST(c * 8 AS INT)) & 255 AS ck
+          FROM codes CROSS JOIN range(4) t(c)
+        ),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM chunks x JOIN chunks y
+            ON x.c = y.c AND x.ck = y.ck AND x.vec_id < y.vec_id
+        ),
+        n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> cast(x AS double) * cast(x AS double)))) AS nrm
+          FROM embeddings
+        )
+        SELECT * FROM (
+          SELECT cand.a, cand.b,
+                 round(list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                       / (na.nrm * nb.nrm), 6) AS cosine
+          FROM cand JOIN n na ON cand.a = na.vec_id
+                    JOIN n nb ON cand.b = nb.vec_id
         ) WHERE cosine >= {COSINE_DUP_T}
     """,
     "ann_ivf_topk": f"""
