@@ -164,6 +164,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "ann_cosine_topk",
         "ann_ivf_topk",
         "ann_ivf_kmeans_topk",
+        "embedding_srp_lsh_dup",
         "embedding_norms",
         # NOT eff_sweep_exact / distance_histogram / simhash_effectiveness
         # / ngram_jaccard_pairs / embedding_cosine_dup: brute-force
@@ -483,6 +484,9 @@ def _candbench_worker(cores: int) -> None:
             "spark.ui.retainedStages": "5000",
         },
     )
+    # row-format checkpoint, mirroring the pipeline's signatures cut; a
+    # columnar persist was A/B'd and rejected (cache decode + GC on the
+    # wide bucket-explode scan: 43.0 s vs 33.3 s, BASELINE.md round 3)
     sig = spark.read.parquet(_SCALED_SIGS).localCheckpoint()
     n_sigs = sig.count()
     # python-worker warmup for the estimate stage's mapInPandas
@@ -508,7 +512,7 @@ def _candbench_worker(cores: int) -> None:
         m2 = _rest_metrics(spark)
         t0 = time.perf_counter()
         n_est = estimate_filter_candidates(
-            pairs, sig, cfg, pre_gated=True
+            pairs, sig, cfg, pre_gated=True, materialize=True
         ).count()
         w_est = time.perf_counter() - t0
         m3 = _rest_metrics(spark)

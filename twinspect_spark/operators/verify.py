@@ -139,6 +139,7 @@ def _est_filter_arrow(keep_cols: list[str], threshold: float, num_perm: int):
 def estimate_filter_candidates(
     candidates: DataFrame, signatures: DataFrame, cfg: DedupConfig,
     margin: float = 0.15, pre_gated: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """→ (a, b[, src], est): join MinHash signatures onto DISTINCT
     candidate pairs, keep pairs with lane-match estimate ≥ threshold -
@@ -156,6 +157,15 @@ def estimate_filter_candidates(
     if "mh32" in signatures.columns:
         # precomputed vectorized in the signature UDF (signatures.py)
         sig = signatures.select("file_id", "mh32")
+        if materialize:
+            # Narrow side-checkpoint: checkpoint scans cannot
+            # column-prune, so BOTH join sides below would otherwise
+            # re-read the full wide signature checkpoint (minhash arrays
+            # included) to project 2 columns — ~3.7 GB per 1M files vs
+            # 1.85 (one build scan) + 2×0.55 here. Row format on
+            # purpose: a columnar cache was measured SLOWER for
+            # checkpoint-fed consumers (BASELINE.md round-3 A/B).
+            sig = sig.localCheckpoint()
     else:
         # fallback for signature relations built elsewhere (e.g. ensemble
         # concat): top 32 bits per lane, fits int under ANSI casting

@@ -80,34 +80,19 @@ def run_dedup(
                 stage_hook(stage)  # e.g. bench REST-metrics snapshots
         return out
 
-    def cut_columnar(df: DataFrame, stage: str) -> DataFrame:
-        # Columnar twin of cut() for MULTI-CONSUMER stages with NARROW
-        # downstream projections. localCheckpoint materializes an RDD of
-        # rows and checkpoint scans cannot column-prune — every consumer
-        # re-reads the full width. InMemoryRelation scans DO prune: the
-        # estimate stage's two signature joins project (file_id, mh32)
-        # out of the wide signature relation, and against a checkpoint
-        # they re-scanned the minhash arrays too (~2.6 GB of avoidable
-        # memory traffic per 1M files, BASELINE.md round 3). persist +
-        # count keeps the two properties the stage cut exists for —
-        # eager materialization and real AQE stats at the boundary —
-        # while the cache's columnar batches give pruned consumer scans.
-        if not materialize_stages:
-            return df
-        from pyspark import StorageLevel
-
-        t0 = time.perf_counter()
-        out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()  # eager: fill the cache now, not at first consumer
-        stage_seconds[stage] = round(time.perf_counter() - t0, 2)
-        if stage_hook is not None:
-            stage_hook(stage)
-        return out
-
+    # The signatures cut stays a ROW-format localCheckpoint, measured
+    # (round 3, 1M files, local[8], best-of-2): the bucket-explode
+    # consumer reads ALL the wide columns and pays columnar-cache decode
+    # + GC dearly — capped_bucket_table over checkpoint rows 33.3 s vs
+    # 43.0 s over a compressed InMemoryRelation (156 s of GC in the full
+    # candbench) and 81.9 s uncompressed (spills). The cache's
+    # column-pruning upside for the estimate stage's narrow joins is
+    # captured instead by a narrow side-checkpoint inside
+    # estimate_filter_candidates(materialize=True).
     ingested = cut(ingest_files(files, cfg), "ingest")
 
     reps, exact_edges = collapse_exact_dups(ingested)
-    signatures = cut_columnar(compute_signatures(reps, cfg), "signatures")
+    signatures = cut(compute_signatures(reps, cfg), "signatures")
 
     # LSH bands and SimHash chunks generate candidates through ONE
     # unified bucket self-join (operators/buckets.py) — one sizes
@@ -133,7 +118,10 @@ def run_dedup(
         if stage_hook is not None:
             stage_hook("buckets")
     candidates = cut(
-        estimate_filter_candidates(deduped, signatures, cfg, pre_gated=True),
+        estimate_filter_candidates(
+            deduped, signatures, cfg, pre_gated=True,
+            materialize=materialize_stages,
+        ),
         "candidates",
     )
 

@@ -35,6 +35,7 @@ from twinspect_spark.signatures import compute_signatures
 
 SHINGLE_K = 4
 JACCARD_T = 0.7
+CONTAIN_T = 0.9
 
 # LSH config for the documents queries (recall 1.0 on >= 0.7-Jaccard
 # pairs: collision prob at s=0.7, b=32, r=4 is 1-(1-0.7^4)^32 ~ 0.9998,
@@ -187,6 +188,40 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT |A∩B| / min(|A|,|B|): the
+    sub-document duplication measure (a short doc quoted inside a long
+    one has high containment but low Jaccard — symmetric dedup misses
+    it; training pipelines filter on it for quote/boilerplate leakage).
+    Emits (a, b, containment, jaccard) for containment >= CONTAIN_T."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("i") / F.least("na", "nb"), 6).alias(
+                "containment"
+            ),
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("containment") >= CONTAIN_T)
+    )
+
+
 def _docs_as_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -229,6 +264,32 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(edges, vertices=docs)
     return cc.select(F.col("file_id").alias("doc_id"), "cluster_id")
+
+
+def q_lang_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language near-duplicate exposure: fraction of each language's
+    documents that sit in a multi-member dup cluster. The corpus-level
+    health report a training-data pipeline reads before sampling — skewed
+    per-language dup rates mean per-language dedup thresholds."""
+    clusters = q_dup_clusters(spark, sf_dir)
+    csize = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    mem = clusters.join(csize, "cluster_id").select(
+        "doc_id", (F.col("sz") > 1).alias("is_dup")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        docs.join(mem, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_dup").cast("int")).cast("long").alias(
+                "n_dup_docs"
+            ),
+            F.round(F.avg(F.col("is_dup").cast("double")), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )
 
 
 def q_simprint_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +372,26 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster → surviving doc ids."""
     cc = q_dup_clusters(spark, sf_dir)
     return cc.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+
+def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster keep the
+    member with the highest quality score (W5 top-1 window, min doc_id
+    tie-break) — what a training pipeline actually keeps, vs the min-id
+    policy of dedup_keep_canonical."""
+    from pyspark.sql import Window as W
+
+    cc = q_dup_clusters(spark, sf_dir)
+    quality = q_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        cc.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", "doc_id", "quality")
+    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1336,6 +1417,8 @@ def q_commit_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup family
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
+    "lang_dup_stats": q_lang_dup_stats,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_dedup": q_simhash_dedup,
     "dup_clusters": q_dup_clusters,
@@ -1343,6 +1426,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simprint_fields": q_simprint_fields,
     "engine_dup_clusters": q_engine_dup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
+    "dedup_keep_best_quality": q_dedup_keep_best_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dup_groups": q_exact_dup_groups,
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
@@ -1462,6 +1546,40 @@ eff AS (
 
 ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": _PAIRS_SQL,
+    "ngram_containment_pairs": f"""
+        WITH {_SH_SQL},
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT * FROM (
+          SELECT a, b,
+                 round(i * 1.0 / least(sa.n, sb.n), 6) AS containment,
+                 round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+        ) WHERE containment >= {CONTAIN_T}
+    """,
+    "lang_dup_stats": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        csize AS (
+          SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY 1
+        ),
+        mem AS (
+          SELECT c.doc_id, (sz > 1) AS is_dup
+          FROM clusters c JOIN csize USING (cluster_id)
+        )
+        SELECT d.lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs,
+               round(avg(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 6)
+                 AS dup_rate
+        FROM documents d JOIN mem ON d.doc_id = mem.doc_id
+        GROUP BY d.lang
+    """,
     "minhash_lsh_dedup": _PAIRS_SQL,
     "simhash_dedup": _PAIRS_SQL,
     "dup_clusters": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
@@ -1496,6 +1614,33 @@ ORACLE_SQL: dict[str, str] = {
         f"WITH RECURSIVE {_EDGES_CTE} "
         "SELECT doc_id FROM clusters WHERE doc_id = cluster_id"
     ),
+    "dedup_keep_best_quality": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        qt AS (
+          SELECT doc_id, lower(text) AS t, length(text) AS len
+          FROM documents
+        ),
+        qm AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(t, ' '),
+                     w -> w in {_STOPWORDS})) * 1.0
+                   / len(string_split(t, ' ')) AS stopr,
+                 len(regexp_extract_all(t, '[0-9]')) * 1.0 / len AS digr,
+                 len(regexp_extract_all(t, '[.,;:!?]')) * 1.0 / len AS punr
+          FROM qt
+        ),
+        qual AS (
+          SELECT doc_id,
+                 round(1.0 - stopr * 0.5 - digr - punr, 6) AS quality
+          FROM qm
+        )
+        SELECT cluster_id, doc_id, quality FROM (
+          SELECT c.cluster_id, c.doc_id, q.quality,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY q.quality DESC, c.doc_id) AS rn
+          FROM clusters c JOIN qual q USING (doc_id)
+        ) WHERE rn = 1
+    """,
     "doc_fingerprint": """
         SELECT doc_id,
                sha256(text) AS sha256_raw,
