@@ -188,6 +188,22 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter shingles: top 25 k-grams by DOCUMENT frequency
+    (distinct-per-doc shingles, so a shingle repeated inside one doc
+    counts once). The boilerplate detector — shingles shared by a large
+    doc fraction are license headers / templates, exactly what inflates
+    LSH buckets; at scale this is the map-side-combinable heavy-hitter
+    job you run before picking stopword-shingles to exclude."""
+    sh = _doc_shingles(spark, sf_dir)  # already distinct per doc
+    return (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("sh"))
+        .limit(25)
+    )
+
+
 def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle CONTAINMENT |A∩B| / min(|A|,|B|): the
     sub-document duplication measure (a short doc quoted inside a long
@@ -1417,6 +1433,7 @@ def q_commit_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup family
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "hot_shingles": q_hot_shingles,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "lang_dup_stats": q_lang_dup_stats,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -1546,6 +1563,13 @@ eff AS (
 
 ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": _PAIRS_SQL,
+    "hot_shingles": f"""
+        WITH {_SH_SQL}
+        SELECT sh, count(*) AS doc_freq
+        FROM sh GROUP BY sh
+        ORDER BY doc_freq DESC, sh
+        LIMIT 25
+    """,
     "ngram_containment_pairs": f"""
         WITH {_SH_SQL},
         inter AS (
