@@ -166,6 +166,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "ann_ivf_kmeans_topk",
         "embedding_srp_lsh_dup",
         "embedding_norms",
+        "minhash_estimate_pairs",
         # NOT eff_sweep_exact / distance_histogram / simhash_effectiveness
         # / ngram_jaccard_pairs / embedding_cosine_dup: brute-force
         # all-pairs oracle constructs (or metrics whose ground truth is

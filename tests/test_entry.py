@@ -18,13 +18,11 @@ def test_registry_consistent():
     osql = entrymod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 20
-    # all but the explicitly hash-dependent ones carry an oracle
-    # (ann_ivf_kmeans_topk joined the hard gate in round 3: persisted
-    # centroids let the oracle replay assignment + search in SQL)
-    assert set(qs) - set(osql) == {
-        "simhash_threshold_sweep",
-        "simhash_effectiveness",
-    }
+    # EVERY query carries a hard oracle: ann_ivf_kmeans_topk joined the
+    # gate in round 3 (persisted centroids replay assignment + search in
+    # SQL); the SimHash sweeps joined in session 3 (the signature kernels
+    # themselves replayed in SQL — queries._SIMHASH_CTE)
+    assert set(qs) - set(osql) == set()
 
 
 def test_entry_smoke(spark):

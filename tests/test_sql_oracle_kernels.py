@@ -1,0 +1,123 @@
+"""The ANSI-SQL replication of the signature kernels (queries.py
+_SIMHASH_CTE / _MINHASH_LANES_CTE) must match the Python reference
+kernels (functions/hashing.py *_py twins) bit-exactly — a third
+independent implementation of the same spec, so a divergence in the
+HUGEINT mod-2^64 arithmetic can't hide behind the driver's small corpus.
+
+DuckDB-only (no Spark session): runs in milliseconds.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from twinspect_spark.functions import hashing as H
+from twinspect_spark.queries import (
+    _MINHASH_LANES_CTE,
+    _SIMHASH_CTE,
+    _sql_splitmix64_expr,
+    DOCS_CFG,
+    DOCS_SIM_CFG,
+    SHINGLE_K,
+)
+
+MASK64 = (1 << 64) - 1
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+def test_sql_splitmix64_matches_python(con):
+    rng = random.Random(7)
+    vals = [0, 1, MASK64, 1 << 63] + [rng.getrandbits(64) for _ in range(40)]
+    exprs = ", ".join(
+        f"({_sql_splitmix64_expr(f'{v}::HUGEINT')})" for v in vals
+    )
+    got = con.sql(f"SELECT {exprs}").fetchone()
+    for v, g in zip(vals, got):
+        assert int(g) == H.splitmix64_py(v), f"splitmix64({v})"
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "ab",  # shorter than k: whole text is the one shingle
+    "aaaaaaaaaaaa",  # single repeated shingle
+    "hello world hello world xyz",
+    "",  # empty: FNV offset fold, densification from a single bin
+    "x" * 3,  # exactly k-1
+    "abcd",  # exactly k
+    "Zebra QUilt 0123 zebra quilt 0123",
+]
+
+
+def _docs_relation(texts: list[str]) -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    return f"(SELECT doc_id, lower(t) AS text FROM (VALUES {rows}) v(doc_id, t))"
+
+
+def _with_docs(cte: str, texts: list[str]) -> str:
+    """The CTEs open with `docs AS (SELECT ... FROM documents)`; point the
+    `documents` name at an inline VALUES relation."""
+    return f"WITH documents AS {_docs_relation(texts)}, {cte}"
+
+
+def test_sql_simhash_matches_python(con):
+    q = (
+        _with_docs(_SIMHASH_CTE, TEXTS)
+        + " SELECT doc_id, simhash FROM sim ORDER BY doc_id"
+    )
+    rows = con.sql(q).fetchall()
+    assert len(rows) == len(TEXTS)
+    for doc_id, simhash in rows:
+        text = TEXTS[doc_id].lower()
+        want = H.to_signed64(
+            H.simhash64_py(
+                H.shingle_hashes_py(text, SHINGLE_K), DOCS_SIM_CFG.seed
+            )
+        )
+        assert simhash == want, f"simhash doc {doc_id!r}"
+
+
+def test_sql_minhash_lanes_match_python(con):
+    q = (
+        _with_docs(_MINHASH_LANES_CTE, TEXTS)
+        + " SELECT doc_id, list(lane ORDER BY bin) FROM lanes"
+        " GROUP BY doc_id ORDER BY doc_id"
+    )
+    rows = con.sql(q).fetchall()
+    assert len(rows) == len(TEXTS)
+    for doc_id, lanes in rows:
+        text = TEXTS[doc_id].lower()
+        want = H.minhash_py(
+            H.shingle_hashes_py(text, SHINGLE_K),
+            DOCS_CFG.num_perm,
+            DOCS_CFG.seed,
+        )
+        assert [int(x) & MASK64 for x in lanes] == want, f"minhash doc {doc_id}"
+
+
+def test_sql_minhash_random_texts_property(con):
+    rng = random.Random(99)
+    alphabet = "abcdefg h\nij.,"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 120)))
+        for _ in range(12)
+    ]
+    # escape single quotes not needed for this alphabet
+    q = (
+        _with_docs(_MINHASH_LANES_CTE, texts)
+        + " SELECT doc_id, list(lane ORDER BY bin) FROM lanes"
+        " GROUP BY doc_id ORDER BY doc_id"
+    )
+    for doc_id, lanes in con.sql(q).fetchall():
+        want = H.minhash_py(
+            H.shingle_hashes_py(texts[doc_id].lower(), SHINGLE_K),
+            DOCS_CFG.num_perm,
+            DOCS_CFG.seed,
+        )
+        assert [int(x) & MASK64 for x in lanes] == want

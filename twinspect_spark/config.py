@@ -27,7 +27,8 @@ class DedupConfig:
     num_perm: int = 128            # MinHash lanes
     simhash_bits: int = 64         # SimHash width (reference code width)
     seed: int = 42                 # master seed for all hash lanes
-    normalize: str = "simple"      # "simple" (lower+ws-collapse) | "nfkc"
+    normalize: str = "simple"      # "simple" (lower+ws-collapse) | "nfkc" |
+                                   # "code" (comment-strip + simple)
 
     # --- LSH banding (MinHash candidate generation) ---
     # b bands of r = num_perm // bands rows. Collision prob at Jaccard s

@@ -55,9 +55,21 @@ def normalize_expr(col: Column, mode: str = "simple") -> Column:
     "simple": lower + whitespace collapse + trim — pure JVM expressions,
     and expressible in ANSI SQL for the DuckDB oracle.
     "nfkc": adds Unicode NFKC + control-char strip (pandas UDF).
+    "code": source-code canonicalization for the code payload — strips
+    /* */ block comments and // or # line comments before the simple
+    chain, so comment churn and reformatting (the reference's
+    transformation registry analog, config.yml:124-194) hash to the
+    same fingerprint. Regex-only (whole-stage codegen, and replayable
+    in the DuckDB oracle); string literals containing comment markers
+    are canonicalized too — documented fingerprint semantics, not a
+    parser.
     """
     if mode == "simple":
         return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    if mode == "code":
+        c = F.regexp_replace(col, r"(?s)/\*.*?\*/", " ")
+        c = F.regexp_replace(c, r"(//|#)[^\n]*", " ")
+        return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     if mode == "nfkc":
         return _nfkc_normalize(col)
     raise ValueError(f"unknown normalize mode: {mode}")

@@ -13,10 +13,17 @@ Conventions that make the Spark ↔ DuckDB comparison exact:
   string only when they appear in output.
 
 Shared text-dedup spec (k=4 char shingles over lower(text)) mirrors the
-engine's signature spec; the hash-dependent stages (MinHash/SimHash) are
-verified here by EXACT n-gram Jaccard on their candidate pairs, so
-`minhash_lsh_dedup` / `simhash_dedup` are correct iff candidate recall is
-1.0 at the chosen config — measured, and enforced by the shared oracle.
+engine's signature spec. The hash stages are verified two ways: (a)
+`minhash_lsh_dedup` / `simhash_dedup` compare candidate pairs against
+EXACT n-gram Jaccard (correct iff candidate recall is 1.0 at the chosen
+config — measured, and enforced by the shared oracle); (b) the signature
+kernels themselves (FNV-1a shingle fold, SplitMix64, OPH MinHash with
+rotation densification, sign-sum SimHash) are replayed bit-exactly in
+ANSI SQL (_SIMHASH_CTE / _MINHASH_LANES_CTE — HUGEINT mod-2^64
+arithmetic, 64-bit multiplies split into 32-bit halves), so
+`minhash_estimate_pairs`, `simhash_threshold_sweep` and
+`simhash_effectiveness` sit under the hard oracle with zero rows-only
+queries remaining.
 """
 
 from __future__ import annotations
@@ -260,6 +267,35 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash lane-match Jaccard estimates for LSH candidate pairs — the
+    engine's estimate-filter quantity under the hard oracle. The oracle
+    replays the FULL signature path in ANSI SQL (_MINHASH_LANES_CTE):
+    FNV shingle fold, SplitMix64 mix, OPH per-bin minima, rotation
+    densification, band-collision rule (r equal lanes) and the
+    bucket cap — so a single flipped lane anywhere fails the gate."""
+    _ship_package(spark)
+    sigs = compute_signatures(_docs_as_ingested(spark, sf_dir), DOCS_CFG)
+    cands = lsh_candidates(band_table(sigs, DOCS_CFG), DOCS_CFG)
+    sa = sigs.select(F.col("file_id").alias("a"), F.col("minhash").alias("ma"))
+    sb = sigs.select(F.col("file_id").alias("b"), F.col("minhash").alias("mb"))
+    n_match = F.aggregate(
+        F.zip_with("ma", "mb", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", n_match.alias("n_lane_matches"))
+        .where(F.col("n_lane_matches") >= DOCS_CFG.num_perm // 2)
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("n_lane_matches") / F.lit(DOCS_CFG.num_perm), 6),
+        )
+    )
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash Hamming-ball candidates (8 chunks, d<=7), exact
     verify — the reference's threshold Hamming search re-expressed."""
@@ -419,6 +455,53 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.sha2("text", 256).alias("sha256_raw"),
         F.sha2(norm, 256).alias("fingerprint"),
+    )
+
+
+def q_code_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-payload canonical fingerprint: sha256 over the "code"
+    normalization (comment strip + lower + whitespace collapse), with
+    the raw→normalized length delta — comment churn and reformatting
+    (the reference transformation-registry analog) collapse to one
+    fingerprint."""
+    from twinspect_spark.ingest import normalize_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_expr(F.col("text"), "code")
+    return docs.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("fingerprint"),
+        F.length("text").cast("long").alias("raw_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+def q_decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: near-dup matches between the
+    training split and a held-out eval split (deterministic split:
+    doc_id % 20 == 0 is eval). Engine path — LSH banding candidates
+    cross-split, exact-Jaccard verify at the dedup threshold — then
+    per-training-doc contamination stats. The anti-join of the result
+    against the corpus is the decontaminated training set; emitting the
+    matches (not the survivors) keeps the gate output small and the
+    evidence auditable."""
+    _ship_package(spark)
+    sigs = compute_signatures(_docs_as_ingested(spark, sf_dir), DOCS_CFG)
+    cands = lsh_candidates(band_table(sigs, DOCS_CFG), DOCS_CFG)
+    pairs = _exact_jaccard_pairs(spark, sf_dir, candidates=cands).where(
+        F.col("jaccard") >= JACCARD_T
+    )
+    a_eval = F.col("a") % 20 == 0
+    b_eval = F.col("b") % 20 == 0
+    cross = pairs.where(a_eval != b_eval)
+    train_doc = F.when(a_eval, F.col("b")).otherwise(F.col("a"))
+    return (
+        cross.select(train_doc.alias("doc_id"), "jaccard")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_eval_matches"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
     )
 
 
@@ -1283,8 +1366,8 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 on the real hash distance: macro-averaged effectiveness of
     SimHash Hamming matching (thresholds 0..7) against exact-Jaccard
-    ground truth. Hash-dependent → rows-only driver check; the
-    aggregation machinery is SQL-verified by q_eff_sweep_exact."""
+    ground truth. Hard-oracled: the SimHash signature itself is replayed
+    in ANSI SQL (_SIMHASH_CTE) and the scoring mirrors _EFF_CTE."""
     from twinspect_spark.metrics import effectiveness
 
     _ship_package(spark)
@@ -1300,8 +1383,9 @@ def q_simhash_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A6 analog: precision/recall/F1 of SimHash Hamming matching at
-    each threshold 0..7, against exact-Jaccard ground truth. Hash-
-    dependent → no SQL oracle (driver records rows-only)."""
+    each threshold 0..7, against exact-Jaccard ground truth. Hard-oracled:
+    the 64-bit SimHash (FNV shingle fold + SplitMix64 + sign-sum) is
+    replayed bit-exactly in ANSI SQL via _SIMHASH_CTE."""
     _ship_package(spark)
     sigs = compute_signatures(_docs_as_ingested(spark, sf_dir), DOCS_SIM_CFG)
     cands = simhash_candidates(sigs, DOCS_SIM_CFG)  # a, b, hamming
@@ -1437,6 +1521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "lang_dup_stats": q_lang_dup_stats,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "minhash_estimate_pairs": q_minhash_estimate_pairs,
     "simhash_dedup": q_simhash_dedup,
     "dup_clusters": q_dup_clusters,
     "dup_clusters_distributed": q_dup_clusters_distributed,
@@ -1445,6 +1530,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "dedup_keep_best_quality": q_dedup_keep_best_quality,
     "doc_fingerprint": q_doc_fingerprint,
+    "code_normalize_fingerprint": q_code_normalize_fingerprint,
+    "decontaminate_vs_eval": q_decontaminate_vs_eval,
     "exact_dup_groups": q_exact_dup_groups,
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "commit_latest_snapshot": q_commit_latest_snapshot,
@@ -1561,6 +1648,186 @@ eff AS (
 """
 
 
+# --------------------------------------------------------------------------
+# SQL replication of the SimHash signature — the engine's FNV-1a codepoint
+# fold + SplitMix64 finalizer + sign-sum SimHash (functions/hashing.py) are
+# replayed bit-exactly in ANSI SQL so the two hash-dependent sweeps sit
+# under the hard DuckDB oracle instead of the weaker rows-only check.
+# All arithmetic is HUGEINT mod 2^64; 64-bit multiplies are split into
+# 32-bit halves so no intermediate exceeds the 128-bit HUGEINT ceiling.
+# --------------------------------------------------------------------------
+
+_M64 = "18446744073709551616::HUGEINT"  # 2^64
+
+
+def _sql_mulmod64(x: str, m: int) -> str:
+    """(x * m) mod 2^64 for x in [0, 2^64): x = xh*2^32 + xl →
+    (xl*m + ((xh*m) mod 2^32) * 2^32) mod 2^64 — every intermediate
+    stays below 2^97, inside HUGEINT."""
+    return (
+        f"((({x}) % 4294967296) * {m}::HUGEINT"
+        f" + ((((({x}) // 4294967296) * {m}::HUGEINT) % 4294967296)"
+        f" * 4294967296)) % {_M64}"
+    )
+
+
+def _sql_splitmix64_steps(src: str, col: str) -> str:
+    """Chained CTEs applying the SplitMix64 finalizer to column ``col``
+    of relation ``src`` (stepwise, one xor-shift/multiply per CTE, to
+    keep expression nesting linear)."""
+    from twinspect_spark.functions.hashing import SM_MUL1, SM_MUL2
+
+    s1 = f"xor({col}, {col} // 1073741824)"  # z ^= z >> 30
+    s3 = "xor(z1, z1 // 134217728)"  # z ^= z >> 27
+    return f"""
+_sm1 AS (SELECT doc_id, {_sql_mulmod64(s1, SM_MUL1)} AS z1 FROM {src}),
+_sm2 AS (SELECT doc_id, {_sql_mulmod64(s3, SM_MUL2)} AS z2 FROM _sm1),
+mx AS (SELECT doc_id, xor(z2, z2 // 2147483648) AS m FROM _sm2)
+"""
+
+
+def _sql_hash_mix(seed_key: int) -> str:
+    """CTE chain ``sh → shh → mx(doc_id, m)``: FNV-1a fold of each
+    shingle's codepoints, then SplitMix64 of (hash ^ seed_key) — the
+    shared front half of both signature kernels. DISTINCT on the FNV
+    hash (not the shingle string) mirrors np.unique over hashes in
+    shingle_hashes()."""
+    from twinspect_spark.functions.hashing import FNV_OFFSET, FNV_PRIME
+
+    fnv_step = _sql_mulmod64("xor(h, c)", FNV_PRIME)
+    return f"""
+shh AS (
+  -- list_filter guards the empty-text edge: string_split('','') yields
+  -- [''] whose unicode() is -1, while the Python fold over no codepoints
+  -- returns the bare FNV offset
+  SELECT DISTINCT doc_id,
+         list_reduce(
+           list_prepend({FNV_OFFSET}::HUGEINT,
+                        list_transform(
+                          list_filter(string_split(sh, ''), c -> c <> ''),
+                          c -> unicode(c)::HUGEINT)),
+           (h, c) -> {fnv_step}) AS h
+  FROM sh
+),
+mx0 AS (SELECT doc_id, xor(h, {seed_key}::HUGEINT) AS z FROM shh),
+{_sql_splitmix64_steps("mx0", "z")}
+"""
+
+
+def _build_simhash_cte() -> str:
+    """CTE chain ``docs → … → sim(doc_id, simhash)`` computing the
+    engine's 64-bit SimHash per document in pure SQL."""
+    from twinspect_spark.functions.hashing import SIMHASH_SALT
+
+    seed_key = (SIMHASH_SALT + DOCS_SIM_CFG.seed) & ((1 << 64) - 1)
+    # sign-sum votes per bit; code = Σ 2^b over bits with positive vote
+    code = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (m // {1 << b}::HUGEINT) % 2 = 1"
+        f" THEN 1 ELSE -1 END) > 0 THEN {1 << b}::HUGEINT"
+        f" ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+{_SH_SQL},
+{_sql_hash_mix(seed_key)},
+sim AS (
+  SELECT doc_id,
+         CAST(CASE WHEN code >= 9223372036854775808::HUGEINT
+                   THEN code - {_M64} ELSE code END AS BIGINT) AS simhash
+  FROM (SELECT doc_id, ({code}) AS code FROM mx GROUP BY doc_id)
+)
+"""
+
+
+def _build_minhash_lanes_cte() -> str:
+    """CTE chain ``docs → … → lanes(doc_id, bin, lane)``: the engine's
+    One-Permutation-Hashing MinHash (per-bin minima over one SplitMix64
+    pass, empty bins rotation-densified from the nearest originally
+    filled bin to the left, circular) replayed in pure SQL — the
+    maximum.accumulate donor scan becomes a running window max."""
+    from twinspect_spark.functions.hashing import _master_key
+
+    p = DOCS_CFG.num_perm
+    key = _master_key(DOCS_CFG.seed)
+    dense_val = _sql_splitmix64_expr(f"(dv + dist)::HUGEINT % {_M64}")
+    return f"""
+{_SH_SQL},
+{_sql_hash_mix(key)},
+binmin AS (
+  SELECT doc_id, CAST(m % {p} AS INT) AS bin, min(m) AS v
+  FROM mx GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.doc_id, CAST(g.b AS INT) AS bin, bm.v
+  FROM (SELECT DISTINCT doc_id FROM docs) d
+  CROSS JOIN (SELECT unnest(range(0, {p})) AS b) g
+  LEFT JOIN binmin bm ON bm.doc_id = d.doc_id AND bm.bin = g.b
+),
+donored AS (
+  SELECT doc_id, bin, v,
+         max(CASE WHEN v IS NOT NULL THEN bin END)
+           OVER (PARTITION BY doc_id ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dl,
+         max(CASE WHEN v IS NOT NULL THEN bin END)
+           OVER (PARTITION BY doc_id) AS dmax
+  FROM grid
+),
+lanes AS (
+  SELECT doc_id, bin,
+         CASE WHEN v IS NOT NULL THEN v ELSE {dense_val} END AS lane
+  FROM (
+    SELECT g.doc_id, g.bin, g.v,
+           ((g.bin - coalesce(g.dl, g.dmax)) % {p} + {p}) % {p} AS dist,
+           b2.v AS dv
+    FROM donored g LEFT JOIN donored b2
+      ON b2.doc_id = g.doc_id AND b2.bin = coalesce(g.dl, g.dmax)
+  )
+)
+"""
+
+
+def _sql_splitmix64_expr(z: str) -> str:
+    """SplitMix64 as ONE nested expression (for use inside a projection
+    where chained CTEs aren't available)."""
+    from twinspect_spark.functions.hashing import SM_MUL1, SM_MUL2
+
+    s1 = f"xor(({z}), ({z}) // 1073741824)"
+    s2 = _sql_mulmod64(s1, SM_MUL1)
+    s3 = f"xor(({s2}), ({s2}) // 134217728)"
+    s4 = _sql_mulmod64(s3, SM_MUL2)
+    return f"xor(({s4}), ({s4}) // 2147483648)"
+
+
+_SIMHASH_CTE = _build_simhash_cte()
+_MINHASH_LANES_CTE = _build_minhash_lanes_cte()
+
+# candidate pairs exactly as simhash_candidates() emits them: the
+# pigeonhole chunk join guarantees recall for hamming <= chunks-1, then
+# the <= hamming_threshold post-filter makes the set EXACTLY all pairs
+# within the ball — so brute-force + popcount is the faithful oracle.
+_SIMHASH_CAND_CTE = f"""
+{_SIMHASH_CTE},
+cand AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b,
+         bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+  FROM sim sa JOIN sim sb ON sa.doc_id < sb.doc_id
+  WHERE bit_count(xor(sa.simhash, sb.simhash))
+        <= {DOCS_SIM_CFG.hamming_threshold}
+),
+ginter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+gtp AS (
+  SELECT a, b FROM ginter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_T}
+)
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": _PAIRS_SQL,
     "hot_shingles": f"""
@@ -1605,6 +1872,44 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY d.lang
     """,
     "minhash_lsh_dedup": _PAIRS_SQL,
+    # full OPH MinHash signature + banding replayed in SQL: candidates are
+    # pairs sharing all r lanes of >=1 band (bucket cap mirrored); the
+    # lane-match count verifies every one of the 128 lanes bit-exactly
+    "minhash_estimate_pairs": f"""
+        WITH {_MINHASH_LANES_CTE},
+        bandvals AS (
+          SELECT doc_id, bin // {DOCS_CFG.rows_per_band} AS band_idx,
+                 list(lane ORDER BY bin) AS bv
+          FROM lanes GROUP BY 1, 2
+        ),
+        keep AS (
+          SELECT band_idx, bv FROM bandvals GROUP BY 1, 2
+          HAVING count(*) > 1 AND count(*) <= {DOCS_CFG.max_band_bucket}
+        ),
+        kb AS (
+          SELECT b.doc_id, b.band_idx, b.bv
+          FROM bandvals b SEMI JOIN keep k
+            ON b.band_idx = k.band_idx AND b.bv = k.bv
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM kb x JOIN kb y
+            ON x.band_idx = y.band_idx AND x.bv = y.bv
+           AND x.doc_id < y.doc_id
+        ),
+        mc AS (
+          SELECT la.doc_id AS a, lb.doc_id AS b, count(*) AS n
+          FROM lanes la JOIN lanes lb
+            ON la.bin = lb.bin AND la.lane = lb.lane
+           AND la.doc_id < lb.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.a, c.b, CAST(n AS BIGINT) AS n_lane_matches,
+               round(CAST(n AS DOUBLE) / {DOCS_CFG.num_perm}, 6)
+                 AS est_jaccard
+        FROM cand c JOIN mc ON mc.a = c.a AND mc.b = c.b
+        WHERE n >= {DOCS_CFG.num_perm // 2}
+    """,
     "simhash_dedup": _PAIRS_SQL,
     "dup_clusters": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
     "dup_clusters_distributed": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
@@ -1664,6 +1969,31 @@ ORACLE_SQL: dict[str, str] = {
                                     ORDER BY q.quality DESC, c.doc_id) AS rn
           FROM clusters c JOIN qual q USING (doc_id)
         ) WHERE rn = 1
+    """,
+    "code_normalize_fingerprint": """
+        WITH norm AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(lower(
+                   regexp_replace(
+                     regexp_replace(text, '(?s)/\\*.*?\\*/', ' ', 'g'),
+                     '(//|#)[^\n]*', ' ', 'g')),
+                 '\\s+', ' ', 'g')) AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               sha256(t) AS fingerprint,
+               CAST(length(text) AS BIGINT) AS raw_len,
+               CAST(length(t) AS BIGINT) AS norm_len
+        FROM norm
+    """,
+    "decontaminate_vs_eval": f"""
+        WITH pr AS ({_PAIRS_SQL})
+        SELECT CASE WHEN a % 20 = 0 THEN b ELSE a END AS doc_id,
+               count(*) AS n_eval_matches,
+               round(max(jaccard), 6) AS max_jaccard
+        FROM pr
+        WHERE (a % 20 = 0) <> (b % 20 = 0)
+        GROUP BY 1
     """,
     "doc_fingerprint": """
         SELECT doc_id,
@@ -2271,6 +2601,84 @@ ORACLE_SQL: dict[str, str] = {
                coalesce(best, 0) * 1.0 / length(s) >= 0.6 AS verified
         FROM pr LEFT JOIN hits ON hits.a = pr.a AND hits.b = pr.b
     """,
-    # simhash_threshold_sweep / simhash_effectiveness:
-    # intentionally no oracle (hash-dependent)
+    # hash-dependent sweeps: the SimHash signature itself is replayed in
+    # ANSI SQL (_SIMHASH_CTE — FNV fold + SplitMix64 in HUGEINT mod-2^64
+    # arithmetic), so these sit under the hard oracle like everything else
+    "simhash_threshold_sweep": f"""
+        WITH {_SIMHASH_CAND_CTE},
+        gt_total AS (SELECT count(*) AS n_gt FROM gtp),
+        sweep AS (
+          SELECT CAST(t.threshold AS INT) AS threshold,
+                 count(*) AS n_found,
+                 CAST(sum(CASE WHEN g.a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tp
+          FROM cand c
+          LEFT JOIN gtp g ON g.a = c.a AND g.b = c.b
+          CROSS JOIN (SELECT unnest(range(0,
+                        {DOCS_SIM_CFG.hamming_threshold + 1})) AS threshold) t
+          WHERE c.hamming <= t.threshold
+          GROUP BY 1
+        )
+        SELECT threshold, n_found, tp,
+               round(p, 6) AS precision,
+               round(r, 6) AS recall,
+               round(2 * p * r / (p + r), 6) AS f1
+        FROM (
+          SELECT threshold, n_found, tp,
+                 CAST(tp AS DOUBLE) / n_found AS p,
+                 CAST(tp AS DOUBLE) / n_gt AS r
+          FROM sweep CROSS JOIN gt_total
+        )
+        ORDER BY threshold
+    """,
+    "simhash_effectiveness": f"""
+        WITH {_SIMHASH_CAND_CTE},
+        f2 AS (
+          SELECT a AS query, b AS other, hamming AS d FROM cand
+          UNION ALL SELECT b, a, hamming FROM cand
+        ),
+        g2 AS (
+          SELECT a AS query, b AS other, 1 AS is_gt FROM gtp
+          UNION ALL SELECT b, a, 1 FROM gtp
+        ),
+        j AS (
+          SELECT coalesce(f2.query, g2.query) AS query,
+                 coalesce(g2.is_gt, 0) AS is_gt,
+                 f2.d AS d
+          FROM f2 FULL OUTER JOIN g2
+            ON f2.query = g2.query AND f2.other = g2.other
+        ),
+        t AS (SELECT CAST(unnest(range(0,
+                 {DOCS_SIM_CFG.hamming_threshold + 1})) AS DOUBLE)
+              AS threshold),
+        perq AS (
+          SELECT query, threshold,
+                 sum(CASE WHEN d <= threshold AND is_gt = 1
+                     THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN d <= threshold AND is_gt = 0
+                     THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN is_gt = 1 AND (d IS NULL OR d > threshold)
+                     THEN 1 ELSE 0 END) AS fn
+          FROM j CROSS JOIN t GROUP BY query, threshold
+        ),
+        pr AS (
+          SELECT threshold,
+                 CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END AS p,
+                 CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) END AS r
+          FROM perq
+        )
+        SELECT threshold,
+               round(avg(p), 6) AS avg_precision,
+               round(coalesce(stddev_samp(p), 0), 6) AS std_precision,
+               round(avg(r), 6) AS avg_recall,
+               round(coalesce(stddev_samp(r), 0), 6) AS std_recall,
+               count(p) AS n_queries_with_results,
+               count(r) AS n_queries_with_gt,
+               round(CASE WHEN round(avg(p), 6) + round(avg(r), 6) > 0
+                          THEN 2 * round(avg(p), 6) * round(avg(r), 6)
+                               / (round(avg(p), 6) + round(avg(r), 6))
+                          ELSE 0 END, 6) AS f1
+        FROM pr GROUP BY threshold
+        ORDER BY threshold
+    """,
 }
