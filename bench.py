@@ -166,7 +166,11 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "ann_ivf_kmeans_topk",
         "embedding_srp_lsh_dup",
         "embedding_norms",
-        "minhash_estimate_pairs",
+        # NOT minhash_estimate_pairs: it deliberately materializes the
+        # RAW high-recall (b=32, r=4) candidate stream and compares all
+        # 128 lanes per pair — a signature-verification oracle construct,
+        # not a scale path (the scale path gates pairs on packed 8-bit
+        # prefixes inside the join; benched via e2e_dedup_pipeline)
         # NOT eff_sweep_exact / distance_histogram / simhash_effectiveness
         # / ngram_jaccard_pairs / embedding_cosine_dup: brute-force
         # all-pairs oracle constructs (or metrics whose ground truth is

@@ -101,6 +101,43 @@ def test_sql_minhash_lanes_match_python(con):
         assert [int(x) & MASK64 for x in lanes] == want, f"minhash doc {doc_id}"
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # lowercase-stable alphabet (lower() is identity in BOTH engines, so
+    # the property isolates the hash kernels, not Unicode case folding);
+    # includes multibyte, combining-mark and astral codepoints — DuckDB
+    # string_split('') must agree with Python ord() per codepoint
+    _ALPHA = "abcxyz0189 .,\n\t éßλ中🎉́"
+
+    @given(
+        st.lists(
+            st.text(alphabet=_ALPHA, min_size=0, max_size=120),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_sql_kernels_hypothesis_unicode(texts):
+        c = duckdb.connect()
+        q = (
+            _with_docs(_MINHASH_LANES_CTE, texts)
+            + " SELECT doc_id, list(lane ORDER BY bin) FROM lanes"
+            " GROUP BY doc_id ORDER BY doc_id"
+        )
+        for doc_id, lanes in c.sql(q).fetchall():
+            want = H.minhash_py(
+                H.shingle_hashes_py(texts[doc_id].lower(), SHINGLE_K),
+                DOCS_CFG.num_perm,
+                DOCS_CFG.seed,
+            )
+            assert [int(x) & MASK64 for x in lanes] == want
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def test_sql_minhash_random_texts_property(con):
     rng = random.Random(99)
     alphabet = "abcdefg h\nij.,"

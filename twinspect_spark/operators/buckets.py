@@ -15,6 +15,11 @@ latency that 4× the cores cannot shrink):
 * bucket sizes come from a COUNT window over the single exchange the
   self-join needs anyway — no second aggregation pass, no broadcast of
   a megarow sizes relation;
+* the (space, bucket_idx, bucket_key) triple is packed into ONE long
+  before that exchange (capped_bucket_table) — UnsafeRow spends an
+  8-byte slot per column, so the pack cuts 16 bytes/row off the
+  byte-heaviest shuffle and makes every downstream hash/compare a
+  single-long operation;
 * the capped table is materialized ONCE (localCheckpoint) and both join
   sides read it — the naive composed plan re-exploded the signature
   table six times and re-aggregated sizes four times;
@@ -98,9 +103,28 @@ def capped_bucket_table(
     from pyspark.sql import Window as W
 
     b = bucket_table(signatures, cfg, with_prefix=prefix_gate)
-    keys = ["space", "bucket_idx", "bucket_key"]
+    # pack (space, bucket_idx, bucket_key) into ONE long before the
+    # exchange: bits 63..62 space, 61..56 bucket_idx, 55..0 the low 56
+    # bits of the key. This is the byte-heaviest shuffle in the
+    # pipeline and UnsafeRow spends an 8-byte slot per column — packing
+    # drops 16 bytes/row. Truncating the 64-bit band hash to 56 bits
+    # can only MERGE buckets (a superset of candidate pairs, cleaned by
+    # the gates/verify downstream) — recall is preserved by
+    # construction; the collision rate at 2^56 per band is negligible.
+    if cfg.bands > 64 or cfg.simhash_chunks > 64:
+        raise ValueError(
+            "packed bucket key supports at most 64 buckets per space"
+        )
+    packed = (
+        F.shiftleft(F.col("space").cast("long"), 62)
+        .bitwiseOR(F.shiftleft(F.col("bucket_idx").cast("long"), 56))
+        .bitwiseOR(F.col("bucket_key").bitwiseAND(F.lit((1 << 56) - 1)))
+    )
+    b = b.withColumn("bucket", packed).drop(
+        "space", "bucket_idx", "bucket_key"
+    )
     kept = (
-        b.withColumn("count", F.count("*").over(W.partitionBy(*keys)))
+        b.withColumn("count", F.count("*").over(W.partitionBy("bucket")))
         .where(
             (F.col("count") > 1) & (F.col("count") <= cfg.max_band_bucket)
         )
@@ -154,10 +178,12 @@ def bucket_pairs(
     semantics."""
     from pyspark.sql import Window as W
 
-    keys = ["space", "bucket_idx", "bucket_key"]
+    keys = ["bucket"]  # packed (space, bucket_idx, bucket_key) long
     payload = [c for c in kept.columns if c not in (*keys, "count")]
 
-    hamming_ok = (F.col("space") == 0) | (
+    # space rides in the top 2 bits of the packed key
+    is_lsh = F.shiftrightunsigned(F.col("bucket"), 62) == 0
+    hamming_ok = is_lsh | (
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         <= cfg.hamming_threshold
     )
@@ -167,7 +193,7 @@ def bucket_pairs(
         if prefix_gate
         else F.lit(True)
     )
-    src_col = F.when(F.col("space") == 0, "lsh").otherwise("simhash")
+    src_col = F.when(is_lsh, "lsh").otherwise("simhash")
 
     def side(df: DataFrame, tag: str) -> DataFrame:
         cols = [F.col("file_id").alias("a" if tag == "a" else "b"),
@@ -223,7 +249,7 @@ def bucket_pairs(
             F.greatest("file_id", "nxt_id").alias("b"),
             F.col("simhash").alias("sim_a"),
             F.col("nxt_sim").alias("sim_b"),
-            "space",
+            "bucket",
             *(
                 [f"mpa{c[2:]}" for c in payload if c.startswith("mp")]
                 + [f"mpb{c[2:]}" for c in payload if c.startswith("mp")]
