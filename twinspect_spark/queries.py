@@ -1511,6 +1511,57 @@ def q_commit_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# training-data export ops (training.py)
+# --------------------------------------------------------------------------
+
+SAMPLE_QUOTA = 20
+EXPORT_TOKEN_BUDGET = 10_000
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample (training-data mixing):
+    the SAMPLE_QUOTA hash-smallest docs of each language. Reference
+    idiom: seeded deterministic sampling (ultils.py:18-31) — membership
+    is a pure function of doc_id, invariant to partitioning."""
+    from twinspect_spark.training import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", "doc_id", SAMPLE_QUOTA)
+
+
+def q_training_export_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curriculum export: docs in deterministic
+    pseudo-random order until EXPORT_TOKEN_BUDGET cumulative tokens.
+    Spark plan is the DISTRIBUTED prefix sum (bucketed offsets +
+    within-bucket windows — no global single-task sort); the oracle is
+    the naive global window, so the gate proves the two-pass
+    decomposition bit-equal to the global cumsum."""
+    from twinspect_spark.training import token_budget_export
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    out = token_budget_export(docs, "doc_id", "n_tokens", EXPORT_TOKEN_BUDGET)
+    return out.select("doc_id", "n_tokens", "cum_tokens")
+
+
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub statistics: per-doc URL/email/IP/long-digit-run match
+    counts on progressively redacted text + sha256 of the redacted text.
+    (The synthetic corpus plants no PII, so counts are zero and the
+    fingerprint equals sha256(text) — the pattern semantics themselves
+    are pytest-gated on planted PII in tests/test_training_ops.py; this
+    row keeps the full redaction chain under the SQL oracle.)"""
+    from twinspect_spark.training import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pii_scrub(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1535,6 +1586,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dup_groups": q_exact_dup_groups,
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "commit_latest_snapshot": q_commit_latest_snapshot,
+    # training-data export
+    "stratified_sample": q_stratified_sample,
+    "training_export_budget": q_training_export_budget,
+    "pii_scrub_stats": q_pii_scrub_stats,
     # text analysis
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -2051,6 +2106,68 @@ ORACLE_SQL: dict[str, str] = {
                cast(count(*) AS bigint) AS n_distinct_bigrams,
                round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
         FROM c GROUP BY doc_id
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang, rank_in_stratum FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ) AS rank_in_stratum
+            FROM documents)
+        WHERE rank_in_stratum <= 20
+    """,
+    "training_export_budget": """
+        WITH t AS (
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 AS h,
+                   len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, cum_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   cast(sum(n_tokens) OVER (ORDER BY h, doc_id) AS bigint)
+                       AS cum_tokens
+            FROM t)
+        WHERE cum_tokens <= 10000
+    """,
+    "pii_scrub_stats": """
+        WITH s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                       AS n_url,
+                   regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g')
+                       AS t1
+            FROM documents
+        ), s2 AS (
+            SELECT doc_id, n_url,
+                   len(regexp_extract_all(
+                       t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                   )) AS n_email,
+                   regexp_replace(
+                       t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'
+                   ) AS t2
+            FROM s1
+        ), s3 AS (
+            SELECT doc_id, n_url, n_email,
+                   len(regexp_extract_all(
+                       t2,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'
+                   )) AS n_ip,
+                   regexp_replace(
+                       t2,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IP>', 'g'
+                   ) AS t3
+            FROM s2
+        )
+        SELECT doc_id, n_url, n_email, n_ip,
+               len(regexp_extract_all(t3, '[0-9]{8,}')) AS n_idnum,
+               sha256(regexp_replace(t3, '[0-9]{8,}', '<ID>', 'g'))
+                   AS redacted_sha256
+        FROM s3
     """,
     "token_stats": """
         SELECT doc_id,
