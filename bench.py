@@ -155,6 +155,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "events_hourly",
         "token_stats",
         "quality_scores",
+        "stratified_sample",
+        "training_export_budget",
+        "pii_scrub_stats",
         "char_entropy",
         "commit_latest_snapshot",
         "repeated_span_stats",
