@@ -104,6 +104,26 @@ def test_token_budget_bucket_pruning(spark):
         prev = r.cum_tokens
 
 
+def test_shard_assignment_stable_and_balanced(spark):
+    from twinspect_spark.training import shard_assignment
+
+    docs = _docs(spark, n=400)
+    out = shard_assignment(docs, "doc_id", 8)
+    rows = {r.doc_id: r.shard for r in out.collect()}
+    assert len(rows) == 400
+    for d, s in rows.items():
+        assert s == ((d * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD) % 8
+    # appending more docs never reassigns existing ones
+    bigger = shard_assignment(_docs(spark, n=800), "doc_id", 8)
+    for r in bigger.collect():
+        if r.doc_id in rows:
+            assert rows[r.doc_id] == r.shard
+    # rough balance: every shard populated, none >2x the mean
+    per = out.groupBy("shard").count().collect()
+    assert len(per) == 8
+    assert max(r["count"] for r in per) <= 2 * 400 / 8
+
+
 def test_pii_scrub_planted(spark):
     txt = (
         "contact me at alice.smith+x@example.co.uk or via "

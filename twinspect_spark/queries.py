@@ -1548,6 +1548,35 @@ def q_training_export_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "cum_tokens")
 
 
+EXPORT_N_SHARDS = 16
+
+
+def q_training_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-shard balance audit: deterministic hash-shard assignment
+    (training.shard_assignment) + per-shard doc/token totals — the check
+    a pipeline runs before writing `partitionBy(shard)` training files.
+    Map-side-combinable groupBy; shard membership is a pure function of
+    doc_id (stable under corpus appends)."""
+    from twinspect_spark.training import shard_assignment
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return (
+        shard_assignment(docs, "doc_id", EXPORT_N_SHARDS)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
 def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub statistics: per-doc URL/email/IP/long-digit-run match
     counts on progressively redacted text + sha256 of the redacted text.
@@ -1589,6 +1618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # training-data export
     "stratified_sample": q_stratified_sample,
     "training_export_budget": q_training_export_budget,
+    "training_export_shards": q_training_export_shards,
     "pii_scrub_stats": q_pii_scrub_stats,
     # text analysis
     "token_stats": q_token_stats,
@@ -2131,6 +2161,21 @@ ORACLE_SQL: dict[str, str] = {
                        AS cum_tokens
             FROM t)
         WHERE cum_tokens <= 10000
+    """,
+    "training_export_shards": """
+        WITH t AS (
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 % 16 AS shard,
+                   len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS n_tokens
+            FROM documents
+        )
+        SELECT shard,
+               count(*) AS n_docs,
+               cast(sum(n_tokens) AS bigint) AS total_tokens,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM t GROUP BY shard
     """,
     "pii_scrub_stats": """
         WITH s1 AS (

@@ -123,6 +123,20 @@ def token_budget_export(
     )
 
 
+def shard_assignment(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Deterministic export-shard assignment: ``shard = hash(id) mod
+    n_shards``. The write-side idiom at scale is
+    ``df.repartition(n_shards, "shard").write.partitionBy("shard")`` —
+    one shuffle keyed on the same column the files are laid out by, so
+    readers get shard-pruned scans. Assignment is a pure function of the
+    id (stable across reruns/partitionings: appending a corpus delta
+    never reassigns an existing doc's shard).
+    """
+    return df.withColumn(
+        "shard", F.pmod(sample_hash(F.col(id_col)), F.lit(n_shards))
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
