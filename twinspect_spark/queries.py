@@ -70,6 +70,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t, but guarantees the scan is at least default-parallelism
+    wide. Generator-amplifying queries (explode of per-position grams /
+    bigrams) inherit the SCAN's partitioning — a single small parquet
+    file otherwise serializes the entire explode+aggregate into one
+    task. The repartition is conditional: on a real multi-file/row-group
+    table the scan already arrives parallel and no shuffle is added."""
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # --------------------------------------------------------------------------
 # documents: shared shingle relations
 # --------------------------------------------------------------------------
@@ -614,7 +628,7 @@ def q_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents. Scale shape: explode → groupBy(gram) with map-side
     combine → broadcast-joinable per-gram doc counts → one re-join on
     gram; no all-pairs, no collect."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", F.explode(_word_grams(7)).alias("gram")
     )
@@ -1462,7 +1476,7 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity H = log2(n) − Σ c·log2(c)/n so Spark and the oracle run
     the same FP ops; everything is codegen'd column expressions over
     two hash aggregations (explode → count → per-doc fold)."""
-    t = _t(spark, sf_dir, "documents").select(
+    t = _t_par(spark, sf_dir, "documents").select(
         "doc_id", F.lower("text").alias("t")
     )
     g = t.selectExpr(
