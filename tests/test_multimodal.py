@@ -114,3 +114,27 @@ def test_filter_media(spark):
         for r in filter_media(df, min_bytes=100, max_duration_s=60).collect()
     }
     assert got == {1, 2}
+
+
+def test_resize_fixed_payload_and_sampling(media):
+    from twinspect_spark.multimodal import resize_media
+
+    out = {r.media_id: r for r in resize_media(media, 4, 4).collect()}
+    blobs = {r.media_id: bytes(r.content) for r in media.collect()}
+    assert set(out) == set(blobs)
+    for mid, r in out.items():
+        assert (r.width, r.height) == (4, 4)
+        assert len(r.thumb) == 16  # constant payload regardless of input
+        src = np.frombuffer(blobs[mid], dtype=np.uint8)
+        if src.size == 0:
+            assert bytes(r.thumb) == bytes(16)
+        else:
+            idx = (np.arange(16, dtype=np.int64) * src.size) // 16
+            assert bytes(r.thumb) == src[idx].tobytes()
+
+
+def test_resize_real_backend_is_explicit_stub(media):
+    from twinspect_spark.multimodal import resize_media
+
+    with pytest.raises(NotImplementedError):
+        resize_media(media, backend="real")

@@ -168,3 +168,52 @@ def frame_sample(media: DataFrame, every: int = 4096) -> DataFrame:
             )
 
     return media.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, thumb binary"
+
+
+def resize_media(
+    media: DataFrame, width: int = 8, height: int = 8, backend: str = "fake"
+) -> DataFrame:
+    """Thumbnail/resize stage: fixed-size payload per blob — the
+    image/video preprocessing step between decode and feature
+    extraction. ``fake`` backend produces a deterministic width×height
+    byte grid by nearest-neighbor sampling of the raw byte stream
+    (``idx_i = i * n_bytes // (w*h)``, zero-padded when the blob is
+    shorter) so the Spark plumbing — 1→1 mapInPandas, declared binary
+    output schema, Arrow batch shape, constant output size per row — is
+    real and testable; ``real`` is the PIL/pyav seam (not installed
+    here). Output payload is w*h bytes regardless of input size, which
+    is the property downstream batch-stacking (np.stack over Arrow
+    batches) relies on.
+    """
+    if backend == "real":
+        raise NotImplementedError(
+            "real resize requires PIL/pyav (not installed); plug the"
+            " codec into the fake sampler's slot"
+        )
+    if backend != "fake":
+        raise ValueError(f"unknown resize backend: {backend}")
+    m = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for blob in pdf["content"]:
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                if arr.size == 0:
+                    thumbs.append(bytes(m))
+                    continue
+                idx = (np.arange(m, dtype=np.int64) * arr.size) // m
+                thumbs.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "thumb": thumbs,
+                }
+            )
+
+    return media.mapInPandas(gen, schema=RESIZED_SCHEMA)
