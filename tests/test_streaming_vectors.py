@@ -115,3 +115,38 @@ def test_search_recall_and_partition_pruning(store, spark):
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters", 1
     )[1][:200]
+
+
+def test_compact_merges_generations_and_stream_continues(spark, tmp_path):
+    from twinspect_spark.operators.ann import train_ivf_centroids
+
+    rng = np.random.default_rng(11)
+    rows = _vecs(rng, 60)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = train_ivf_centroids(
+        df, k=4, sample_size=60, seed=1, iters=5,
+        id_col="vec_id", vec_col="embedding",
+    )
+    st = VectorStore(spark, str(tmp_path / "v3"), cent)
+    for bid in range(3):
+        st.process_batch(df.where((F.col("vec_id") % 3) == bid), bid)
+    assert st.compact() == 60
+    with open(os.path.join(st.path, "_meta.json")) as f:
+        m = json.load(f)
+    assert m == {"format": 1, "hwm": -1, "extra": [-1]}
+    assert st.read().count() == 60
+    # old batch dirs are gone; exactly one generation dir remains
+    dirs = sorted(os.listdir(os.path.join(st.path, "cells")))
+    assert dirs == ["batch_id=-1"]
+    # the stream keeps appending with its own (non-colliding) ids
+    extra = spark.createDataFrame(
+        [(1000, rows[0][1])], "vec_id long, embedding array<double>"
+    )
+    st.process_batch(extra, 3)
+    assert st.read().count() == 61
+    assert sorted(st.committed_ids()) == [-1, 3]
+    # second compaction uses a fresh generation below the first
+    assert st.compact() == 61
+    dirs = sorted(os.listdir(os.path.join(st.path, "cells")))
+    assert dirs == ["batch_id=-2"]
+    assert st.read().count() == 61

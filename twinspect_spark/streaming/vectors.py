@@ -121,6 +121,38 @@ class VectorStore:
         """The function to hand to ``writeStream.foreachBatch``."""
         return lambda df, bid: self.process_batch(df, int(bid))
 
+    def compact(self) -> int:
+        """Merge all committed batch directories into a single base
+        batch (id 0) — the LSM compaction that keeps the read fan-in
+        bounded on a long-running stream (same idiom as
+        incremental.py's snapshot resolve). Write-then-commit ordering:
+        the merged directory is written under a fresh batch id ABOVE the
+        current high-water mark first, then _meta is atomically rewritten
+        to point only at it, then stale directories are removed — a crash
+        at any point leaves a readable store. Returns rows compacted."""
+        import shutil
+
+        ids = self.committed_ids()
+        if len(ids) <= 1:
+            return 0
+        merged = self.read()
+        n = merged.count()
+        # generations live at NEGATIVE ids: they can never collide with a
+        # future Structured Streaming batch id (always >= 0), and each
+        # compaction writes a FRESH directory (one below the oldest
+        # generation) so a live base is never overwritten in place
+        gen = min(-1, min(ids) - 1)
+        gen_dir = os.path.join(self.path, f"cells/batch_id={gen}")
+        merged.write.mode("overwrite").partitionBy("cell").parquet(gen_dir)
+        # single atomic switch: the store points only at the merged
+        # generation — no window where it reads empty or half-swapped
+        self._write_meta({"format": STORE_FORMAT, "hwm": -1, "extra": [gen]})
+        for b in ids:  # stale dirs are uncommitted leftovers from here on
+            d = os.path.join(self.path, f"cells/batch_id={b}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        return n
+
     # -- read / search ------------------------------------------------
     def read(self) -> DataFrame:
         ids = self.committed_ids()
