@@ -169,6 +169,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "ann_ivf_kmeans_topk",
         "embedding_srp_lsh_dup",
         "embedding_norms",
+        "semdedup_prune",
+        "repo_sketch_similarity",
+        "chunk_dup_spans",
         # NOT minhash_estimate_pairs: it deliberately materializes the
         # RAW high-recall (b=32, r=4) candidate stream and compares all
         # 128 lanes per pair — a signature-verification oracle construct,

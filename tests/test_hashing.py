@@ -70,3 +70,25 @@ def test_signed_roundtrip():
     for x in [0, 1, 2**63 - 1, 2**63, 2**64 - 1]:
         s = H.to_signed64(x)
         assert H.to_unsigned64(s) == x
+
+
+def test_binmin_union_algebra():
+    """binmin(A ∪ B) == elementwise-min(binmin(A), binmin(B)) — the
+    property the repo-level sketch rollup (operators/sketch.py) rests
+    on — and minhash == densify(binmin) (refactor is behavior-equal)."""
+    rng = random.Random(7)
+    p, seed = 128, 1
+    for _ in range(10):
+        a = np.array(
+            rng.sample(range(1, 1 << 60), rng.randint(1, 300)), dtype=np.uint64
+        )
+        b = np.array(
+            rng.sample(range(1, 1 << 60), rng.randint(1, 300)), dtype=np.uint64
+        )
+        u = np.union1d(a, b)
+        bm_u = H.minhash_binmin(u, p, seed)
+        bm_min = np.minimum(
+            H.minhash_binmin(a, p, seed), H.minhash_binmin(b, p, seed)
+        )
+        assert (bm_u == bm_min).all()
+        assert (H.minhash(u, p, seed) == H.densify_binmin(bm_u)).all()

@@ -132,6 +132,7 @@ def _master_key(seed: int) -> int:
 
 
 _EMPTY = np.iinfo(np.uint64).max
+EMPTY_BIN = _EMPTY  # public sentinel for pre-densification bin minima
 
 
 def minhash(
@@ -150,12 +151,35 @@ def minhash(
     this guards direct callers only)."""
     if sh.size == 0:
         raise ValueError("minhash: empty shingle set has no signature")
+    return densify_binmin(minhash_binmin(sh, num_perm, seed))
+
+
+def minhash_binmin(sh: np.ndarray, num_perm: int, seed: int) -> np.ndarray:
+    """Pre-densification half of the OPH spec: per-bin minima of the
+    mixed shingle hashes, uint64[num_perm] with ``EMPTY_BIN`` sentinel
+    for bins no shingle landed in.
+
+    Unlike the densified signature, bin minima COMPOSE under set union:
+    binmin(A ∪ B) = elementwise-min(binmin(A), binmin(B)) — the algebra
+    that lets per-document sketches roll up to repo/source-level
+    sketches without touching the shingles again."""
     m = splitmix64(sh.astype(_U64, copy=False) ^ _U64(_master_key(seed)))
     bins = (m % _U64(num_perm)).astype(np.int64)
-    out = np.full(num_perm, _EMPTY, dtype=_U64)
+    out = np.full(num_perm, EMPTY_BIN, dtype=_U64)
     np.minimum.at(out, bins, m)
-    filled = out != _EMPTY
+    return out
+
+
+def densify_binmin(binmin: np.ndarray) -> np.ndarray:
+    """Rotation densification (Shrivastava & Li, ICML'14): each empty
+    bin borrows from the nearest originally-filled bin to its left
+    (circular), re-mixed with the distance so borrowed lanes stay
+    pairwise-independent. Input uses the ``EMPTY_BIN`` sentinel; at
+    least one bin must be filled."""
+    out = binmin.astype(_U64, copy=True)
+    filled = out != EMPTY_BIN
     if not filled.all():
+        num_perm = len(out)
         idx = np.arange(num_perm, dtype=np.int64)
         donor = np.where(filled, idx, -1)
         np.maximum.accumulate(donor, out=donor)

@@ -1605,6 +1605,121 @@ def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# documents: repo-level sketch rollup, SemDeDup, chunk-granular dedup
+# --------------------------------------------------------------------------
+
+CHUNK_W = 16  # words per disjoint chunk (chunk-granular exact dedup)
+SEMDEDUP_EPS = 0.4  # embedding-cosine duplicate threshold (COSINE_DUP_T)
+SEMDEDUP_CENTROIDS_PATH = "/tmp/twinspect_semdedup_centroids.parquet"
+
+
+def q_repo_sketch_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level (here: `source`-level) estimated shingle-set Jaccard
+    between every pair of corpora, from MinHash sketch ALGEBRA rather
+    than content joins: per-doc pre-densification bin minima roll up by
+    elementwise min (binmin(A∪B) = min(binmin(A), binmin(B)) —
+    operators/sketch.py), then one densification per group and a
+    (bin, lane) inverted-index join. The fork / vendored-corpus /
+    mirror detector: at 10^8 repos the sketches are p rows each and the
+    content is never re-read. The oracle recomputes each source's
+    sketch directly from its unioned shingle set (_MINHASH_SRC_LANES —
+    the same OPH kernel replayed in SQL over source-keyed shingles), so
+    the gate proves the union algebra exactly."""
+    from twinspect_spark.operators.sketch import (
+        doc_binmin,
+        group_sketch,
+        sketch_pair_similarity,
+    )
+
+    _ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.lower("text").alias("t")
+    )
+    bm = doc_binmin(docs, DOCS_CFG, id_col="source", text_col="t")
+    lanes = group_sketch(bm, "source", DOCS_CFG)
+    return sketch_pair_similarity(lanes, DOCS_CFG.num_perm)
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) over the embeddings
+    table: k-means cells from the persisted IVF quantizer, within-cell
+    cosine >= eps duplicate graph, connected components, keep the
+    member FARTHEST from its centroid (lowest centroid-cosine, vec_id
+    tie-break). Emits the pruned rows with their kept replacement —
+    anti-join against the corpus yields the deduplicated set. The
+    DuckDB oracle replays assignment + in-cell pairs + a recursive
+    reachability CC against the SAME persisted centroid table."""
+    from twinspect_spark.operators.ann import (
+        cached_ivf_centroids,
+        save_centroids,
+    )
+    from twinspect_spark.operators.semdedup import semdedup_prune
+
+    _ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    tok = os.path.basename(sf_dir.rstrip("/")) or "default"
+    cent = cached_ivf_centroids(
+        spark, emb, IVF_CACHE_ROOT, tok, k=IVF_KM_K, sample_size=1024, seed=42
+    )
+    save_centroids(spark, cent, SEMDEDUP_CENTROIDS_PATH)
+    cdf = F.broadcast(spark.read.parquet(SEMDEDUP_CENTROIDS_PATH))
+
+    from pyspark.sql import Window as W
+
+    n = _normed_embeddings(spark, sf_dir)
+    scored = n.crossJoin(cdf).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "cid",
+        F.round(
+            F.expr(_DOT.format(x="embedding", y="cemb")) / F.col("nrm"), 6
+        ).alias("c"),
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cid"))
+    members = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .where("rn = 1")
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.col("cid").alias("cell"),
+            F.col("c").alias("ccos"),
+        )
+    )
+    return semdedup_prune(members, SEMDEDUP_EPS)
+
+
+def q_chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular exact dedup (the tractable tier of Lee et al.,
+    "Deduplicating Training Data Makes LMs Better", arXiv:2107.06499,
+    exact-substring dedup): disjoint W-word windows, hashed and grouped;
+    chunks appearing in more than one document are shared boilerplate /
+    quoted spans that document-level near-dup misses. Pure column
+    expressions (split → sequence/slice chunking → hash groupBy) —
+    whole-stage codegen, map-side-combinable, no UDF."""
+    t = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    ch = t.selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(0, cast((size(w) + {CHUNK_W - 1}) div {CHUNK_W} as int) - 1),"
+        f" j -> concat_ws(' ', slice(w, j * {CHUNK_W} + 1, {CHUNK_W})))) AS chunk",
+    )
+    return (
+        ch.groupBy(F.sha2("chunk", 256).alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.min(F.length("chunk")).alias("chunk_chars"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1623,6 +1738,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_dup_clusters": q_engine_dup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "dedup_keep_best_quality": q_dedup_keep_best_quality,
+    "repo_sketch_similarity": q_repo_sketch_similarity,
+    "semdedup_prune": q_semdedup_prune,
+    "chunk_dup_spans": q_chunk_dup_spans,
     "doc_fingerprint": q_doc_fingerprint,
     "code_normalize_fingerprint": q_code_normalize_fingerprint,
     "decontaminate_vs_eval": q_decontaminate_vs_eval,
@@ -1838,19 +1956,23 @@ sim AS (
 """
 
 
-def _build_minhash_lanes_cte() -> str:
+def _build_minhash_lanes_cte(sh_sql: str = None) -> str:
     """CTE chain ``docs → … → lanes(doc_id, bin, lane)``: the engine's
     One-Permutation-Hashing MinHash (per-bin minima over one SplitMix64
     pass, empty bins rotation-densified from the nearest originally
     filled bin to the left, circular) replayed in pure SQL — the
-    maximum.accumulate donor scan becomes a running window max."""
+    maximum.accumulate donor scan becomes a running window max.
+
+    ``sh_sql`` swaps the leading shingle relations (docs(doc_id) +
+    sh(doc_id, sh)) so the same kernel replays over any entity — e.g.
+    doc_id := source for the repo-level sketch rollup."""
     from twinspect_spark.functions.hashing import _master_key
 
     p = DOCS_CFG.num_perm
     key = _master_key(DOCS_CFG.seed)
     dense_val = _sql_splitmix64_expr(f"(dv + dist)::HUGEINT % {_M64}")
     return f"""
-{_SH_SQL},
+{sh_sql if sh_sql is not None else _SH_SQL},
 {_sql_hash_mix(key)},
 binmin AS (
   SELECT doc_id, CAST(m % {p} AS INT) AS bin, min(m) AS v
@@ -1899,6 +2021,21 @@ def _sql_splitmix64_expr(z: str) -> str:
 
 _SIMHASH_CTE = _build_simhash_cte()
 _MINHASH_LANES_CTE = _build_minhash_lanes_cte()
+
+# source-keyed shingle relations: doc_id := source, shingles unioned
+# across the source's documents (DISTINCT happens at the hash level in
+# _sql_hash_mix, mirroring np.unique in shingle_hashes)
+_SH_SRC_SQL = f"""
+srcdocs AS (SELECT source, lower(text) AS t FROM documents),
+docs AS (SELECT DISTINCT source AS doc_id FROM srcdocs),
+sh AS (
+  SELECT source AS doc_id,
+         unnest(list_distinct([substr(t, i, {SHINGLE_K})
+                               for i in range(1, greatest(length(t) - {SHINGLE_K - 2}, 2))])) AS sh
+  FROM srcdocs
+)
+"""
+_MINHASH_SRC_LANES_CTE = _build_minhash_lanes_cte(_SH_SRC_SQL)
 
 # candidate pairs exactly as simhash_candidates() emits them: the
 # pigeonhole chunk join guarantees recall for hamming <= chunks-1, then
@@ -2068,6 +2205,101 @@ ORACLE_SQL: dict[str, str] = {
                                     ORDER BY q.quality DESC, c.doc_id) AS rn
           FROM clusters c JOIN qual q USING (doc_id)
         ) WHERE rn = 1
+    """,
+    "repo_sketch_similarity": f"""
+        WITH {_MINHASH_SRC_LANES_CTE},
+        m AS (
+          SELECT a.doc_id AS src_a, b.doc_id AS src_b, count(*) AS lanes_match
+          FROM lanes a JOIN lanes b
+            ON a.bin = b.bin AND a.lane = b.lane AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        allp AS (
+          SELECT a.doc_id AS src_a, b.doc_id AS src_b
+          FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        )
+        SELECT allp.src_a, allp.src_b,
+               cast(coalesce(lanes_match, 0) AS bigint) AS lanes_match,
+               round(coalesce(lanes_match, 0) * 1.0 / {DOCS_CFG.num_perm}, 6)
+                 AS est_jaccard
+        FROM allp LEFT JOIN m
+          ON m.src_a = allp.src_a AND m.src_b = allp.src_b
+    """,
+    "semdedup_prune": f"""
+        WITH RECURSIVE n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> cast(x AS double) * cast(x AS double)))) AS nrm
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT cid, cemb
+          FROM read_parquet('{SEMDEDUP_CENTROIDS_PATH}/*.parquet')
+        ),
+        scored AS (
+          SELECT n.vec_id, cid,
+                 round(list_sum(list_transform(list_zip(n.embedding, cemb),
+                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                       / n.nrm, 6) AS c
+          FROM n CROSS JOIN cent
+        ),
+        ranked AS (
+          SELECT vec_id, cid, c,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY c DESC, cid) AS rn
+          FROM scored
+        ),
+        asg AS (SELECT vec_id, cid AS cell, c AS ccos FROM ranked WHERE rn = 1),
+        mem AS (
+          SELECT n.vec_id, n.embedding, n.nrm, asg.cell, asg.ccos
+          FROM n JOIN asg ON n.vec_id = asg.vec_id
+        ),
+        edges AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_sum(list_transform(
+                  list_zip(a.embedding, b.embedding),
+                  p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                / (a.nrm * b.nrm), 6) >= {SEMDEDUP_EPS}
+        ),
+        sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges),
+        reach(s, d) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+        ),
+        comp AS (
+          SELECT v.s AS vec_id, least(v.s, coalesce(min(r.d), v.s)) AS cluster_id
+          FROM (SELECT DISTINCT s FROM sym) v LEFT JOIN reach r ON r.s = v.s
+          GROUP BY v.s
+        ),
+        rk AS (
+          SELECT c.vec_id, c.cluster_id, m.cell, m.ccos,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY m.ccos ASC, c.vec_id ASC) AS krn
+          FROM comp c JOIN mem m ON m.vec_id = c.vec_id
+        ),
+        keep AS (SELECT cluster_id, vec_id AS keep_id FROM rk WHERE krn = 1)
+        SELECT r.vec_id, k.keep_id, r.cell, r.ccos AS cos_to_centroid
+        FROM rk r JOIN keep k ON k.cluster_id = r.cluster_id
+        WHERE r.krn > 1
+    """,
+    "chunk_dup_spans": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        ch AS (
+          SELECT doc_id,
+                 array_to_string(
+                   w[j * {CHUNK_W} + 1 : j * {CHUNK_W} + {CHUNK_W}], ' ') AS chunk
+          FROM t, unnest(range(0, (len(w) + {CHUNK_W - 1}) // {CHUNK_W})) AS u(j)
+        )
+        SELECT sha256(chunk) AS chunk_hash,
+               count(distinct doc_id) AS n_docs,
+               count(*) AS n_occurrences,
+               min(doc_id) AS first_doc,
+               cast(min(length(chunk)) AS int) AS chunk_chars
+        FROM ch GROUP BY 1 HAVING count(distinct doc_id) > 1
     """,
     "code_normalize_fingerprint": """
         WITH norm AS (
