@@ -1719,6 +1719,105 @@ def q_chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered dedup ladder: label every document with the STRONGEST
+    dedup tier that flags it — ``exact`` (normalized-fingerprint twin,
+    D1/D5), ``near`` (shingle Jaccard >= {JACCARD_T}, the J2 semantics),
+    ``containment`` (asymmetric |A∩B|/min >= {CONTAIN_T}: sub-document
+    quotes symmetric Jaccard misses), ``chunk`` (shares a disjoint
+    {CHUNK_W}-word span with another doc — boilerplate leakage), else
+    ``unique``. This is the per-document routing table a tiered
+    training-data pipeline acts on: drop exact, cluster-and-keep-one
+    near, span-scrub chunk.
+
+    One shingle self-join feeds BOTH pair tiers (near + containment are
+    thresholds over the same (inter, sizes) matrix), the exact tier is
+    a map-side-combinable fingerprint groupBy, the chunk tier a chunk-
+    hash groupBy — no UDFs anywhere. At 100 TB the pair matrix comes
+    from LSH candidates for the near tier and a prefix-filter index for
+    the containment tier; the thresholds and the CASE ladder are
+    unchanged (this query IS the oracle tier at driver scale, like
+    q_ngram_jaccard_pairs)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    fp = q_doc_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
+    gsz = fp.groupBy("fingerprint").agg(F.count("*").alias("g"))
+    ex = fp.join(gsz, "fingerprint").select(
+        "doc_id", (F.col("g") - 1).cast("long").alias("n_exact_peers")
+    )
+
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    pm = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("i") / F.least("na", "nb"), 6).alias("c"),
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("j"),
+        )
+    )
+    # the matrix feeds four per-doc rollups (near/contain × a/b side);
+    # without the cut each branch re-runs the shingle self-join
+    pm = pm.localCheckpoint()
+
+    def _peer_counts(pairs: DataFrame, out: str) -> DataFrame:
+        ends = pairs.select(F.col("a").alias("doc_id")).unionAll(
+            pairs.select(F.col("b").alias("doc_id"))
+        )
+        return ends.groupBy("doc_id").agg(F.count("*").cast("long").alias(out))
+
+    nearp = _peer_counts(pm.where(F.col("j") >= JACCARD_T), "n_near_peers")
+    conp = _peer_counts(pm.where(F.col("c") >= CONTAIN_T), "n_contain_peers")
+
+    t = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    ch = t.selectExpr(
+        "doc_id",
+        f"explode(array_distinct(transform("
+        f"  sequence(0, cast((size(w) + {CHUNK_W - 1}) div {CHUNK_W} as int) - 1),"
+        f"  j -> sha2(concat_ws(' ', slice(w, j * {CHUNK_W} + 1, {CHUNK_W})), 256)))) AS h",
+    )
+    shared = ch.groupBy("h").agg(F.count("*").alias("nd")).where(F.col("nd") > 1)
+    chd = (
+        ch.join(shared.select("h"), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_chunks"))
+    )
+
+    z = F.lit(0).cast("long")
+    res = (
+        docs.join(ex, "doc_id", "left")
+        .join(nearp, "doc_id", "left")
+        .join(conp, "doc_id", "left")
+        .join(chd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_exact_peers", z).alias("n_exact_peers"),
+            F.coalesce("n_near_peers", z).alias("n_near_peers"),
+            F.coalesce("n_contain_peers", z).alias("n_contain_peers"),
+            F.coalesce("n_shared_chunks", z).alias("n_shared_chunks"),
+        )
+    )
+    return res.withColumn(
+        "tier",
+        F.when(F.col("n_exact_peers") > 0, "exact")
+        .when(F.col("n_near_peers") > 0, "near")
+        .when(F.col("n_contain_peers") > 0, "containment")
+        .when(F.col("n_shared_chunks") > 0, "chunk")
+        .otherwise("unique"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1741,6 +1840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repo_sketch_similarity": q_repo_sketch_similarity,
     "semdedup_prune": q_semdedup_prune,
     "chunk_dup_spans": q_chunk_dup_spans,
+    "dedup_tier_assignment": q_dedup_tier_assignment,
     "doc_fingerprint": q_doc_fingerprint,
     "code_normalize_fingerprint": q_code_normalize_fingerprint,
     "decontaminate_vs_eval": q_decontaminate_vs_eval,
@@ -2300,6 +2400,75 @@ ORACLE_SQL: dict[str, str] = {
                min(doc_id) AS first_doc,
                cast(min(length(chunk)) AS int) AS chunk_chars
         FROM ch GROUP BY 1 HAVING count(distinct doc_id) > 1
+    """,
+    "dedup_tier_assignment": f"""
+        WITH {_SH_SQL},
+        fp AS (
+          SELECT doc_id,
+                 sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+          FROM documents
+        ),
+        gsz AS (SELECT fingerprint, count(*) AS g FROM fp GROUP BY 1),
+        ex AS (
+          SELECT doc_id, g - 1 AS n_exact_peers
+          FROM fp JOIN gsz USING (fingerprint)
+        ),
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pm AS (
+          SELECT a, b,
+                 round(i * 1.0 / least(sa.n, sb.n), 6) AS c,
+                 round(i * 1.0 / (sa.n + sb.n - i), 6) AS j
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+        ),
+        nearp AS (
+          SELECT doc_id, count(*) AS n FROM (
+            SELECT a AS doc_id FROM pm WHERE j >= {JACCARD_T}
+            UNION ALL SELECT b FROM pm WHERE j >= {JACCARD_T}
+          ) GROUP BY 1
+        ),
+        conp AS (
+          SELECT doc_id, count(*) AS n FROM (
+            SELECT a AS doc_id FROM pm WHERE c >= {CONTAIN_T}
+            UNION ALL SELECT b FROM pm WHERE c >= {CONTAIN_T}
+          ) GROUP BY 1
+        ),
+        w AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        ch AS (
+          SELECT DISTINCT doc_id,
+                 sha256(array_to_string(
+                   w[j * {CHUNK_W} + 1 : j * {CHUNK_W} + {CHUNK_W}], ' ')) AS h
+          FROM w, unnest(range(0, (len(w) + {CHUNK_W - 1}) // {CHUNK_W})) AS u(j)
+        ),
+        shared AS (SELECT h FROM ch GROUP BY h HAVING count(*) > 1),
+        chd AS (
+          SELECT doc_id, count(*) AS n_shared_chunks
+          FROM ch WHERE h IN (SELECT h FROM shared) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               cast(coalesce(ex.n_exact_peers, 0) AS bigint) AS n_exact_peers,
+               cast(coalesce(nearp.n, 0) AS bigint) AS n_near_peers,
+               cast(coalesce(conp.n, 0) AS bigint) AS n_contain_peers,
+               cast(coalesce(chd.n_shared_chunks, 0) AS bigint)
+                 AS n_shared_chunks,
+               CASE WHEN coalesce(ex.n_exact_peers, 0) > 0 THEN 'exact'
+                    WHEN coalesce(nearp.n, 0) > 0 THEN 'near'
+                    WHEN coalesce(conp.n, 0) > 0 THEN 'containment'
+                    WHEN coalesce(chd.n_shared_chunks, 0) > 0 THEN 'chunk'
+                    ELSE 'unique' END AS tier
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN ex USING (doc_id)
+        LEFT JOIN nearp USING (doc_id)
+        LEFT JOIN conp USING (doc_id)
+        LEFT JOIN chd USING (doc_id)
     """,
     "code_normalize_fingerprint": """
         WITH norm AS (
