@@ -1609,6 +1609,9 @@ def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 CHUNK_W = 16  # words per disjoint chunk (chunk-granular exact dedup)
+WINNOW_K = 8  # winnowing gram width (chars of normalized code)
+WINNOW_W = 8  # winnowing window (hashes); guarantee span = k + w - 1
+WINNOW_SIM_T = 0.5  # shared/min fingerprint-overlap report threshold
 SEMDEDUP_EPS = 0.4  # embedding-cosine duplicate threshold (COSINE_DUP_T)
 SEMDEDUP_CENTROIDS_PATH = "/tmp/twinspect_semdedup_centroids.parquet"
 
@@ -1818,6 +1821,29 @@ def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing clone detection (Schleimer et al. SIGMOD'03 / MOSS)
+    over code-normalized text: k={WINNOW_K}-gram positional hashes,
+    w={WINNOW_W} window minima with rightmost tie-break — any shared
+    run >= k+w-1 normalized chars is GUARANTEED to share a fingerprint,
+    so pasted functions surface even at low whole-doc Jaccard. Pairs
+    scored shared/min(|A|,|B|) over distinct fingerprints. The oracle
+    replays the full kernel in ANSI SQL: positional FNV fold + SplitMix
+    (carry-columns variant of the shared replay), explicit window
+    min + rightmost-argmax selection — a single flipped or mis-selected
+    fingerprint anywhere fails the gate."""
+    from twinspect_spark.ingest import normalize_expr
+    from twinspect_spark.operators.winnow import clone_pairs, make_winnow_udf
+
+    _ship_package(spark)
+    docs = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", normalize_expr(F.col("text"), "code").alias("t")
+    )
+    udf = make_winnow_udf(WINNOW_K, WINNOW_W, DOCS_CFG.seed)
+    fps = docs.select("doc_id", F.explode(udf(F.col("t"))).alias("fp"))
+    return clone_pairs(fps, WINNOW_SIM_T)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1841,6 +1867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_prune": q_semdedup_prune,
     "chunk_dup_spans": q_chunk_dup_spans,
     "dedup_tier_assignment": q_dedup_tier_assignment,
+    "winnow_clone_pairs": q_winnow_clone_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "code_normalize_fingerprint": q_code_normalize_fingerprint,
     "decontaminate_vs_eval": q_decontaminate_vs_eval,
@@ -1988,18 +2015,19 @@ def _sql_mulmod64(x: str, m: int) -> str:
     )
 
 
-def _sql_splitmix64_steps(src: str, col: str) -> str:
+def _sql_splitmix64_steps(src: str, col: str, carry: str = "doc_id") -> str:
     """Chained CTEs applying the SplitMix64 finalizer to column ``col``
     of relation ``src`` (stepwise, one xor-shift/multiply per CTE, to
-    keep expression nesting linear)."""
+    keep expression nesting linear). ``carry`` columns pass through
+    untouched (e.g. "doc_id, pos" for position-keyed gram hashes)."""
     from twinspect_spark.functions.hashing import SM_MUL1, SM_MUL2
 
     s1 = f"xor({col}, {col} // 1073741824)"  # z ^= z >> 30
     s3 = "xor(z1, z1 // 134217728)"  # z ^= z >> 27
     return f"""
-_sm1 AS (SELECT doc_id, {_sql_mulmod64(s1, SM_MUL1)} AS z1 FROM {src}),
-_sm2 AS (SELECT doc_id, {_sql_mulmod64(s3, SM_MUL2)} AS z2 FROM _sm1),
-mx AS (SELECT doc_id, xor(z2, z2 // 2147483648) AS m FROM _sm2)
+_sm1 AS (SELECT {carry}, {_sql_mulmod64(s1, SM_MUL1)} AS z1 FROM {src}),
+_sm2 AS (SELECT {carry}, {_sql_mulmod64(s3, SM_MUL2)} AS z2 FROM _sm1),
+mx AS (SELECT {carry}, xor(z2, z2 // 2147483648) AS m FROM _sm2)
 """
 
 
@@ -2136,6 +2164,75 @@ sh AS (
 )
 """
 _MINHASH_SRC_LANES_CTE = _build_minhash_lanes_cte(_SH_SRC_SQL)
+
+
+def _build_winnow_cte() -> str:
+    """CTE chain ``documents → … → fps(doc_id, fp) + fsz(doc_id, nf)``:
+    the winnowing kernel (operators/winnow.py) replayed in ANSI SQL —
+    positional k-gram FNV fold + SplitMix64 (carry-columns replay),
+    explicit per-window min, rightmost-argmax selection, distinct
+    selected hashes."""
+    from twinspect_spark.functions.hashing import FNV_OFFSET, FNV_PRIME
+    from twinspect_spark.operators.winnow import winnow_key
+
+    key = winnow_key(DOCS_CFG.seed)
+    k, w = WINNOW_K, WINNOW_W
+    fnv_step = _sql_mulmod64("xor(h, c)", FNV_PRIME)
+    return f"""
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(
+           regexp_replace(
+             regexp_replace(text, '(?s)/\\*.*?\\*/', ' ', 'g'),
+             '(//|#)[^\n]*', ' ', 'g')),
+         '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, substr(t, i, {k}) AS g
+  FROM norm, unnest(range(1, greatest(length(t) - {k} + 1, 1) + 1)) AS u(i)
+),
+gh AS (
+  SELECT doc_id, pos,
+         list_reduce(
+           list_prepend({FNV_OFFSET}::HUGEINT,
+                        list_transform(
+                          list_filter(string_split(g, ''), c -> c <> ''),
+                          c -> unicode(c)::HUGEINT)),
+           (h, c) -> {fnv_step}) AS h
+  FROM grams
+),
+mx0 AS (SELECT doc_id, pos, xor(h, {key}::HUGEINT) AS z FROM gh),
+{_sql_splitmix64_steps("mx0", "z", carry="doc_id, pos")},
+cnt AS (SELECT doc_id, count(*) AS mm FROM mx GROUP BY 1),
+wins AS (
+  SELECT x.doc_id, x.pos AS s, least(c.mm, {w}) AS span
+  FROM mx x JOIN cnt c USING (doc_id)
+  WHERE x.pos <= greatest(c.mm - {w} + 1, 1)
+),
+wmin AS (
+  SELECT v.doc_id, v.s, v.span, min(g.m) AS mv
+  FROM wins v JOIN mx g
+    ON g.doc_id = v.doc_id AND g.pos BETWEEN v.s AND v.s + v.span - 1
+  GROUP BY 1, 2, 3
+),
+selpos AS (
+  SELECT w1.doc_id, w1.s, max(g.pos) AS pos
+  FROM wmin w1 JOIN mx g
+    ON g.doc_id = w1.doc_id AND g.pos BETWEEN w1.s AND w1.s + w1.span - 1
+   AND g.m = w1.mv
+  GROUP BY 1, 2
+),
+fps AS (
+  SELECT DISTINCT g.doc_id, g.m AS fp
+  FROM (SELECT DISTINCT doc_id, pos FROM selpos) p
+  JOIN mx g ON g.doc_id = p.doc_id AND g.pos = p.pos
+),
+fsz AS (SELECT doc_id, count(*) AS nf FROM fps GROUP BY 1)
+"""
+
+
+_WINNOW_CTE = _build_winnow_cte()
 
 # candidate pairs exactly as simhash_candidates() emits them: the
 # pigeonhole chunk join guarantees recall for hamming <= chunks-1, then
@@ -2469,6 +2566,19 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN nearp USING (doc_id)
         LEFT JOIN conp USING (doc_id)
         LEFT JOIN chd USING (doc_id)
+    """,
+    "winnow_clone_pairs": f"""
+        WITH {_WINNOW_CTE},
+        shp AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared_fps
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a, b, cast(shared_fps AS bigint) AS shared_fps,
+               round(shared_fps * 1.0 / least(fa.nf, fb.nf), 6) AS winnow_sim
+        FROM shp JOIN fsz fa ON fa.doc_id = a JOIN fsz fb ON fb.doc_id = b
+        WHERE round(shared_fps * 1.0 / least(fa.nf, fb.nf), 6)
+              >= {WINNOW_SIM_T}
     """,
     "code_normalize_fingerprint": """
         WITH norm AS (
