@@ -172,6 +172,15 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "semdedup_prune",
         "repo_sketch_similarity",
         "chunk_dup_spans",
+        "doc_dup_span_stats",
+        "winnow_clone_pairs",
+        "shingle_cardinality_sketch",
+        "top_terms_tfidf",
+        "token_length_quantiles",
+        # NOT dedup_tier_assignment: its near/containment tiers read the
+        # brute-force shingle pair matrix (the oracle-tier construct, like
+        # ngram_jaccard_pairs) — the engine path for each tier is benched
+        # via e2e_dedup_pipeline / chunk_dup_spans / winnow_clone_pairs
         # NOT minhash_estimate_pairs: it deliberately materializes the
         # RAW high-recall (b=32, r=4) candidate stream and compares all
         # 128 lanes per pair — a signature-verification oracle construct,

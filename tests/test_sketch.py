@@ -100,3 +100,59 @@ def test_semdedup_cell_fence(spark):
         "vec_id long, embedding array<double>, nrm double, cell int, ccos double",
     )
     assert semdedup_prune(members, eps=0.5).count() == 0
+
+
+# ---------------------------------------------------------------- HLL sketch
+
+
+def test_hll_bitlength_exact():
+    """The 6-step binary-search bit length must match int.bit_length
+    exactly — float log2 would round wrong above 2^53."""
+    from twinspect_spark.operators.sketch import HLL_RHO_MAX, hll_registers
+
+    vals = [0, 1, 2, (1 << 53) - 1, 1 << 53, (1 << 54) - 1, (1 << 56) - 1]
+    # register 0 for all: multiply by 256 so payload == val
+    mixed = np.array([v * 256 for v in vals], dtype=np.uint64)
+    regs = hll_registers(mixed)
+    assert regs[0] == max(HLL_RHO_MAX - v.bit_length() for v in vals)
+    for v in vals:
+        single = hll_registers(np.array([v * 256], dtype=np.uint64))
+        assert single[0] == HLL_RHO_MAX - v.bit_length()
+
+
+def test_hll_register_union_algebra():
+    """registers(A ∪ B) == elementwise-max(registers(A), registers(B))."""
+    import random
+
+    from twinspect_spark.operators.sketch import hll_registers
+
+    rng = random.Random(13)
+    a = np.array(rng.sample(range(1 << 62), 5000), dtype=np.uint64)
+    b = np.array(rng.sample(range(1 << 62), 5000), dtype=np.uint64)
+    u = np.union1d(a, b)
+    assert (
+        hll_registers(u)
+        == np.maximum(hll_registers(a), hll_registers(b))
+    ).all()
+
+
+def test_hll_estimate_accuracy(spark):
+    """Estimate within 4 sigma (1.04/sqrt(256) ≈ 6.5% per sigma) of the
+    true cardinality across two orders of magnitude."""
+    from twinspect_spark.operators.sketch import HLL_M, hll_estimate, hll_registers
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for gi, n in enumerate([1000, 20000, 100000]):
+        # full-range uint64, like the mixed production hashes — a
+        # smaller range biases every payload's leading-zero count
+        hashes = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+        regs = hll_registers(np.unique(hashes))
+        rows += [(str(gi), int(r), int(regs[r])) for r in range(HLL_M)]
+    df = spark.createDataFrame(rows, "group_key string, register int, rho int")
+    est = {
+        r.group_key: r.est_distinct
+        for r in hll_estimate(df, "group_key").collect()
+    }
+    for gi, n in enumerate([1000, 20000, 100000]):
+        assert abs(est[str(gi)] - n) / n < 4 * 1.04 / np.sqrt(HLL_M)

@@ -46,6 +46,7 @@ from twinspect_spark.functions import hashing as H
 # pandas path never sees nullable int64, which pandas would widen to
 # float64 and silently round above 2^53).
 _ORDER_FLIP = np.uint64(1 << 63)
+_U64 = np.uint64
 
 
 def make_binmin_udf(cfg: DedupConfig):
@@ -117,6 +118,99 @@ def group_sketch(binmin_rows: DataFrame, group_col: str, cfg: DedupConfig) -> Da
         )
 
     return rolled.groupBy("group_key").applyInPandas(_densify, _LANES_SCHEMA)
+
+
+# ----------------------------------------------------- cardinality sketch
+#
+# HyperLogLog-style distinct counting (Flajolet et al., AofA'07) built on
+# the engine's own deterministic hash spec, so the sketch — unlike
+# Spark's approx_count_distinct or DuckDB's approx_count_distinct, which
+# use engine-private hashes — replays bit-exactly in ANSI SQL and sits
+# under the hard oracle. Registers compose under set union by
+# elementwise max (exactly the binmin min-algebra above), so per-doc
+# register arrays roll up to source/corpus cardinality with one
+# map-side-combinable aggregation, and a streaming store can keep one
+# 256-byte array per entity, updated monotonically.
+
+HLL_M = 256  # registers (8 index bits; payload = 56 bits)
+HLL_RHO_MAX = 57  # payload width + 1 (rho of an all-zero payload)
+# harmonic terms as EXACT integers: 2^(CAP - min(rho, CAP)); max sum =
+# 256 * 2^40 = 2^48 << 2^63, so the register sum is bit-identical in
+# Spark BIGINT and DuckDB, and the float estimate divides two exact
+# integers — no FP-accumulation-order divergence across engines.
+HLL_CAP = 40
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_registers(mixed: np.ndarray) -> np.ndarray:
+    """uint64 mixed hashes → int64[HLL_M] per-register max rho
+    (0 = register never hit). register = h % M; rho = 1 + count of
+    leading zeros of the 56-bit payload h // M. Bit length via a
+    6-step vectorized binary search — integer-exact (float log2 rounds
+    wrong at 2^53+ payloads)."""
+    reg = (mixed % _U64(HLL_M)).astype(np.int64)
+    cur = mixed >> _U64(8)
+    bl = np.zeros(len(cur), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = cur >= (_U64(1) << _U64(s))
+        bl[big] += s
+        cur[big] >>= _U64(s)
+    bl += (cur > 0).astype(np.int64)
+    rho = HLL_RHO_MAX - bl
+    out = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(out, reg, rho)
+    return out
+
+
+def make_hll_udf(cfg: DedupConfig):
+    """Series(text) → Series(array<int>): per-document HLL registers
+    over the doc's shingle hashes, mixed with the MinHash master key
+    (the SAME mx relation the SQL oracle replays)."""
+    k, seed = cfg.shingle_size, cfg.seed
+
+    def _batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        key = _U64(H._master_key(seed))
+        for s in it:
+            out: list[list[int] | None] = [None] * len(s)
+            for i, text in enumerate(s):
+                if text is None:
+                    continue
+                m = H.splitmix64(H.shingle_hashes(text, k) ^ key)
+                out[i] = hll_registers(m).tolist()
+            yield pd.Series(out)
+
+    return F.pandas_udf(_batch, T.ArrayType(T.IntegerType()))
+
+
+def hll_estimate(regs: DataFrame, group_col: str = "group_key") -> DataFrame:
+    """(group, register, rho) max-rolled rows → (group, n_filled,
+    est_distinct). Empty registers may appear as explicit rho=0 rows
+    (the Spark full-array path) or be absent (the SQL path) — the sum
+    only reads rho>0 rows and pads every empty register with its exact
+    2^CAP term, so both shapes produce identical estimates. Raw HLL
+    estimate from the exact-integer harmonic sum; linear-counting
+    small-range correction below 2.5·M while empties remain."""
+    m = F.lit(HLL_M)
+    term = F.expr(
+        f"CASE WHEN rho > 0 THEN shiftleft(1L, "
+        f"cast({HLL_CAP} - least(rho, {HLL_CAP}) AS int)) ELSE 0L END"
+    )
+    per = regs.groupBy(group_col).agg(
+        F.count(F.when(F.col("rho") > 0, 1)).cast("long").alias("n_filled"),
+        F.sum(term).cast("long").alias("isum"),
+    )
+    # registers with no hash (absent rows or rho=0 rows): exact pad term
+    pad = (m.cast("long") - F.col("n_filled")) * F.lit(1 << HLL_CAP).cast("long")
+    per = per.withColumn("isum", F.col("isum") + pad)
+    raw = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) * F.lit(float(1 << HLL_CAP)) / F.col("isum")
+    v = m.cast("long") - F.col("n_filled")
+    lin = m.cast("double") * F.log(m.cast("double") / v.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lin).otherwise(raw)
+    return per.select(
+        group_col,
+        "n_filled",
+        F.round(est, 4).alias("est_distinct"),
+    )
 
 
 def sketch_pair_similarity(lanes: DataFrame, num_perm: int) -> DataFrame:

@@ -140,6 +140,9 @@ def clone_pairs(
     join (license-header hot buckets — same skew treatment as LSH
     bucket caps); sizes are computed BEFORE the drop so similarity
     stays an estimate against full fingerprint sets."""
+    # fps feeds three plan branches (sizes + both join sides); without
+    # the cut each branch re-runs the winnow UDF over the full corpus
+    fps = fps.localCheckpoint()
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("nf"))
     joinable = fps
     if max_fp_df is not None:

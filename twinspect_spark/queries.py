@@ -146,8 +146,9 @@ clusters AS (
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) — distinct k-gram shingles of lower(text); pure
     column expressions (sequence/transform/array_distinct/explode),
-    whole-stage codegen end to end."""
-    docs = _t(spark, sf_dir, "documents").select(
+    whole-stage codegen end to end. Generator-amplifying: the scan must
+    arrive parallel (_t_par) or the explode serializes into one task."""
+    docs = _t_par(spark, sf_dir, "documents").select(
         "doc_id", F.lower("text").alias("t")
     )
     return docs.selectExpr(
@@ -1749,7 +1750,9 @@ def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("g") - 1).cast("long").alias("n_exact_peers")
     )
 
-    sh = _doc_shingles(spark, sf_dir)
+    # the shingle relation feeds three branches (sizes + both join
+    # sides); one cut instead of three explode passes
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("x")
@@ -1844,6 +1847,188 @@ def q_winnow_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clone_pairs(fps, WINNOW_SIM_T)
 
 
+def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage (the per-doc half of Lee
+    et al. arXiv:2107.06499 §4: "what fraction of each document is
+    duplicated text"): disjoint {CHUNK_W}-word chunks flagged dup when
+    their hash occurs in another document, then gaps-and-islands over
+    chunk index to merge ADJACENT dup chunks into maximal extents —
+    span-scrubbing removes extents, so extent count/length (not just
+    the fraction) is what the scrubber sizes its work by. Window
+    functions partition by doc_id (bounded groups); the chunk-hash
+    dup flag is one groupBy + semi-join — all codegen, no UDF."""
+    t = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    ch = t.selectExpr(
+        "doc_id",
+        f"posexplode(transform(sequence(0, cast((size(w) + {CHUNK_W - 1}) div {CHUNK_W} as int) - 1),"
+        f" j -> sha2(concat_ws(' ', slice(w, j * {CHUNK_W} + 1, {CHUNK_W})), 256))) AS (j, h)",
+    )
+    shared = (
+        ch.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    dup = ch.join(shared, "h").select("doc_id", "j")
+
+    from pyspark.sql import Window as W
+
+    grp = F.col("j") - (
+        F.row_number().over(W.partitionBy("doc_id").orderBy("j")) - 1
+    )
+    ext = (
+        dup.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("ext_chunks"))
+    )
+    per_doc = ext.groupBy("doc_id").agg(
+        F.sum("ext_chunks").cast("long").alias("n_dup_chunks"),
+        F.count("*").cast("long").alias("n_extents"),
+        F.max("ext_chunks").cast("long").alias("longest_extent_chunks"),
+    )
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "size(split(lower(text), ' ')) AS n_words"
+    )
+    z = F.lit(0).cast("long")
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.ceil(F.col("n_words") / CHUNK_W).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", z).alias("n_dup_chunks"),
+            F.coalesce("n_extents", z).alias("n_extents"),
+            F.coalesce("longest_extent_chunks", z).alias(
+                "longest_extent_chunks"
+            ),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+        )
+    )
+
+
+def q_shingle_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality via a DETERMINISTIC
+    HyperLogLog sketch (Flajolet et al. AofA'07) built on the engine's
+    own hash spec — unlike approx_count_distinct (engine-private hashes
+    in both Spark and DuckDB), this sketch replays bit-exactly in ANSI
+    SQL, so the approximation itself sits under the hard oracle.
+    Registers compose by elementwise max (the binmin union algebra —
+    operators/sketch.py), so per-doc register arrays roll up with one
+    map-side-combinable groupBy; the harmonic sum uses exact-integer
+    2^(CAP-rho) terms so no FP-accumulation order can diverge between
+    engines. Emits estimate vs exact distinct count and the relative
+    error — the sketch-accuracy audit a 10^12-row pipeline runs at
+    sample scale before trusting the sketch at full scale."""
+    from twinspect_spark.operators.sketch import hll_estimate, make_hll_udf
+
+    _ship_package(spark)
+    docs = _t_par(spark, sf_dir, "documents").select(
+        "source", F.lower("text").alias("t")
+    )
+    udf = make_hll_udf(DOCS_CFG)
+    regs = docs.select(
+        "source", F.posexplode(udf(F.col("t"))).alias("register", "rho")
+    )
+    rolled = regs.groupBy("source", "register").agg(F.max("rho").alias("rho"))
+    est = hll_estimate(rolled, "source")
+
+    sh = _doc_shingles(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    exact = (
+        sh.join(src, "doc_id")
+        .select("source", "sh")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("exact_distinct"))
+    )
+    return est.join(exact, "source").withColumn(
+        "rel_err",
+        F.round(
+            (F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ),
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+def q_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} characteristic terms per source by smoothed
+    TF-IDF (tf · (ln((N+1)/(df+1)) + 1), df at source granularity) —
+    the corpus-profiling view a data curator reads next to the dup
+    matrix: which vocabulary makes each source distinct. Token → two
+    hash aggregations (tf, df) → broadcast df join → per-source top-k
+    window; all codegen, the window partitions are source-sized."""
+    from pyspark.sql import Window as W
+
+    toks = (
+        _t_par(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+    )
+    tf = toks.groupBy("source", "w").agg(F.count("*").alias("tf"))
+    n_sources = toks.select("source").distinct().count()
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.lit(n_sources) + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.desc("tfidf"), F.asc("w")
+        )
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+        )
+    )
+
+
+def q_token_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT token-count quantiles (p25/p50/p75/p95,
+    linear interpolation — Spark `percentile` and DuckDB `quantile_cont`
+    implement the same estimator, so the gate proves it): the length
+    profile a curriculum/budget cut keys on. Exact percentile sorts
+    within each language group — fine at report granularity; the
+    sketch path at 10^12 rows is approx_percentile with the same
+    output shape."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.expr("percentile(n, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(n, 0.95)"), 6).alias("p95"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1868,6 +2053,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dup_spans": q_chunk_dup_spans,
     "dedup_tier_assignment": q_dedup_tier_assignment,
     "winnow_clone_pairs": q_winnow_clone_pairs,
+    "doc_dup_span_stats": q_doc_dup_span_stats,
+    "shingle_cardinality_sketch": q_shingle_cardinality_sketch,
+    "top_terms_tfidf": q_top_terms_tfidf,
+    "token_length_quantiles": q_token_length_quantiles,
     "doc_fingerprint": q_doc_fingerprint,
     "code_normalize_fingerprint": q_code_normalize_fingerprint,
     "decontaminate_vs_eval": q_decontaminate_vs_eval,
@@ -2234,6 +2423,63 @@ fsz AS (SELECT doc_id, count(*) AS nf FROM fps GROUP BY 1)
 
 _WINNOW_CTE = _build_winnow_cte()
 
+
+def _build_hll_cte() -> str:
+    """CTE chain ``documents → … → fin(source, n_filled, est)`` replaying
+    the deterministic HLL sketch (operators/sketch.py): source-keyed
+    distinct shingle hashes (register-max is idempotent, so per-source
+    DISTINCT here equals the engine's per-doc-distinct rollup), register
+    index + leading-zero rank via integer bin(), exact-integer harmonic
+    sum, identical-operation-order float estimate."""
+    from twinspect_spark.functions.hashing import _master_key
+    from twinspect_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_CAP,
+        HLL_M,
+        HLL_RHO_MAX,
+    )
+
+    key = _master_key(DOCS_CFG.seed)
+    # ::DOUBLE casts: DuckDB parses high-precision float literals as
+    # DECIMAL, whose multiplication overflows (and would round-trip
+    # differently from the engine's float64 arithmetic)
+    raw = (
+        f"{HLL_ALPHA!r}::DOUBLE * {float(HLL_M * HLL_M)!r}::DOUBLE"
+        f" * {float(1 << HLL_CAP)!r}::DOUBLE / isum"
+    )
+    return f"""
+{_SH_SRC_SQL},
+{_sql_hash_mix(key)},
+regs AS (
+  SELECT doc_id AS source, CAST(m % {HLL_M} AS INT) AS register,
+         max(CASE WHEN m // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                  ELSE {HLL_RHO_MAX} - length(bin((m // {HLL_M})::BIGINT))
+             END) AS rho
+  FROM mx GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, count(*) AS n_filled,
+         sum(1::BIGINT << CAST({HLL_CAP} - least(rho, {HLL_CAP}) AS INT))
+           AS isum0
+  FROM regs GROUP BY 1
+),
+padded AS (
+  SELECT source, n_filled,
+         isum0 + ({HLL_M} - n_filled) * {1 << HLL_CAP}::BIGINT AS isum
+  FROM agg
+),
+fin AS (
+  SELECT source, n_filled,
+         CASE WHEN ({raw}) <= {2.5 * HLL_M!r} AND n_filled < {HLL_M}
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_filled))
+              ELSE {raw} END AS est
+  FROM padded
+)
+"""
+
+
+_HLL_CTE = _build_hll_cte()
+
 # candidate pairs exactly as simhash_candidates() emits them: the
 # pigeonhole chunk join guarantees recall for hamming <= chunks-1, then
 # the <= hamming_threshold post-filter makes the set EXACTLY all pairs
@@ -2579,6 +2825,98 @@ ORACLE_SQL: dict[str, str] = {
         FROM shp JOIN fsz fa ON fa.doc_id = a JOIN fsz fb ON fb.doc_id = b
         WHERE round(shared_fps * 1.0 / least(fa.nf, fb.nf), 6)
               >= {WINNOW_SIM_T}
+    """,
+    "doc_dup_span_stats": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        ch AS (
+          SELECT doc_id, j,
+                 sha256(array_to_string(
+                   w[j * {CHUNK_W} + 1 : j * {CHUNK_W} + {CHUNK_W}], ' ')) AS h
+          FROM t, unnest(range(0, (len(w) + {CHUNK_W - 1}) // {CHUNK_W})) AS u(j)
+        ),
+        shared AS (
+          SELECT h FROM ch GROUP BY h HAVING count(distinct doc_id) > 1
+        ),
+        dup AS (
+          SELECT doc_id, j,
+                 j - (row_number() OVER (PARTITION BY doc_id ORDER BY j) - 1)
+                   AS grp
+          FROM ch WHERE h IN (SELECT h FROM shared)
+        ),
+        ext AS (
+          SELECT doc_id, grp, count(*) AS ext_chunks
+          FROM dup GROUP BY 1, 2
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 sum(ext_chunks) AS n_dup_chunks,
+                 count(*) AS n_extents,
+                 max(ext_chunks) AS longest_extent_chunks
+          FROM ext GROUP BY 1
+        )
+        SELECT t.doc_id,
+               cast(ceil(len(t.w) * 1.0 / {CHUNK_W}) AS bigint) AS n_chunks,
+               cast(coalesce(p.n_dup_chunks, 0) AS bigint) AS n_dup_chunks,
+               cast(coalesce(p.n_extents, 0) AS bigint) AS n_extents,
+               cast(coalesce(p.longest_extent_chunks, 0) AS bigint)
+                 AS longest_extent_chunks,
+               round(coalesce(p.n_dup_chunks, 0) * 1.0
+                     / ceil(len(t.w) * 1.0 / {CHUNK_W}), 6) AS dup_fraction
+        FROM t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    "shingle_cardinality_sketch": f"""
+        WITH {_HLL_CTE},
+        exact AS (
+          SELECT doc_id AS source, count(DISTINCT sh) AS exact_distinct
+          FROM sh GROUP BY 1
+        )
+        SELECT f.source,
+               cast(f.n_filled AS bigint) AS n_filled,
+               round(f.est, 4) AS est_distinct,
+               cast(e.exact_distinct AS bigint) AS exact_distinct,
+               round((round(f.est, 4) - e.exact_distinct)
+                     / e.exact_distinct, 4) AS rel_err
+        FROM fin f JOIN exact e USING (source)
+    """,
+    "top_terms_tfidf": f"""
+        WITH toks AS (
+          SELECT source, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents
+        ),
+        ft AS (SELECT source, w FROM toks WHERE regexp_matches(w, '^[a-z]+$')),
+        tf AS (SELECT source, w, count(*) AS tf FROM ft GROUP BY 1, 2),
+        n AS (SELECT count(DISTINCT source) AS ns FROM ft),
+        df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.source, tf.w, tf.tf, df.df,
+                 round(tf.tf * (ln((n.ns + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                   AS tfidf
+          FROM tf JOIN df USING (w) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY tfidf DESC, w ASC) AS rank
+          FROM scored
+        )
+        SELECT source, cast(rank AS bigint) AS rank, w AS term,
+               cast(tf AS bigint) AS tf, cast(df AS bigint) AS df, tfidf
+        FROM ranked WHERE rank <= {TFIDF_TOP_K}
+    """,
+    "token_length_quantiles": """
+        WITH d AS (
+          SELECT lang,
+                 len(string_split_regex(trim(text), '\\s+')) AS n
+          FROM documents
+        )
+        SELECT lang,
+               cast(count(*) AS bigint) AS n_docs,
+               round(quantile_cont(n, 0.25), 6) AS p25,
+               round(quantile_cont(n, 0.5), 6) AS p50,
+               round(quantile_cont(n, 0.75), 6) AS p75,
+               round(quantile_cont(n, 0.95), 6) AS p95
+        FROM d GROUP BY 1
     """,
     "code_normalize_fingerprint": """
         WITH norm AS (
