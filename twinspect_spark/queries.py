@@ -1955,6 +1955,27 @@ def q_shingle_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup of the tier ladder: document count and share
+    per tier plus total pair/chunk evidence — the one-page dedup health
+    report (what fraction of the corpus each tier would touch) read
+    before committing to a tiered scrub."""
+    from pyspark.sql import Window as W
+
+    t = q_dedup_tier_assignment(spark, sf_dir)
+    agg = t.groupBy("tier").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_near_peers").cast("long").alias("total_near_peers"),
+        F.sum("n_contain_peers").cast("long").alias("total_contain_peers"),
+        F.sum("n_shared_chunks").cast("long").alias("total_shared_chunks"),
+    )
+    w = W.partitionBy(F.lit(1))
+    return agg.withColumn(
+        "pct_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6),
+    )
+
+
 TFIDF_TOP_K = 5
 
 
@@ -2052,6 +2073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_prune": q_semdedup_prune,
     "chunk_dup_spans": q_chunk_dup_spans,
     "dedup_tier_assignment": q_dedup_tier_assignment,
+    "dedup_tier_report": q_dedup_tier_report,
     "winnow_clone_pairs": q_winnow_clone_pairs,
     "doc_dup_span_stats": q_doc_dup_span_stats,
     "shingle_cardinality_sketch": q_shingle_cardinality_sketch,
@@ -3707,3 +3729,15 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY threshold
     """,
 }
+
+# built from the tier-assignment oracle so the two can never drift
+ORACLE_SQL["dedup_tier_report"] = f"""
+    WITH base AS ({ORACLE_SQL["dedup_tier_assignment"]})
+    SELECT tier,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_near_peers) AS bigint) AS total_near_peers,
+           cast(sum(n_contain_peers) AS bigint) AS total_contain_peers,
+           cast(sum(n_shared_chunks) AS bigint) AS total_shared_chunks,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS pct_docs
+    FROM base GROUP BY tier
+"""
