@@ -157,6 +157,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "quality_scores",
         "stratified_sample",
         "training_export_budget",
+        "training_pack_sequences",
+        "boilerplate_headers",
         "pii_scrub_stats",
         "char_entropy",
         "commit_latest_snapshot",

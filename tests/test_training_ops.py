@@ -124,6 +124,96 @@ def test_shard_assignment_stable_and_balanced(spark):
     assert max(r["count"] for r in per) <= 2 * 400 / 8
 
 
+def test_pack_sequences_tiles_the_token_stream(spark):
+    from twinspect_spark.training import pack_sequences
+
+    docs = _docs(spark, n=400)
+    seq_len = 64
+    out = pack_sequences(docs, "doc_id", "n_tokens", seq_len)
+    rows = sorted(out.collect(), key=lambda r: r.pack_start)
+    assert len(rows) == 400
+    # the concatenated stream tiles exactly: doc i starts where i-1 ended
+    pos = 0
+    for r in rows:
+        assert r.pack_start == pos
+        pos += r.n_tokens
+        assert r.first_seq == r.pack_start // seq_len
+        assert r.last_seq == (r.pack_start + r.n_tokens - 1) // seq_len
+        assert r.n_seqs == r.last_seq - r.first_seq + 1
+    # order is the deterministic hash order (same as budget export)
+    want = sorted(
+        [(r.doc_id, r.n_tokens) for r in docs.collect()],
+        key=lambda t: ((t[0] * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD, t[0]),
+    )
+    assert [(r.doc_id, r.n_tokens) for r in rows] == want
+    # invariant to partitioning
+    out2 = pack_sequences(
+        docs.repartition(11, "doc_id"), "doc_id", "n_tokens", seq_len
+    )
+    assert {(r.doc_id, r.pack_start, r.first_seq, r.last_seq)
+            for r in out2.collect()} == {
+        (r.doc_id, r.pack_start, r.first_seq, r.last_seq) for r in rows
+    }
+
+
+def test_pack_sequences_boundary_spans(spark):
+    from twinspect_spark.training import pack_sequences
+
+    # hand-built stream: lengths 10, 10, 10 with seq_len 16 — doc order
+    # by hash determines who crosses the 16- and 32-token boundaries
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], ["doc_id", "n_tokens"]
+    )
+    rows = {r.doc_id: r for r in
+            pack_sequences(df, "doc_id", "n_tokens", 16).collect()}
+    order = sorted(
+        [1, 2, 3],
+        key=lambda i: ((i * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD, i),
+    )
+    starts = {order[0]: 0, order[1]: 10, order[2]: 20}
+    for d, s in starts.items():
+        assert rows[d].pack_start == s
+        assert rows[d].first_seq == s // 16
+        assert rows[d].last_seq == (s + 9) // 16
+    # middle doc spans tokens 10..19 → sequences 0 and 1
+    assert rows[order[1]].n_seqs == 2
+    # zero-token docs are dropped
+    df0 = spark.createDataFrame([(1, 5), (2, 0)], ["doc_id", "n_tokens"])
+    got = pack_sequences(df0, "doc_id", "n_tokens", 16).collect()
+    assert [r.doc_id for r in got] == [1]
+
+
+def test_boilerplate_headers_planted(spark, tmp_path):
+    import twinspect_spark.queries as Q
+
+    header = "Copyright (c) 2024 Example Corp. All rights reserved. " \
+             "Licensed under the Apache License, Version 2.0 extra"
+    rows = [
+        # 3 docs sharing the header (case/extra-whitespace variants)
+        (1, "a", header + " body one with sufficient tail words"),
+        (2, "b", header.upper() + "  body   two entirely different"),
+        (3, "a", header + " third body"),
+        # unique docs
+        (4, "a", "totally unrelated first document having at least a "
+                 "dozen words to pass the length gate fine"),
+        (5, "b", "second distinct filler text whose opening words differ "
+                 "completely from every other row here"),
+        # too short to have a header
+        (6, "a", "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    p = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(p)
+
+    # q_boilerplate_headers reads <sf_dir>/documents.parquet
+    out = Q.q_boilerplate_headers(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.n_docs == 3
+    assert g.n_sources == 2
+    assert g.exemplar_doc_id == 1
+
+
 def test_pii_scrub_planted(spark):
     txt = (
         "contact me at alice.smith+x@example.co.uk or via "

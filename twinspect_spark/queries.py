@@ -1605,6 +1605,65 @@ def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(docs, "doc_id", "text")
 
 
+PACK_SEQ_LEN = 256
+
+
+def q_training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing audit: every doc's coordinates
+    after the corpus is concatenated in deterministic hash order and cut
+    into PACK_SEQ_LEN-token training sequences (pack_start, the
+    first/last sequence index it lands in, and how many sequences it
+    spans). Spark plan is the distributed prefix sum (training.py
+    pack_sequences — bucketed offsets, no global single-task window);
+    the oracle is the naive global cumsum, so the gate proves the
+    decomposition bit-equal at the packing granularity too."""
+    from twinspect_spark.training import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", PACK_SEQ_LEN)
+    return out.select(
+        "doc_id", "n_tokens", "pack_start", "first_seq", "last_seq", "n_seqs"
+    )
+
+
+HEADER_W = 12  # normalized words of header prefix compared
+BOILERPLATE_MIN_DOCS = 2  # groups at or above this size are boilerplate
+
+
+def q_boilerplate_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate / license-header detector: group documents by the
+    sha256 of their normalized (lowercased, whitespace-collapsed) first
+    HEADER_W words and report groups shared by >= BOILERPLATE_MIN_DOCS
+    docs. This is the pre-dedup cleaning pass a code corpus needs most:
+    shared license headers are exactly the text that hot-buckets LSH
+    bands (see operators/buckets.py caps) — detecting and stripping them
+    FIRST removes the skew at its source. Reference analog: transform
+    families planted by the corpus generator share fixed prefixes
+    (/root/reference/twinspect/datasets/transformations.py idiom).
+    Scale shape: the header key is a pure projection (codegen), the
+    groupBy is map-side combinable on a 32-byte key, and no content
+    leaves the scan stage."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim("text")), r"\s+")
+    hdr = F.array_join(F.slice(words, 1, HEADER_W), " ")
+    return (
+        docs.where(F.size(F.split(F.trim("text"), r"\s+")) >= HEADER_W)
+        .select("doc_id", "source", F.sha2(hdr, 256).alias("header_sha"))
+        .groupBy("header_sha")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("exemplar_doc_id"),
+        )
+        .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )
+
+
 # --------------------------------------------------------------------------
 # documents: repo-level sketch rollup, SemDeDup, chunk-granular dedup
 # --------------------------------------------------------------------------
@@ -2089,6 +2148,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "training_export_budget": q_training_export_budget,
     "training_export_shards": q_training_export_shards,
+    "training_pack_sequences": q_training_pack_sequences,
+    "boilerplate_headers": q_boilerplate_headers,
     "pii_scrub_stats": q_pii_scrub_stats,
     # text analysis
     "token_stats": q_token_stats,
@@ -3061,6 +3122,44 @@ ORACLE_SQL: dict[str, str] = {
                min(doc_id) AS min_doc_id,
                max(doc_id) AS max_doc_id
         FROM t GROUP BY shard
+    """,
+    "training_pack_sequences": """
+        WITH t AS (
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 AS h,
+                   len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   cast(sum(n_tokens) OVER (ORDER BY h, doc_id)
+                        - n_tokens AS bigint) AS pack_start
+            FROM t WHERE n_tokens > 0
+        )
+        SELECT doc_id, n_tokens, pack_start,
+               cast(floor(pack_start / 256) AS bigint) AS first_seq,
+               cast(floor((pack_start + n_tokens - 1) / 256) AS bigint)
+                   AS last_seq,
+               cast(floor((pack_start + n_tokens - 1) / 256)
+                    - floor(pack_start / 256) + 1 AS bigint) AS n_seqs
+        FROM c
+    """,
+    "boilerplate_headers": """
+        WITH h AS (
+            SELECT doc_id, source,
+                   sha256(array_to_string(list_slice(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       1, 12), ' ')) AS header_sha
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 12
+        )
+        SELECT header_sha,
+               count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               min(doc_id) AS exemplar_doc_id
+        FROM h
+        GROUP BY header_sha
+        HAVING count(*) >= 2
     """,
     "pii_scrub_stats": """
         WITH s1 AS (

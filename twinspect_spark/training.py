@@ -123,6 +123,71 @@ def token_budget_export(
     )
 
 
+def pack_sequences(
+    df: DataFrame, id_col: str, tokens_col: str, seq_len: int
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    the deterministic hash order and the token stream is cut into
+    fixed-length training sequences of ``seq_len`` tokens. Emits each
+    document's pack coordinates:
+
+    - ``pack_start``  — 0-based offset of the doc's first token in the
+      concatenated stream;
+    - ``first_seq`` / ``last_seq`` — the sequence indices the doc's
+      tokens land in (``floor(start/L)`` .. ``floor((end-1)/L)``);
+    - ``n_seqs``      — how many sequences the doc spans (>1 = the doc
+      is split across a training-example boundary).
+
+    The offsets come from the same distributed prefix sum as
+    :func:`token_budget_export` (bucketed per-bucket totals + a 64-row
+    offset window + within-bucket cumsum), NOT a global single-task
+    window — packing a 100 TB corpus is exactly the workload where
+    ``sum() over (order by h)`` dies. The within-bucket window is the
+    only per-row sort and it parallelizes across the 64 buckets.
+    """
+    base = df.withColumn("_h", sample_hash(F.col(id_col))).withColumn(
+        "_bkt", F.shiftright(F.col("_h"), PREFIX_SUM_BUCKET_SHIFT)
+    )
+    totals = base.groupBy("_bkt").agg(
+        F.sum(tokens_col).cast("long").alias("_tot")
+    )
+    offsets = totals.select(
+        "_bkt",
+        F.coalesce(
+            F.sum("_tot").over(
+                Window.orderBy("_bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    w = Window.partitionBy("_bkt").orderBy("_h", id_col)
+    start = (
+        F.col("_offset")
+        + F.sum(tokens_col).over(w)
+        - F.col(tokens_col)
+    ).cast("long")
+    end_tok = start + F.col(tokens_col).cast("long") - F.lit(1)
+    return (
+        base.join(F.broadcast(offsets), "_bkt")
+        .where(F.col(tokens_col) > 0)  # empty docs occupy no sequence
+        .withColumn("pack_start", start)
+        .withColumn(
+            "first_seq",
+            F.floor(F.col("pack_start") / F.lit(seq_len)).cast("long"),
+        )
+        .withColumn(
+            "last_seq", F.floor(end_tok / F.lit(seq_len)).cast("long")
+        )
+        .withColumn(
+            "n_seqs",
+            (F.col("last_seq") - F.col("first_seq") + F.lit(1)).cast("long"),
+        )
+        .drop("_h", "_bkt", "_offset")
+    )
+
+
 def shard_assignment(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     """Deterministic export-shard assignment: ``shard = hash(id) mod
     n_shards``. The write-side idiom at scale is
