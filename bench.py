@@ -175,6 +175,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "repo_sketch_similarity",
         "chunk_dup_spans",
         "doc_dup_span_stats",
+        "cluster_purity",
         "winnow_clone_pairs",
         "shingle_cardinality_sketch",
         "top_terms_tfidf",

@@ -230,3 +230,36 @@ def test_humanize_formatting(spark):
     df = spark.createDataFrame([(1234567, 1234567)], "a long, b long")
     t = df_to_markdown(df, humanize_cols={"a"})
     assert "| 1.23M | 1234567 |" in t
+
+
+def test_cluster_purity_hand_computed(spark):
+    """Purity/inverse-purity on a hand-built contingency:
+    pred P1={1,2,3} (gt A,A,B), P2={4,5} (gt B,B), P3={6} (gt C).
+    purity = (2+2+1)/6; gt A={1,2} maj 2, B={3,4,5} maj 2, C={6} maj 1
+    -> inverse = (2+2+1)/6."""
+    from pyspark.sql import functions as F
+
+    from twinspect_spark.metrics import cluster_purity
+
+    pred = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40), (6, 60)],
+        "doc_id long, pred_id long",
+    )
+    gt = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 300), (4, 300), (5, 300), (6, 600)],
+        "doc_id long, gt_id long",
+    )
+    r = cluster_purity(pred, gt).collect()[0]
+    assert r.n_docs == 6
+    assert r.n_pred_clusters == 3
+    assert r.n_gt_clusters == 3
+    assert abs(r.purity - 5 / 6) < 1e-6
+    assert abs(r.inverse_purity - 5 / 6) < 1e-6
+    assert abs(r.f_purity - 5 / 6) < 1e-6
+    # perfect agreement => all 1.0
+    perfect = cluster_purity(
+        gt.select("doc_id", F.col("gt_id").alias("pred_id")), gt
+    ).collect()[0]
+    assert perfect.purity == 1.0
+    assert perfect.inverse_purity == 1.0
+    assert perfect.f_purity == 1.0

@@ -221,6 +221,57 @@ def speed_stats(signatures: DataFrame) -> DataFrame:
     )
 
 
+def cluster_purity(pred: DataFrame, gt: DataFrame) -> DataFrame:
+    """Cluster purity of a predicted clustering against ground-truth
+    labels — the second half of TwinSpect's effectiveness story
+    (recall@threshold + cluster purity over ground-truth-labeled
+    duplicate clusters; the reference scores assignments per cluster in
+    /root/reference/twinspect/metrics/eff.py).
+
+    ``pred``: (doc_id, pred_id); ``gt``: (doc_id, gt_id). Returns one
+    summary row: purity = Σ_pred max_gt |pred∩gt| / N (do predicted
+    clusters mix true groups), inverse purity = Σ_gt max_pred / N (do
+    true groups fragment across predictions), and their harmonic mean.
+
+    Scale shape: one inner join on doc_id + two chained hash
+    aggregations; the contingency table is bounded by cluster counts,
+    never by pair counts, and every aggregate is map-side combinable.
+    The final cross join is two single-row relations.
+    """
+    cell = (
+        pred.join(gt, "doc_id")
+        .groupBy("pred_id", "gt_id")
+        .agg(F.count("*").alias("n"))
+    )
+    per_pred = cell.groupBy("pred_id").agg(
+        F.sum("n").alias("sz"), F.max("n").alias("maj")
+    )
+    per_gt = cell.groupBy("gt_id").agg(
+        F.sum("n").alias("sz"), F.max("n").alias("maj")
+    )
+    p = per_pred.agg(
+        F.count("*").alias("n_pred_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        (F.sum("maj") * F.lit(1.0) / F.sum("sz")).alias("_p"),
+    )
+    ip = per_gt.agg(
+        F.count("*").alias("n_gt_clusters"),
+        (F.sum("maj") * F.lit(1.0) / F.sum("sz")).alias("_ip"),
+    )
+    return p.crossJoin(ip).select(
+        "n_docs",
+        "n_pred_clusters",
+        "n_gt_clusters",
+        F.round("_p", 6).alias("purity"),
+        F.round("_ip", 6).alias("inverse_purity"),
+        F.round(
+            F.lit(2.0) * F.col("_p") * F.col("_ip")
+            / (F.col("_p") + F.col("_ip")),
+            6,
+        ).alias("f_purity"),
+    )
+
+
 def dataset_info(clusters: DataFrame) -> DataFrame:
     """Corpus shape stats (info.py:9-76) from a (file_id, cluster_id)
     assignment: totals, dup-cluster count and size stats, singleton

@@ -1134,6 +1134,42 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_info(clusters)
 
 
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity / inverse purity of the cheap chunk tier against
+    the verified near-dup ground truth — the 'cluster purity' half of
+    the reference's effectiveness metrics (eff.py scores assignments
+    against ground-truth-labeled clusters; recall@threshold is
+    eff_sweep_exact). Predicted clustering = connected components over
+    'docs sharing a disjoint CHUNK_W-word span' (the chunk tier of the
+    dedup ladder); ground truth = the transitive Jaccard >= JACCARD_T
+    clusters. Purity asks whether chunk clusters mix true groups;
+    inverse purity asks whether true groups fragment across chunk
+    clusters — the calibration readout before trusting a cheap tier at
+    scale. Both closures + the purity contingency are cluster-count
+    bounded (never pair-count); the oracle replays both closures
+    recursively and the same two-sided majority sums."""
+    from twinspect_spark.metrics import cluster_purity
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id")
+    )
+    ch = _doc_chunks(spark, sf_dir)
+    cedges = (
+        ch.alias("x")
+        .join(ch.alias("y"), "chunk")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    pred = connected_components(cedges, vertices=docs).select(
+        F.col("file_id").alias("doc_id"), F.col("cluster_id").alias("pred_id")
+    )
+    gt = q_dup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("gt_id")
+    )
+    return cluster_purity(pred, gt)
+
+
 def q_robustness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/J8: per-transform robustness stats (robustness.py:43-60) —
     distance between each cluster's original and its transformed members.
@@ -1754,6 +1790,20 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(members, SEMDEDUP_EPS)
 
 
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk) — disjoint CHUNK_W-word windows of lower(text);
+    pure column expressions (split → sequence/slice chunking), whole-
+    stage codegen, generator-amplifying scan via _t_par."""
+    t = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    return t.selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(0, cast((size(w) + {CHUNK_W - 1}) div {CHUNK_W} as int) - 1),"
+        f" j -> concat_ws(' ', slice(w, j * {CHUNK_W} + 1, {CHUNK_W})))) AS chunk",
+    )
+
+
 def q_chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-granular exact dedup (the tractable tier of Lee et al.,
     "Deduplicating Training Data Makes LMs Better", arXiv:2107.06499,
@@ -1762,14 +1812,7 @@ def q_chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     quoted spans that document-level near-dup misses. Pure column
     expressions (split → sequence/slice chunking → hash groupBy) —
     whole-stage codegen, map-side-combinable, no UDF."""
-    t = _t_par(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), " ").alias("w")
-    )
-    ch = t.selectExpr(
-        "doc_id",
-        f"explode(transform(sequence(0, cast((size(w) + {CHUNK_W - 1}) div {CHUNK_W} as int) - 1),"
-        f" j -> concat_ws(' ', slice(w, j * {CHUNK_W} + 1, {CHUNK_W})))) AS chunk",
-    )
+    ch = _doc_chunks(spark, sf_dir)
     return (
         ch.groupBy(F.sha2("chunk", 256).alias("chunk_hash"))
         .agg(
@@ -2184,6 +2227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eff_best_threshold": q_eff_best_threshold,
     "distance_histogram": q_distance_histogram,
     "corpus_stats": q_corpus_stats,
+    "cluster_purity": q_cluster_purity,
     "robustness_stats": q_robustness_stats,
     "speed_stats": q_speed_stats,
     # ensemble / groups / LCS-rescue operator paths
@@ -3615,6 +3659,61 @@ ORACLE_SQL: dict[str, str] = {
         JOIN clusters c1 ON c1.doc_id = allp.a
         JOIN clusters c2 ON c2.doc_id = allp.b
         GROUP BY 1, 2
+    """,
+    "cluster_purity": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        tt AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        chk AS (
+          SELECT doc_id,
+                 array_to_string(
+                   w[j * {CHUNK_W} + 1 : j * {CHUNK_W} + {CHUNK_W}], ' ')
+                   AS chunk
+          FROM tt,
+               unnest(range(0, (len(w) + {CHUNK_W - 1}) // {CHUNK_W})) AS u(j)
+        ),
+        cedges AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM chk a JOIN chk b
+            ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+        ),
+        csym AS (
+          SELECT a AS s, b AS d FROM cedges
+          UNION SELECT b, a FROM cedges
+        ),
+        creach(s, d) AS (
+          SELECT s, d FROM csym
+          UNION
+          SELECT r.s, y.d FROM creach r JOIN csym y ON r.d = y.s
+        ),
+        cclusters AS (
+          SELECT dd.doc_id,
+                 least(dd.doc_id, coalesce(min(r.d), dd.doc_id)) AS pred_id
+          FROM docs dd LEFT JOIN creach r ON r.s = dd.doc_id
+          GROUP BY dd.doc_id
+        ),
+        cell AS (
+          SELECT c.pred_id, g.cluster_id AS gt_id, count(*) AS n
+          FROM cclusters c JOIN clusters g USING (doc_id)
+          GROUP BY 1, 2
+        ),
+        pp AS (SELECT pred_id, sum(n) AS sz, max(n) AS maj
+               FROM cell GROUP BY 1),
+        gg AS (SELECT gt_id, sum(n) AS sz, max(n) AS maj
+               FROM cell GROUP BY 1)
+        SELECT
+          (SELECT cast(sum(sz) AS bigint) FROM pp) AS n_docs,
+          (SELECT count(*) FROM pp) AS n_pred_clusters,
+          (SELECT count(*) FROM gg) AS n_gt_clusters,
+          round((SELECT sum(maj) * 1.0 / sum(sz) FROM pp), 6) AS purity,
+          round((SELECT sum(maj) * 1.0 / sum(sz) FROM gg), 6)
+              AS inverse_purity,
+          round(2.0 * (SELECT sum(maj) * 1.0 / sum(sz) FROM pp)
+                    * (SELECT sum(maj) * 1.0 / sum(sz) FROM gg)
+                / ((SELECT sum(maj) * 1.0 / sum(sz) FROM pp)
+                   + (SELECT sum(maj) * 1.0 / sum(sz) FROM gg)), 6)
+              AS f_purity
     """,
     "corpus_stats": f"""
         WITH RECURSIVE {_EDGES_CTE},
