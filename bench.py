@@ -175,7 +175,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "repo_sketch_similarity",
         "chunk_dup_spans",
         "doc_dup_span_stats",
-        "cluster_purity",
+        # cluster_purity: oracle-tier by design (ground truth = the
+        # all-pairs exact-Jaccard closure, like ngram_jaccard_pairs) —
+        # driver-gated at sf0.01, excluded from the timing battery
         "winnow_clone_pairs",
         "shingle_cardinality_sketch",
         "top_terms_tfidf",
