@@ -160,6 +160,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "training_pack_sequences",
         "boilerplate_headers",
         "pii_scrub_stats",
+        "url_etag_dedup",
+        "bloom_seen_filter",
         "char_entropy",
         "commit_latest_snapshot",
         "repeated_span_stats",

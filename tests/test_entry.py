@@ -58,3 +58,35 @@ def test_commit_latest_snapshot_shape(spark):
     assert len(paths) == len(set(paths))
     revised = [r for r in rows if r.n_revisions == 2]
     assert revised and all(r.latest_commit == 2 for r in revised)
+
+
+def test_url_etag_dedup_keeps_first_arrival(spark):
+    """D4 semantics: first arrival per ETag wins, so the kept url is
+    always the origin (mirrors arrive 1_000_001 later); every mirrored
+    doc contributes exactly one skip."""
+    rows = entrymod.queries()["url_etag_dedup"](spark, SF).collect()
+    assert all(".example.org/" in r.kept_url for r in rows)
+    skipped = [r for r in rows if r.n_skipped > 0]
+    assert skipped and all(r.n_skipped == 1 for r in skipped)
+    assert all(r.kept_arrival % 7 == 0 for r in skipped)
+
+
+def test_bloom_seen_filter_no_false_negatives(spark):
+    """Bloom guarantee: a key present in the seen store can NEVER be
+    classified 'new' — every truly-seen incoming key must hit the
+    filter. False positives are allowed (and audited by the verdict
+    column); false negatives are a correctness bug."""
+    from twinspect_spark.queries import _crawl_manifest
+
+    man = _crawl_manifest(spark, SF)
+    seen_etags = {
+        r.etag for r in man.where("arrival % 4 != 0").select("etag").collect()
+    }
+    rows = entrymod.queries()["bloom_seen_filter"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.etag in seen_etags:
+            assert r.bloom_hit and r.truly_seen and r.verdict == "dup"
+        else:
+            assert not r.truly_seen
+            assert r.verdict == ("false_positive" if r.bloom_hit else "new")

@@ -530,6 +530,131 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl-manifest view of the documents table: one
+    (arrival, url, etag) row per document, plus a MIRROR row for every
+    doc_id % 7 == 0 — the same content served from a second url, which
+    is exactly the situation D4 dedupes (servers derive ETags from
+    content, so mirrors share the ETag). Mirror arrivals land
+    1_000_001 later, so the original is always the first arrival."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    base = docs.select(
+        F.col("doc_id").alias("arrival"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.sha2(norm, 256).alias("etag"),
+    )
+    mirror = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000001).alias("arrival"),
+        F.concat(
+            F.lit("https://mirror-"),
+            F.col("source"),
+            F.lit(".example.net/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.sha2(norm, 256).alias("etag"),
+    )
+    return base.unionByName(mirror)
+
+
+def q_url_etag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: URL/ETag download dedupe (download.py:30-64 — `content_ids`
+    maps ETags to urls; later urls with a seen ETag are skipped). The
+    reference iterates urls serially and keeps the FIRST arrival per
+    ETag; arrival order is made explicit with min_by so the result is
+    partitioning-invariant. One map-side-combinable groupBy on the
+    64-hex ETag — no shuffle of content, no all-pairs."""
+    man = _crawl_manifest(spark, sf_dir)
+    return man.groupBy("etag").agg(
+        F.min_by("url", "arrival").alias("kept_url"),
+        F.min("arrival").alias("kept_arrival"),
+        (F.count("*") - 1).cast("long").alias("n_skipped"),
+    )
+
+
+_BLOOM_M = 2048  # bits in the seen-set Bloom filter (demo-scale)
+_BLOOM_K = 3     # hash probes per key
+
+
+def _bloom_positions(key, prefix_salt: str = ""):
+    """k Bloom bit positions from disjoint 8-hex windows of
+    sha256(key) — cryptographically uniform, engine-agnostic (the same
+    expression replays in ANSI SQL via CAST('0x'||substr AS UBIGINT)).
+    Returns a k-element array column of longs in [0, _BLOOM_M)."""
+    h = F.sha2(F.concat(F.lit(prefix_salt), key), 256)
+    return F.array(
+        *[
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % _BLOOM_M
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+def q_bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier seen-membership via a deterministic Bloom filter
+    (the 10^12-scale path for D4/SO2 seen-set checks): the
+    already-crawled store (doc_id % 4 != 0) compresses to the DISTINCT
+    set of its Bloom bit positions — bounded by _BLOOM_M rows no matter
+    how many trillion keys it holds — which broadcasts to every probe
+    task. Incoming urls (doc_id % 4 == 0) are classified map-side:
+    a key misses the filter ⇒ definitely new (Bloom has no false
+    negatives, so no exact check is ever needed for the bulk of a
+    fresh crawl); only the maybe-seen sliver pays the exact ETag
+    semi-join. The emitted verdict separates true dups from the
+    filter's false positives, auditing the measured FP rate against
+    the (m, k, n) design point."""
+    man = _crawl_manifest(spark, sf_dir)
+    pos = F.array_distinct(_bloom_positions(F.col("etag")))
+    seen = man.where(F.col("arrival") % 4 != 0)
+    incoming = man.where(F.col("arrival") % 4 == 0)
+    seen_pos = (
+        seen.select(F.explode(pos).alias("p")).distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    probe = (
+        incoming.select("arrival", "etag", F.explode(pos).alias("p"))
+        .join(F.broadcast(seen_pos), "p", "left")
+        .groupBy("arrival", "etag")
+        .agg(F.bool_and(F.col("hit").isNotNull()).alias("bloom_hit"))
+    )
+    # exact check ONLY on the maybe-seen sliver (at scale the `new`
+    # majority never touches the seen store)
+    seen_keys = seen.select("etag").distinct().withColumn(
+        "known", F.lit(True)
+    )
+    checked = (
+        probe.where("bloom_hit")
+        .join(seen_keys, "etag", "left")
+        .select(
+            "arrival",
+            "etag",
+            "bloom_hit",
+            F.col("known").isNotNull().alias("truly_seen"),
+        )
+    )
+    out = checked.unionByName(
+        probe.where(~F.col("bloom_hit")).select(
+            "arrival", "etag", "bloom_hit", F.lit(False).alias("truly_seen")
+        )
+    )
+    return out.select(
+        "arrival",
+        "etag",
+        "bloom_hit",
+        "truly_seen",
+        F.when(~F.col("bloom_hit"), "new")
+        .when(F.col("truly_seen"), "dup")
+        .otherwise("false_positive")
+        .alias("verdict"),
+    )
+
+
 # --------------------------------------------------------------------------
 # documents: text analysis
 # --------------------------------------------------------------------------
@@ -2185,6 +2310,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "code_normalize_fingerprint": q_code_normalize_fingerprint,
     "decontaminate_vs_eval": q_decontaminate_vs_eval,
     "exact_dup_groups": q_exact_dup_groups,
+    "url_etag_dedup": q_url_etag_dedup,
+    "bloom_seen_filter": q_bloom_seen_filter,
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "commit_latest_snapshot": q_commit_latest_snapshot,
     # training-data export
@@ -2632,6 +2759,24 @@ gtp AS (
   WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_T}
 )
 """
+
+
+# crawl-manifest CTE shared by the D4 queries: one row per document
+# plus a mirror row (same ETag, second url, later arrival) for every
+# doc_id % 7 == 0 — must stay bit-identical to _crawl_manifest above
+_MANIFEST_SQL = """man AS (
+  SELECT doc_id AS arrival,
+         concat('https://', source, '.example.org/',
+                CAST(doc_id AS VARCHAR)) AS url,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS etag
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000001 AS arrival,
+         concat('https://mirror-', source, '.example.net/',
+                CAST(doc_id AS VARCHAR)) AS url,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS etag
+  FROM documents WHERE doc_id % 7 = 0
+)"""
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -3084,6 +3229,41 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS canonical
         FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    """,
+    "url_etag_dedup": f"""
+        WITH {_MANIFEST_SQL}
+        SELECT etag,
+               arg_min(url, arrival) AS kept_url,
+               min(arrival) AS kept_arrival,
+               CAST(count(*) - 1 AS BIGINT) AS n_skipped
+        FROM man GROUP BY etag
+    """,
+    "bloom_seen_filter": f"""
+        WITH {_MANIFEST_SQL},
+        pos AS (
+          SELECT DISTINCT arrival, etag,
+                 CAST(CAST(concat('0x', substr(sha256(etag), 1 + 8 * i, 8))
+                      AS UBIGINT) % {_BLOOM_M} AS BIGINT) AS p
+          FROM man, range({_BLOOM_K}) t(i)
+        ),
+        seen_pos AS (
+          SELECT DISTINCT p FROM pos WHERE arrival % 4 != 0
+        ),
+        seen_keys AS (
+          SELECT DISTINCT etag FROM man WHERE arrival % 4 != 0
+        ),
+        probe AS (
+          SELECT arrival, etag,
+                 bool_and(p IN (SELECT p FROM seen_pos)) AS bloom_hit
+          FROM pos WHERE arrival % 4 = 0 GROUP BY 1, 2
+        )
+        SELECT arrival, etag, bloom_hit,
+               bloom_hit AND etag IN (SELECT etag FROM seen_keys)
+                 AS truly_seen,
+               CASE WHEN NOT bloom_hit THEN 'new'
+                    WHEN etag IN (SELECT etag FROM seen_keys) THEN 'dup'
+                    ELSE 'false_positive' END AS verdict
+        FROM probe
     """,
     "cross_source_dup_matrix": f"""
         SELECT src_a, src_b,
