@@ -162,6 +162,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "pii_scrub_stats",
         "url_etag_dedup",
         "bloom_seen_filter",
+        "domain_mix_weights",
+        "gopher_quality_flags",
         "char_entropy",
         "commit_latest_snapshot",
         "repeated_span_stats",

@@ -90,3 +90,31 @@ def test_bloom_seen_filter_no_false_negatives(spark):
         else:
             assert not r.truly_seen
             assert r.verdict == ("false_positive" if r.bloom_hit else "new")
+
+
+def test_domain_mix_weights_normalized(spark):
+    """Temperature scaling: weights sum to 1 and compress the share
+    spread — every small source is boosted (weight >= raw_share ⇔
+    below-average size) and vice versa, with order preserved."""
+    rows = entrymod.queries()["domain_mix_weights"](spark, SF).collect()
+    assert rows
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-4
+    # boost = weight/raw_share ∝ 1/sqrt(n_tokens): strictly monotone
+    # non-increasing in source size (the whole point of temperature
+    # scaling), and it must actually move (unless sizes are all equal)
+    ordered = sorted(rows, key=lambda r: r.n_tokens)
+    boosts = [r.boost for r in ordered]
+    assert all(a >= b - 1e-6 for a, b in zip(boosts, boosts[1:]))
+    if ordered[0].n_tokens < ordered[-1].n_tokens:
+        assert boosts[0] > boosts[-1]
+
+
+def test_gopher_quality_flags_conjunction(spark):
+    rows = entrymod.queries()["gopher_quality_flags"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.keep == (
+            r.ok_word_count and r.ok_mean_word_len
+            and r.ok_stopwords and r.ok_repetition
+        )

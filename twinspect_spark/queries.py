@@ -1825,6 +1825,105 @@ def q_boilerplate_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA_NOTE = "alpha=0.5 (sqrt temperature)"
+
+
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data domain mixing: per-source token shares and
+    temperature-scaled sampling weights w_i ∝ n_i^0.5 — the standard
+    upsampling of small domains / downsampling of giant ones used when
+    composing a pretraining mixture from heterogeneous sources. Emits
+    the raw share, the alpha=0.5 weight, and the resulting boost factor
+    a sampler applies per source. FP determinism across engines: the
+    sqrt terms are scaled to integers (×1e6, round) BEFORE the sum, so
+    both numerator and denominator are exact BIGINTs and each output is
+    ONE double division — no accumulation-order divergence. Scale
+    shape: one map-side-combinable hash agg over source (the explode
+    never happens — token counts are per-row expressions), a 20-row
+    broadcast of the totals, no second pass over data."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n"),
+    )
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    wnum = F.round(F.sqrt(F.col("n_tokens")) * 1e6).cast("long")
+    per = per.withColumn("wnum", wnum)
+    totals = per.agg(
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+        F.sum("wnum").cast("long").alias("tot_wnum"),
+    )
+    out = per.crossJoin(F.broadcast(totals))
+    raw = F.round(F.col("n_tokens") / F.col("tot_tokens"), 6)
+    w = F.round(F.col("wnum") / F.col("tot_wnum"), 6)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        raw.alias("raw_share"),
+        w.alias("weight"),
+        F.round(w / raw, 6).alias("boost"),
+    )
+
+
+# Gopher-style document-quality gate thresholds (Rae et al. 2021,
+# arXiv:2112.11446 Table A1 — the word-level subset; the line-level
+# rules don't apply to single-line synthetic docs)
+GOPHER_MIN_WORDS = 15
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_DUP_BIGRAM_FRAC = 0.60
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document gate (Rae et al. 2021 §A.1.1): each rule is
+    an independent boolean column plus the conjunction `keep` — the
+    pass/fail routing a cleaning pipeline acts on, kept per-rule so the
+    drop REASONS are auditable (what fraction failed which gate drives
+    threshold tuning). All rules are per-row column expressions — pure
+    whole-stage codegen, zero shuffle; at 100 TB this is a free rider
+    on the ingest scan."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    n_words = F.size(words)
+    mean_wlen = (
+        F.aggregate(
+            words, F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w),
+        )
+        / n_words
+    )
+    n_stop = F.size(F.filter(words, lambda w: w.isin(
+        "the", "a", "of", "and", "to", "in", "is"
+    )))
+    grams = _word_grams(2)
+    dup_bigram = F.when(
+        F.size(grams) > 0,
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    ok_len = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_wlen = (mean_wlen >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_wlen <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    ok_rep = dup_bigram <= GOPHER_MAX_DUP_BIGRAM_FRAC
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(dup_bigram, 6).alias("dup_bigram_frac"),
+        ok_len.alias("ok_word_count"),
+        ok_wlen.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_rep.alias("ok_repetition"),
+        (ok_len & ok_wlen & ok_stop & ok_rep).alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # documents: repo-level sketch rollup, SemDeDup, chunk-granular dedup
 # --------------------------------------------------------------------------
@@ -2321,8 +2420,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_pack_sequences": q_training_pack_sequences,
     "boilerplate_headers": q_boilerplate_headers,
     "pii_scrub_stats": q_pii_scrub_stats,
+    "domain_mix_weights": q_domain_mix_weights,
     # text analysis
     "token_stats": q_token_stats,
+    "gopher_quality_flags": q_gopher_quality_flags,
     "quality_scores": q_quality_scores,
     "char_entropy": q_char_entropy,
     "repeated_span_stats": q_repeated_span_stats,
@@ -3451,6 +3552,75 @@ ORACLE_SQL: dict[str, str] = {
                      / count(*), 6) AS shared_frac
         FROM g JOIN dfc USING (gram)
         GROUP BY g.doc_id
+    """,
+    "domain_mix_weights": """
+        WITH per AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        wn AS (
+          SELECT *, CAST(round(sqrt(n_tokens) * 1e6) AS BIGINT) AS wnum
+          FROM per
+        ),
+        tot AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                 CAST(sum(wnum) AS BIGINT) AS tot_wnum
+          FROM wn
+        )
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens / CAST(tot_tokens AS DOUBLE), 6) AS raw_share,
+               round(wnum / CAST(tot_wnum AS DOUBLE), 6) AS weight,
+               round(round(wnum / CAST(tot_wnum AS DOUBLE), 6)
+                     / round(n_tokens / CAST(tot_tokens AS DOUBLE), 6), 6)
+                 AS boost
+        FROM wn, tot
+    """,
+    "gopher_quality_flags": f"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS words,
+                 regexp_split_to_array(trim(text), '\\s+') AS rwords
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, words,
+                 [rwords[i] || ' ' || rwords[i + 1]
+                  FOR i IN generate_series(1, len(rwords) - 1)] AS grams
+          FROM w
+        ),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 list_sum(list_transform(words, x -> strlen(x)))
+                   / CAST(len(words) AS DOUBLE) AS mean_wlen,
+                 len(list_filter(words, x -> x IN
+                     ('the','a','of','and','to','in','is'))) AS n_stop,
+                 CASE WHEN len(grams) > 0
+                      THEN 1 - len(list_distinct(grams))
+                           / CAST(len(grams) AS DOUBLE)
+                      ELSE 0.0 END AS dup_bigram
+          FROM g
+        )
+        SELECT doc_id, n_words,
+               round(mean_wlen, 6) AS mean_word_len,
+               round(dup_bigram, 6) AS dup_bigram_frac,
+               (n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS}) AS ok_word_count,
+               (mean_wlen >= {GOPHER_MIN_MEAN_WORD_LEN}
+                AND mean_wlen <= {GOPHER_MAX_MEAN_WORD_LEN})
+                 AS ok_mean_word_len,
+               (n_stop >= {GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
+               (dup_bigram <= {GOPHER_MAX_DUP_BIGRAM_FRAC}) AS ok_repetition,
+               ((n_words >= {GOPHER_MIN_WORDS}
+                 AND n_words <= {GOPHER_MAX_WORDS})
+                AND (mean_wlen >= {GOPHER_MIN_MEAN_WORD_LEN}
+                     AND mean_wlen <= {GOPHER_MAX_MEAN_WORD_LEN})
+                AND n_stop >= {GOPHER_MIN_STOPWORDS}
+                AND dup_bigram <= {GOPHER_MAX_DUP_BIGRAM_FRAC}) AS keep
+        FROM m
     """,
     "intra_doc_repetition": """
         WITH w AS (
