@@ -1,0 +1,122 @@
+"""Streaming crawl-frontier seen-store: no false negatives ever,
+replay idempotence, per-batch state writes that track |batch| (never
+|state|), shard-pruned exact lookups."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from twinspect_spark.streaming.frontier import FrontierStore
+
+
+def _batch(spark, lo, hi, salt=""):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(f"key{salt}-"), F.col("id").cast("string")).alias(
+            "etag"
+        )
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    # tiny filter (m=256, k=3) so false positives actually occur and
+    # the exact-check path is exercised, not just compiled
+    return FrontierStore(
+        spark, str(tmp_path / "frontier"), m_bits=256, k=3, n_shards=4,
+        compact_every=3,
+    )
+
+
+def test_first_batch_all_new(spark, store):
+    store.process_batch(_batch(spark, 0, 50), batch_id=0)
+    d = store.decisions(0)
+    assert d.count() == 50
+    assert d.where("verdict != 'new'").count() == 0
+
+
+def test_no_false_negatives_and_dup_detection(spark, store):
+    store.process_batch(_batch(spark, 0, 100), batch_id=0)
+    # batch 1 overlaps 0..39 — every one of those MUST come back 'dup'
+    store.process_batch(_batch(spark, 20, 140), batch_id=1)
+    d = {r.etag: r.verdict for r in store.decisions(1).collect()}
+    for i in range(20, 100):
+        assert d[f"key-{i}"] == "dup"
+    # fresh keys are new or (tiny filter) false_positive — never dup
+    for i in range(100, 140):
+        assert d[f"key-{i}"] in ("new", "false_positive")
+    # with m=256 and 100 admitted keys the filter is ~2/3 full: false
+    # positives are statistically certain, proving the exact check ran
+    assert any(v == "false_positive" for v in d.values())
+
+
+def test_admitted_once_and_replay_idempotent(spark, store):
+    b0 = _batch(spark, 0, 60)
+    store.process_batch(b0, batch_id=0)
+    keys_rows = store.admitted_keys().count()
+    pos_rows = store.seen_positions().count()
+    meta_before = store._read_meta()
+    # replay the SAME batch id — must short-circuit, state unchanged
+    store.process_batch(b0, batch_id=0)
+    assert store.admitted_keys().count() == keys_rows
+    assert store.seen_positions().count() == pos_rows
+    assert store._read_meta() == meta_before
+    # overlapping later batch admits only the fresh keys
+    store.process_batch(_batch(spark, 0, 80), batch_id=1)
+    assert store.admitted_keys().count() == 80
+    got = {r.etag for r in store.admitted_keys().collect()}
+    assert got == {f"key-{i}" for i in range(80)}
+
+
+def test_delta_writes_track_batch_not_state(spark, store):
+    """Positions deltas are bounded by k x |batch| rows however large
+    the accumulated state is; the keys half appends one batch-sized
+    dir per batch and is never rewritten."""
+    for b in range(3):
+        store.process_batch(
+            _batch(spark, 0, 500, salt=str(b)), batch_id=b
+        )
+    last = spark.read.parquet(store._pos_delta(2))
+    assert last.count() <= 3 * 500
+    # keys dirs are per-batch and batch-sized
+    n2 = spark.read.parquet(store._keys_dir(2)).count()
+    assert n2 <= 500
+
+
+def test_compaction_folds_and_gc(spark, store):
+    for b in range(5):  # compact_every=3 → at least one compaction
+        store.process_batch(_batch(spark, 0, 30, salt=str(b)), batch_id=b)
+    m = store._read_meta()
+    assert m["pos_base_version"] >= 0
+    assert len(m["pos_deltas"]) <= store.compact_every
+    # folded state still answers: every admitted key is a dup
+    d = store.classify(_batch(spark, 0, 30, salt="0"))
+    assert d.where("verdict != 'dup'").count() == 0
+    # retired delta dirs are gone
+    retired = [
+        b for b in range(5)
+        if b not in m["pos_deltas"]
+        and os.path.exists(store._pos_delta(b))
+    ]
+    assert retired == []
+
+
+def test_exact_lookup_is_shard_pruned(spark, store):
+    store.process_batch(_batch(spark, 0, 200), batch_id=0)
+    pruned = store.admitted_keys(shards=[1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and any("shard_pt" in ln for ln in scan)
+    # pruned read returns exactly that shard's keys
+    assert pruned.where("shard_pt != 1").count() == 0
+    assert 0 < pruned.count() < 200
+
+
+def test_config_mismatch_rejected(spark, store, tmp_path):
+    store.process_batch(_batch(spark, 0, 10), batch_id=0)
+    with pytest.raises(ValueError, match="m_bits"):
+        FrontierStore(
+            spark, str(tmp_path / "frontier"), m_bits=512, k=3, n_shards=4
+        )

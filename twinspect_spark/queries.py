@@ -581,19 +581,12 @@ _BLOOM_M = 2048  # bits in the seen-set Bloom filter (demo-scale)
 _BLOOM_K = 3     # hash probes per key
 
 
-def _bloom_positions(key, prefix_salt: str = ""):
-    """k Bloom bit positions from disjoint 8-hex windows of
-    sha256(key) — cryptographically uniform, engine-agnostic (the same
-    expression replays in ANSI SQL via CAST('0x'||substr AS UBIGINT)).
-    Returns a k-element array column of longs in [0, _BLOOM_M)."""
-    h = F.sha2(F.concat(F.lit(prefix_salt), key), 256)
-    return F.array(
-        *[
-            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
-            % _BLOOM_M
-            for i in range(_BLOOM_K)
-        ]
-    )
+def _bloom_positions(key):
+    """k Bloom bit positions at this module's (m, k) design point —
+    the shared engine-agnostic primitive lives in functions/bloom.py."""
+    from twinspect_spark.functions.bloom import bloom_positions
+
+    return bloom_positions(key, _BLOOM_M, _BLOOM_K)
 
 
 def q_bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
