@@ -164,6 +164,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "bloom_seen_filter",
         "domain_mix_weights",
         "gopher_quality_flags",
+        "bigram_lm_score",
         "char_entropy",
         "commit_latest_snapshot",
         "repeated_span_stats",

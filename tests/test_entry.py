@@ -118,3 +118,18 @@ def test_gopher_quality_flags_conjunction(spark):
             r.ok_word_count and r.ok_mean_word_len
             and r.ok_stopwords and r.ok_repetition
         )
+
+
+def test_bigram_lm_score_bounds(spark):
+    """Cross-entropy under the smoothed corpus LM is positive and
+    bounded by log2 of the largest smoothing denominator; a doc made of
+    corpus-typical text must score below the corpus maximum."""
+    import math
+
+    rows = entrymod.queries()["bigram_lm_score"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.xent_bits < 24.0
+        assert r.n_bigrams > 0
+    vals = [r.xent_bits for r in rows]
+    assert min(vals) < max(vals)  # the signal separates documents

@@ -1649,6 +1649,57 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-level character-bigram
+    language model — the model-free stand-in for the KenLM perplexity
+    filter of CCNet-style pipelines (docs that are cheap to predict
+    from corpus statistics are ordinary prose; expensive ones are
+    gibberish/outliers). Complements char_entropy: that scores a doc
+    against ITS OWN distribution, this against the corpus. Laplace-
+    smoothed P(b|a) = (c(ab)+1)/(c(a·)+D) with D = distinct successor
+    chars; every doc bigram exists in the corpus table by construction
+    so there is no OOV branch. Scale shape: the LM is two hash aggs
+    whose result is vocabulary-sized (≤ alphabet², independent of
+    corpus size) and BROADCASTS to the per-doc scoring join — at 100 TB
+    the model costs one map-side-combinable agg and the scoring is a
+    free rider on the bigram explode."""
+    t = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    g = t.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, greatest(length(t) - 1, 1)),"
+        " i -> substring(t, i, 2))) AS bg",
+    )
+    corpus = g.groupBy("bg").agg(F.count("*").alias("c"))
+    pref = corpus.groupBy(
+        F.substring("bg", 1, 1).alias("a")
+    ).agg(F.sum("c").alias("cp"))
+    d_row = corpus.agg(
+        F.count_distinct(F.substring("bg", 2, 1)).alias("d_vocab")
+    )
+    probs = (
+        corpus.withColumn("a", F.substring("bg", 1, 1))
+        .join(F.broadcast(pref), "a")
+        .crossJoin(F.broadcast(d_row))
+        .select(
+            "bg",
+            ((F.col("c") + 1) / (F.col("cp") + F.col("d_vocab"))).alias("p"),
+        )
+    )
+    nll = -F.log("p")
+    return (
+        g.join(F.broadcast(probs), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(nll) / F.count("*") / F.log(F.lit(2.0)), 6
+            ).alias("xent_bits"),
+        )
+    )
+
+
 def q_commit_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-revision snapshot of a (repo, path, commit) file history —
     the input_hint table shape with real multi-commit semantics. A
@@ -2417,6 +2468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text analysis
     "token_stats": q_token_stats,
     "gopher_quality_flags": q_gopher_quality_flags,
+    "bigram_lm_score": q_bigram_lm_score,
     "quality_scores": q_quality_scores,
     "char_entropy": q_char_entropy,
     "repeated_span_stats": q_repeated_span_stats,
@@ -3387,6 +3439,29 @@ ORACLE_SQL: dict[str, str] = {
                cast(max(commit_seq) AS int) AS latest_commit,
                sha256(max_by(content, commit_seq)) AS sha_latest
         FROM hist GROUP BY repo, path
+    """,
+    "bigram_lm_score": """
+        WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        g AS (
+          SELECT doc_id, substr(t, cast(i AS int), 2) AS bg
+          FROM t, unnest(generate_series(1, greatest(length(t) - 1, 1))) AS u(i)
+        ),
+        corpus AS (SELECT bg, count(*) AS c FROM g GROUP BY bg),
+        pref AS (
+          SELECT substr(bg, 1, 1) AS a, sum(c) AS cp FROM corpus GROUP BY 1
+        ),
+        dv AS (
+          SELECT count(DISTINCT substr(bg, 2, 1)) AS d_vocab FROM corpus
+        ),
+        probs AS (
+          SELECT bg, (c + 1) / (cp + d_vocab) AS p
+          FROM corpus JOIN pref ON substr(corpus.bg, 1, 1) = pref.a, dv
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(sum(-ln(p)) / count(*) / ln(2.0), 6) AS xent_bits
+        FROM g JOIN probs USING (bg)
+        GROUP BY doc_id
     """,
     "char_entropy": """
         WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
