@@ -165,6 +165,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "domain_mix_weights",
         "gopher_quality_flags",
         "bigram_lm_score",
+        "bucket_skew_report",
         "char_entropy",
         "commit_latest_snapshot",
         "repeated_span_stats",

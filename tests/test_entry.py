@@ -133,3 +133,21 @@ def test_bigram_lm_score_bounds(spark):
         assert r.n_bigrams > 0
     vals = [r.xent_bits for r in rows]
     assert min(vals) < max(vals)  # the signal separates documents
+
+
+def test_bucket_skew_report_mass_conservation(spark):
+    """Every document lands in exactly `bands` band buckets and
+    `simhash_chunks` chunk buckets: the histogram's total mass per
+    space must equal n_docs x slots."""
+    from twinspect_spark.queries import DOCS_CFG, DOCS_SIM_CFG
+
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    rows = entrymod.queries()["bucket_skew_report"](spark, SF).collect()
+    mass = {}
+    for r in rows:
+        mass[r.space] = mass.get(r.space, 0) + r.bucket_size * r.n_buckets
+        assert r.n_allpairs == r.n_buckets * (
+            r.bucket_size * (r.bucket_size - 1) // 2
+        )
+    assert mass["band"] == n_docs * DOCS_CFG.bands
+    assert mass["chunk"] == n_docs * DOCS_SIM_CFG.simhash_chunks

@@ -322,6 +322,48 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucket_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-keyspace skew observability: the bucket-size histogram
+    per signature space (LSH band buckets, SimHash chunk buckets) with
+    the all-pairs cost each size class would emit — the operational
+    readout the frequency cap (max_band_bucket) and spanning-chain
+    threshold (chain_bucket_size) are tuned against on a new corpus.
+    At 100 TB this is two map-side-combinable aggs over the bucket
+    exchange the candidate join needs anyway (size-class cardinality,
+    never pairs); the oracle replays both bucket keyspaces from the
+    signature kernels in SQL, so the gate pins the exact keyspace the
+    caps act on."""
+    _ship_package(spark)
+    from twinspect_spark.operators.simhash_ball import chunk_table
+
+    sigs = compute_signatures(_docs_as_ingested(spark, sf_dir), DOCS_CFG)
+    bands = band_table(sigs, DOCS_CFG)
+    bsz = bands.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("sz")
+    )
+    # same master seed → same simhash column; only chunking differs
+    chunks = chunk_table(sigs, DOCS_SIM_CFG)
+    csz = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count("*").alias("sz")
+    )
+
+    def hist(szdf: DataFrame, space: str) -> DataFrame:
+        return (
+            szdf.groupBy(F.col("sz").cast("long").alias("bucket_size"))
+            .agg(F.count("*").cast("long").alias("n_buckets"))
+            .select(
+                F.lit(space).alias("space"),
+                "bucket_size",
+                "n_buckets",
+                F.expr(
+                    "n_buckets * (bucket_size * (bucket_size - 1) DIV 2)"
+                ).cast("long").alias("n_allpairs"),
+            )
+        )
+
+    return hist(bsz, "band").unionByName(hist(csz, "chunk"))
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dup clusters: connected components over the verified
     pair graph; singletons keep their own id (G1)."""
@@ -2428,6 +2470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup family
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "hot_shingles": q_hot_shingles,
+    "bucket_skew_report": q_bucket_skew_report,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "lang_dup_stats": q_lang_dup_stats,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -2969,6 +3012,56 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY d.lang
     """,
     "minhash_lsh_dedup": _PAIRS_SQL,
+    # bucket keyspaces replayed from the signature kernels; the two CTE
+    # chains share names (sh/mx) so each lives in its own subquery scope
+    "bucket_skew_report": f"""
+        SELECT 'band' AS space, bucket_size, n_buckets,
+               n_buckets * (bucket_size * (bucket_size - 1) // 2)
+                 AS n_allpairs
+        FROM (
+          WITH {_MINHASH_LANES_CTE},
+          bandvals AS (
+            SELECT doc_id, bin // {DOCS_CFG.rows_per_band} AS band_idx,
+                   list(lane ORDER BY bin) AS bv
+            FROM lanes GROUP BY 1, 2
+          ),
+          bsz AS (
+            SELECT band_idx, bv, count(*) AS sz FROM bandvals GROUP BY 1, 2
+          )
+          SELECT CAST(sz AS BIGINT) AS bucket_size,
+                 CAST(count(*) AS BIGINT) AS n_buckets
+          FROM bsz GROUP BY sz
+        )
+        UNION ALL
+        SELECT 'chunk' AS space, bucket_size, n_buckets,
+               n_buckets * (bucket_size * (bucket_size - 1) // 2)
+                 AS n_allpairs
+        FROM (
+          WITH {_SIMHASH_CTE},
+          u AS (
+            SELECT doc_id,
+                   CASE WHEN simhash < 0
+                        THEN simhash::HUGEINT + {_M64}
+                        ELSE simhash::HUGEINT END AS u
+            FROM sim
+          ),
+          ch AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {i} AS chunk_idx, "
+                f"CAST((u // {1 << (8 * i)}::HUGEINT) % 256 AS BIGINT)"
+                f" AS chunk_val FROM u"
+                for i in range(8)
+            )}
+          ),
+          csz AS (
+            SELECT chunk_idx, chunk_val, count(*) AS sz
+            FROM ch GROUP BY 1, 2
+          )
+          SELECT CAST(sz AS BIGINT) AS bucket_size,
+                 CAST(count(*) AS BIGINT) AS n_buckets
+          FROM csz GROUP BY sz
+        )
+    """,
     # full OPH MinHash signature + banding replayed in SQL: candidates are
     # pairs sharing all r lanes of >=1 band (bucket cap mirrored); the
     # lane-match count verifies every one of the 128 lanes bit-exactly
