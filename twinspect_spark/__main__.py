@@ -20,8 +20,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# spark-submit bootstrap: --py-files archives land on sys.path only
+# AFTER the SparkContext starts, but this script needs the package to
+# build the session in the first place. When submitted as a file path
+# (client mode, repo checked out on the driver) the package sits next
+# to this script — put its parent on sys.path; executors still import
+# from the shipped zip.
+try:  # pragma: no cover - trivial import guard
+    import twinspect_spark  # noqa: F401
+except ModuleNotFoundError:  # pragma: no cover
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:

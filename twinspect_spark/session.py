@@ -26,7 +26,15 @@ def package_zip() -> str:
     out = pathlib.Path(tempfile.gettempdir()) / "twinspect_spark_pkg.zip"
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
         for py in sorted(pkg_root.rglob("*.py")):
-            zf.write(py, f"twinspect_spark/{py.relative_to(pkg_root)}")
+            # fixed timestamp → byte-identical zip for identical sources;
+            # Spark hard-rejects re-adding a same-named file whose bytes
+            # differ, and mtimes would differ on every checkout/build
+            info = zipfile.ZipInfo(
+                f"twinspect_spark/{py.relative_to(pkg_root)}",
+                date_time=(1980, 1, 1, 0, 0, 0),
+            )
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, py.read_bytes())
     return str(out)
 
 
@@ -52,9 +60,15 @@ def get_spark(
         f"-XX:ParallelGCThreads={gc_threads} "
         f"-XX:ConcGCThreads={max(1, gc_threads // 4)}"
     )
+    from pyspark import SparkConf
+
+    builder = SparkSession.builder.appName(app_name)
+    # under spark-submit the master (and a real cluster) is already
+    # chosen — only default to local[cores] when launched standalone
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -90,5 +104,10 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.addPyFile(package_zip())
+    # skip the self-ship when spark-submit --py-files already delivered
+    # the package (re-adding a different build of the same filename is a
+    # hard error; same-build re-adds are merely warned and wasteful)
+    shipped = spark.sparkContext.getConf().get("spark.submit.pyFiles", "") or ""
+    if "twinspect_spark_pkg.zip" not in shipped:
+        spark.sparkContext.addPyFile(package_zip())
     return spark
