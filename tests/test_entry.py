@@ -151,3 +151,27 @@ def test_bucket_skew_report_mass_conservation(spark):
         )
     assert mass["band"] == n_docs * DOCS_CFG.bands
     assert mass["chunk"] == n_docs * DOCS_SIM_CFG.simhash_chunks
+
+
+def test_ann_recall_report_curve(spark):
+    """The recall-vs-nprobe calibration curve: per-query hits are
+    bounded and MONOTONE in nprobe (probing more cells can only add
+    candidates), and at nprobe = k the probe is exhaustive so recall
+    is exactly 1.0. (The >= 0.95-at-small-nprobe claim lives in
+    tests/test_ann.py on clustered embeddings, where it is achievable;
+    this report is the instrument that shows unclustered data tracks
+    the scanned fraction instead.)"""
+    from twinspect_spark.queries import IVF_KM_K
+
+    rows = entrymod.queries()["ann_recall_report"](spark, SF).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.n_truth > 0 and 0 <= r.n_hits <= r.n_truth
+        by_q.setdefault(r.q_id, []).append((r.nprobe, r.n_hits))
+    for q, pts in by_q.items():
+        pts.sort()
+        hits = [h for _, h in pts]
+        assert hits == sorted(hits), f"recall not monotone for q={q}"
+    exhaustive = [r for r in rows if r.nprobe == IVF_KM_K]
+    assert exhaustive and all(r.recall == 1.0 for r in exhaustive)

@@ -1499,6 +1499,60 @@ IVF_CENTROIDS_PATH = "/tmp/twinspect_ivf_centroids.parquet"
 IVF_CACHE_ROOT = "/tmp/twinspect_ivf_cache"
 
 
+ANN_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs nprobe of the production k-means IVF against
+    brute-force ground truth — the calibration curve an operator reads
+    before trusting the cheap tier at scale (previously a pytest-only
+    claim at one setting; this puts the measurement itself under the
+    driver gate). On clustered data high recall comes at small nprobe
+    (tests/test_ann.py gates >= 0.95 there); on the driver's unclustered
+    embeddings recall tracks the scanned fraction, and THIS REPORT IS
+    HOW YOU SEE THAT — at nprobe = k (=8 here) the sweep must reach 1.0
+    by construction, which the oracle pins. Truth is the exact cosine
+    top-k on the same 10-query audit panel, so the report costs one
+    sampled brute-force pass however big the index is."""
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    bf = q_ann_cosine_topk(spark, sf_dir)
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    truth = (
+        bf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= IVF_TOPK)
+        .select("q_id", "neighbor_id")
+    )
+    cdf = _ivf_kmeans_centroids(spark, sf_dir)
+    parts = []
+    for nprobe in ANN_NPROBE_SWEEP:
+        ivf = _ann_ivf_kmeans(spark, sf_dir, nprobe, cdf=cdf).select(
+            "q_id", "neighbor_id", F.lit(True).alias("hit")
+        )
+        parts.append(
+            truth.join(ivf, ["q_id", "neighbor_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count("*").cast("long").alias("n_truth"),
+                F.sum(F.when(F.col("hit"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                "q_id",
+                "n_truth",
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("n_truth"), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 production quantizer under the HARD oracle: sampled spherical
     k-means training (numpy, operators/ann.py — cached via the manifest
@@ -1507,8 +1561,15 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cid tie-break), nprobe=2 probing and top-k search are then pure
     column expressions the DuckDB oracle replays against the SAME
     persisted centroid table — only training stays outside the gate."""
+    return _ann_ivf_kmeans(spark, sf_dir, IVF_KM_NPROBE)
+
+
+def _ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-or-load the k-means centroids and publish the fixed-path
+    copy the oracle reads. ONE save per report/run: overwriting the
+    fixed path invalidates any earlier lazy plan that references its
+    files, so sweep callers prep once and share the DataFrame."""
     from twinspect_spark.operators.ann import cached_ivf_centroids, save_centroids
-    from pyspark.sql import Window as W
 
     emb = _t(spark, sf_dir, "embeddings")
     tok = os.path.basename(sf_dir.rstrip("/")) or "default"
@@ -1518,7 +1579,19 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-path copy for the oracle (overwritten per run; the cache above
     # is the keyed durable store)
     save_centroids(spark, cent, IVF_CENTROIDS_PATH)
-    cdf = F.broadcast(spark.read.parquet(IVF_CENTROIDS_PATH))
+    return F.broadcast(spark.read.parquet(IVF_CENTROIDS_PATH))
+
+
+def _ann_ivf_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    cdf: DataFrame | None = None,
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    if cdf is None:
+        cdf = _ivf_kmeans_centroids(spark, sf_dir)
 
     n = _normed_embeddings(spark, sf_dir)
     # centroids are unit-norm by construction; both sides still divide by
@@ -1538,7 +1611,7 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = n.join(asg, "vec_id")
     q = (
         ranked.where(
-            (F.col("rn") <= IVF_KM_NPROBE) & (F.col("vec_id") < 10)
+            (F.col("rn") <= nprobe) & (F.col("vec_id") < 10)
         )
         .select(
             F.col("vec_id").alias("q_id"),
@@ -2554,6 +2627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_threshold_sweep": q_simhash_threshold_sweep,
     "simhash_effectiveness": q_simhash_effectiveness,
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
+    "ann_recall_report": q_ann_recall_report,
 }
 
 
@@ -2966,6 +3040,83 @@ _MANIFEST_SQL = """man AS (
          sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS etag
   FROM documents WHERE doc_id % 7 = 0
 )"""
+
+
+_ANN_BF_SQL = """
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> cast(x AS double) * cast(x AS double)))) AS nrm
+          FROM embeddings
+        ),
+        q AS (SELECT * FROM n WHERE vec_id < 10),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                       / (q.nrm * c.nrm), 6) AS cosine
+          FROM q JOIN n c ON c.vec_id != q.vec_id
+        )
+        SELECT q_id, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs
+        ) WHERE rn <= 5
+    """
+
+def _ann_km_sql(nprobe: int = IVF_KM_NPROBE) -> str:
+    """k-means IVF search replay, parametrized on nprobe (the
+    recall-vs-nprobe sweep composes several instances)."""
+    return f"""
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> cast(x AS double) * cast(x AS double)))) AS nrm
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT cid, cemb FROM read_parquet('{IVF_CENTROIDS_PATH}/*.parquet')
+        ),
+        scored AS (
+          SELECT n.vec_id, cid,
+                 round(list_sum(list_transform(list_zip(n.embedding, cemb),
+                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                       / n.nrm, 6) AS c
+          FROM n CROSS JOIN cent
+        ),
+        ranked AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY c DESC, cid) AS rn
+          FROM scored
+        ),
+        asg AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+        cells AS (
+          SELECT n.vec_id, n.embedding, n.nrm, asg.cell
+          FROM n JOIN asg ON n.vec_id = asg.vec_id
+        ),
+        q AS (
+          SELECT r.vec_id AS q_id, n.embedding AS qe, n.nrm AS qn,
+                 r.cid AS cell
+          FROM ranked r JOIN n ON n.vec_id = r.vec_id
+          WHERE r.rn <= {nprobe} AND r.vec_id < 10
+        ),
+        pairs AS (
+          SELECT q_id, c.vec_id AS neighbor_id, q.cell,
+                 round(list_sum(list_transform(list_zip(qe, c.embedding),
+                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                       / (qn * c.nrm), 6) AS cosine
+          FROM q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.q_id
+        )
+        SELECT q_id, neighbor_id, cell, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs
+        ) WHERE rn <= {IVF_TOPK}
+    """
+
+
+_ANN_KM_SQL = _ann_km_sql()
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -3933,27 +4084,7 @@ ORACLE_SQL: dict[str, str] = {
                label
         FROM embeddings
     """,
-    "ann_cosine_topk": """
-        WITH n AS (
-          SELECT vec_id, embedding,
-                 sqrt(list_sum(list_transform(embedding,
-                      x -> cast(x AS double) * cast(x AS double)))) AS nrm
-          FROM embeddings
-        ),
-        q AS (SELECT * FROM n WHERE vec_id < 10),
-        pairs AS (
-          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-                 round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
-                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
-                       / (q.nrm * c.nrm), 6) AS cosine
-          FROM q JOIN n c ON c.vec_id != q.vec_id
-        )
-        SELECT q_id, neighbor_id, cosine FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id
-                                       ORDER BY cosine DESC, neighbor_id) AS rn
-          FROM pairs
-        ) WHERE rn <= 5
-    """,
+    "ann_cosine_topk": _ANN_BF_SQL,
     "corpus_fingerprint": """
         WITH h AS (SELECT sha256(text) AS h FROM documents)
         SELECT count(*) AS n_rows,
@@ -4100,53 +4231,35 @@ ORACLE_SQL: dict[str, str] = {
           FROM pairs
         ) WHERE rn <= {IVF_TOPK}
     """,
-    "ann_ivf_kmeans_topk": f"""
-        WITH n AS (
-          SELECT vec_id, embedding,
-                 sqrt(list_sum(list_transform(embedding,
-                      x -> cast(x AS double) * cast(x AS double)))) AS nrm
-          FROM embeddings
-        ),
-        cent AS (
-          SELECT cid, cemb FROM read_parquet('{IVF_CENTROIDS_PATH}/*.parquet')
-        ),
-        scored AS (
-          SELECT n.vec_id, cid,
-                 round(list_sum(list_transform(list_zip(n.embedding, cemb),
-                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
-                       / n.nrm, 6) AS c
-          FROM n CROSS JOIN cent
-        ),
-        ranked AS (
-          SELECT vec_id, cid,
-                 row_number() OVER (PARTITION BY vec_id
-                                    ORDER BY c DESC, cid) AS rn
-          FROM scored
-        ),
-        asg AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
-        cells AS (
-          SELECT n.vec_id, n.embedding, n.nrm, asg.cell
-          FROM n JOIN asg ON n.vec_id = asg.vec_id
-        ),
-        q AS (
-          SELECT r.vec_id AS q_id, n.embedding AS qe, n.nrm AS qn,
-                 r.cid AS cell
-          FROM ranked r JOIN n ON n.vec_id = r.vec_id
-          WHERE r.rn <= {IVF_KM_NPROBE} AND r.vec_id < 10
-        ),
-        pairs AS (
-          SELECT q_id, c.vec_id AS neighbor_id, q.cell,
-                 round(list_sum(list_transform(list_zip(qe, c.embedding),
-                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
-                       / (qn * c.nrm), 6) AS cosine
-          FROM q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.q_id
-        )
-        SELECT q_id, neighbor_id, cell, cosine FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id
-                                       ORDER BY cosine DESC, neighbor_id) AS rn
-          FROM pairs
-        ) WHERE rn <= {IVF_TOPK}
-    """,
+    "ann_ivf_kmeans_topk": _ANN_KM_SQL,
+    # recall@k vs nprobe of the k-means IVF against brute-force truth —
+    # composes the two proven ANN replays, one instance per sweep point
+    "ann_recall_report": " UNION ALL ".join(
+        f"""
+        SELECT CAST({nprobe} AS BIGINT) AS nprobe, t.q_id,
+               CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               round(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE),
+                     6) AS recall
+        FROM (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                     AS rn
+            FROM ({_ANN_BF_SQL})
+          ) WHERE rn <= {IVF_TOPK}
+        ) t
+        LEFT JOIN (
+          SELECT q_id, neighbor_id FROM ({_ann_km_sql(nprobe)})
+        ) i
+          ON t.q_id = i.q_id AND t.neighbor_id = i.neighbor_id
+        GROUP BY t.q_id
+        """
+        for nprobe in ANN_NPROBE_SWEEP
+    ),
     "eff_sweep_exact": f"WITH {_EFF_CTE} SELECT * FROM eff",
     "eff_best_threshold": (
         f"WITH {_EFF_CTE} "
