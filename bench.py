@@ -182,9 +182,11 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "repo_sketch_similarity",
         "chunk_dup_spans",
         "doc_dup_span_stats",
-        # cluster_purity: oracle-tier by design (ground truth = the
-        # all-pairs exact-Jaccard closure, like ngram_jaccard_pairs) —
-        # driver-gated at sf0.01, excluded from the timing battery
+        # cluster_purity / dedup_savings_report: oracle-tier by design
+        # (ground truth = the all-pairs exact-Jaccard closure, like
+        # ngram_jaccard_pairs) — driver-gated at sf0.01, excluded from
+        # the timing battery; the engine-path savings readout at scale
+        # composes engine_dup_clusters instead
         "winnow_clone_pairs",
         "shingle_cardinality_sketch",
         "top_terms_tfidf",

@@ -175,3 +175,17 @@ def test_ann_recall_report_curve(spark):
         assert hits == sorted(hits), f"recall not monotone for q={q}"
     exhaustive = [r for r in rows if r.nprobe == IVF_KM_K]
     assert exhaustive and all(r.recall == 1.0 for r in exhaustive)
+
+
+def test_dedup_savings_consistency(spark):
+    """Σ dropped docs across sources = n_docs − n_clusters (one
+    canonical survives per cluster), and token savings are bounded by
+    each source's total."""
+    rows = entrymod.queries()["dedup_savings_report"](spark, SF).collect()
+    clusters = entrymod.queries()["dup_clusters"](spark, SF).collect()
+    n_docs = len(clusters)
+    n_clusters = len({r.cluster_id for r in clusters})
+    assert sum(r.n_dropped for r in rows) == n_docs - n_clusters
+    for r in rows:
+        assert 0 <= r.tokens_dropped <= r.tokens_total
+        assert r.n_dropped <= r.n_docs

@@ -375,6 +375,48 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup buys, in training tokens: per source, the documents
+    and tokens DROPPED when each transitive dup cluster keeps only its
+    canonical member — the number a pretraining-budget owner actually
+    asks for ("how many tokens did dedup save, and where"). Composes
+    the verified cluster closure with per-doc token counts: one join,
+    one map-side-combinable agg; exact-integer token sums, one double
+    division at the end."""
+    clusters = q_dup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    j = docs.join(clusters, "doc_id").withColumn(
+        "dropped", F.col("doc_id") != F.col("cluster_id")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.when(F.col("dropped"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            "tokens_total",
+            "tokens_dropped",
+            F.round(
+                F.col("tokens_dropped") / F.col("tokens_total"), 6
+            ).alias("savings_frac"),
+        )
+    )
+
+
 def q_lang_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language near-duplicate exposure: fraction of each language's
     documents that sit in a multi-member dup cluster. The corpus-level
@@ -2551,6 +2593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": q_simhash_dedup,
     "dup_clusters": q_dup_clusters,
     "dup_clusters_distributed": q_dup_clusters_distributed,
+    "dedup_savings_report": q_dedup_savings_report,
     "simprint_fields": q_simprint_fields,
     "engine_dup_clusters": q_engine_dup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
@@ -3254,6 +3297,30 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_dedup": _PAIRS_SQL,
     "dup_clusters": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
     "dup_clusters_distributed": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
+    "dedup_savings_report": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        tok AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                      AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        j AS (
+          SELECT t.source, t.n_tok,
+                 (t.doc_id != c.cluster_id) AS dropped
+          FROM tok t JOIN clusters c ON t.doc_id = c.doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+               CAST(sum(CASE WHEN dropped THEN n_tok ELSE 0 END) AS BIGINT)
+                 AS tokens_dropped,
+               round(sum(CASE WHEN dropped THEN n_tok ELSE 0 END)
+                     / CAST(sum(n_tok) AS DOUBLE), 6) AS savings_frac
+        FROM j GROUP BY source
+    """,
     "simprint_fields": """
         WITH sp AS (
             SELECT doc_id AS id,
