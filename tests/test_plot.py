@@ -104,3 +104,15 @@ def test_plot_effectiveness_from_metrics(spark):
     svg2 = plot_distance_distribution(dist)
     _parse(svg2)
     assert "intra" in svg2 or "inter" in svg2
+
+
+def test_ann_recall_curve_plot(spark):
+    """The calibration chart renders from the real report table."""
+    from twinspect_spark.plot import plot_ann_recall_curve
+    from twinspect_spark.queries import QUERIES
+
+    rep = QUERIES["ann_recall_report"](spark, "/root/testdata/sf0.001")
+    svg = plot_ann_recall_curve(rep)
+    root = _parse(svg)
+    assert root.tag.endswith("svg")
+    assert "macro_recall" in svg and "nprobe" in svg

@@ -294,6 +294,31 @@ def plot_distance_distribution(
     )
 
 
+def plot_ann_recall_curve(
+    report: DataFrame, title: str = "IVF recall vs nprobe"
+) -> str:
+    """ann_recall_report table → macro recall@k vs nprobe line — the
+    index-calibration chart (companion to queries.q_ann_recall_report;
+    no reference analog: the reference's searcher is exact, so its plot
+    family never needed a recall curve)."""
+    from pyspark.sql import functions as F
+
+    macro = (
+        report.groupBy("nprobe")
+        .agg(F.round(F.avg("recall"), 6).alias("macro_recall"))
+        .orderBy("nprobe")
+    )
+    rows = [r.asDict() for r in macro.limit(64).collect()]
+    return line_chart(
+        rows,
+        x="nprobe",
+        series=["macro_recall"],
+        title=title,
+        x_label="nprobe (cells probed)",
+        y_label="macro recall@k",
+    )
+
+
 def write_svg(path: str, svg: str) -> None:
     with open(path, "w") as f:
         f.write(svg)
