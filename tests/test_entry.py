@@ -189,3 +189,22 @@ def test_dedup_savings_consistency(spark):
     for r in rows:
         assert 0 <= r.tokens_dropped <= r.tokens_total
         assert r.n_dropped <= r.n_docs
+
+
+def test_lsh_plan_table_validates_default(spark):
+    """The planner's own numbers must justify the shipped default:
+    bands=16/r=8 minimizes fp_mass + fn_mass at the 0.7 threshold
+    among the num_perm factorizations, and the S-curve behaves
+    (fp grows, fn shrinks with more bands)."""
+    rows = entrymod.queries()["lsh_plan_table"](spark, SF).collect()
+    by_b = {r.bands: r for r in rows}
+    assert set(by_b) == {8, 16, 32, 64}
+    best = min(rows, key=lambda r: r.fp_mass + r.fn_mass)
+    assert best.bands == 16  # the DedupConfig default
+    bs = sorted(by_b)
+    assert all(
+        by_b[a].fp_mass <= by_b[b].fp_mass for a, b in zip(bs, bs[1:])
+    )
+    assert all(
+        by_b[a].fn_mass >= by_b[b].fn_mass for a, b in zip(bs, bs[1:])
+    )

@@ -322,6 +322,66 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_plan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding planner (MMDS ch.3; reference analog P4's
+    bitlength→threshold inference, eff.py:112-117): for every (bands,
+    rows) factorization of num_perm, the band-collision probability
+    1-(1-s^r)^b on a Jaccard grid, plus each config's FP mass below the
+    dedup threshold and FN mass above it (grid-step rectangle sums, the
+    quantities you trade off when picking b). Pure math over a
+    generated grid — no table scan at any scale; lives as a query so
+    the planner's numbers are pinned by the cross-engine gate like
+    everything else config-critical."""
+    p = DOCS_CFG.num_perm
+    configs = [(b, p // b) for b in (8, 16, 32, 64) if p % b == 0]
+    # integer grid index (s = s20/20) keeps every threshold comparison
+    # exact-integer; only the probability math is FP, rounded to 6dp
+    # before any aggregation so cross-engine pow() ulps cannot surface
+    grid = spark.range(1, 20).select(F.col("id").cast("int").alias("s20"))
+    t20 = int(round(JACCARD_T * 20))
+    parts = []
+    for b, r in configs:
+        s = F.col("s20") / 20.0
+        prob = 1.0 - F.pow(1.0 - F.pow(s, F.lit(r)), F.lit(b))
+        parts.append(
+            grid.select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "s20",
+                F.round(prob, 6).alias("p_collide"),
+            )
+        )
+    from functools import reduce
+
+    curve = reduce(lambda a, b2: a.unionByName(b2), parts)
+    return (
+        curve.groupBy("bands", "rows_per_band")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("s20") < t20, F.col("p_collide")).otherwise(
+                        0.0
+                    )
+                )
+                / 20.0,
+                6,
+            ).alias("fp_mass"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("s20") >= t20, 1.0 - F.col("p_collide")
+                    ).otherwise(0.0)
+                )
+                / 20.0,
+                6,
+            ).alias("fn_mass"),
+            F.round(
+                F.max(F.when(F.col("s20") == t20, F.col("p_collide"))), 6
+            ).alias("p_at_threshold"),
+        )
+    )
+
+
 def q_bucket_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-keyspace skew observability: the bucket-size histogram
     per signature space (LSH band buckets, SimHash chunk buckets) with
@@ -2586,6 +2646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "hot_shingles": q_hot_shingles,
     "bucket_skew_report": q_bucket_skew_report,
+    "lsh_plan_table": q_lsh_plan_table,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "lang_dup_stats": q_lang_dup_stats,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -3206,6 +3267,34 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY d.lang
     """,
     "minhash_lsh_dedup": _PAIRS_SQL,
+    "lsh_plan_table": f"""
+        WITH grid AS (
+          SELECT CAST(i AS INT) AS s20 FROM range(1, 20) t(i)
+        ),
+        cfg AS (
+          {" UNION ALL ".join(
+              f"SELECT CAST({b} AS BIGINT) AS bands,"
+              f" CAST({DOCS_CFG.num_perm // b} AS BIGINT) AS rows_per_band"
+              for b in (8, 16, 32, 64) if DOCS_CFG.num_perm % b == 0
+          )}
+        ),
+        curve AS (
+          SELECT bands, rows_per_band, s20,
+                 round(1.0 - pow(1.0 - pow(s20 / 20.0, rows_per_band),
+                                 bands), 6) AS p_collide
+          FROM cfg, grid
+        )
+        SELECT bands, rows_per_band,
+               round(sum(CASE WHEN s20 < {int(round(JACCARD_T * 20))}
+                              THEN p_collide ELSE 0.0 END) / 20.0, 6)
+                 AS fp_mass,
+               round(sum(CASE WHEN s20 >= {int(round(JACCARD_T * 20))}
+                              THEN 1.0 - p_collide ELSE 0.0 END) / 20.0, 6)
+                 AS fn_mass,
+               round(max(CASE WHEN s20 = {int(round(JACCARD_T * 20))}
+                              THEN p_collide END), 6) AS p_at_threshold
+        FROM curve GROUP BY bands, rows_per_band
+    """,
     # bucket keyspaces replayed from the signature kernels; the two CTE
     # chains share names (sh/mx) so each lives in its own subquery scope
     "bucket_skew_report": f"""
