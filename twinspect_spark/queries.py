@@ -710,14 +710,25 @@ def q_url_etag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4: URL/ETag download dedupe (download.py:30-64 — `content_ids`
     maps ETags to urls; later urls with a seen ETag are skipped). The
     reference iterates urls serially and keeps the FIRST arrival per
-    ETag; arrival order is made explicit with min_by so the result is
-    partitioning-invariant. One map-side-combinable groupBy on the
-    64-hex ETag — no shuffle of content, no all-pairs."""
+    ETag; arrival order is made explicit so the result is
+    partitioning-invariant. Plan note: the obvious min_by(url, arrival)
+    is NOT hash-aggregable (struct buffer → SortAggregate, i.e. a
+    per-partition sort of the whole manifest by a 64-hex key); the
+    scale idiom is argmin-via-min — a fixed-width hash aggregate
+    (map-side combinable) plus a slim join-back on (etag, arrival) to
+    recover the kept url. Verified: zero SortAggregates in the plan."""
     man = _crawl_manifest(spark, sf_dir)
-    return man.groupBy("etag").agg(
-        F.min_by("url", "arrival").alias("kept_url"),
+    kept = man.groupBy("etag").agg(
         F.min("arrival").alias("kept_arrival"),
         (F.count("*") - 1).cast("long").alias("n_skipped"),
+    )
+    back = man.select(
+        "etag",
+        F.col("arrival").alias("kept_arrival"),
+        F.col("url").alias("kept_url"),
+    )
+    return kept.join(back, ["etag", "kept_arrival"]).select(
+        "etag", "kept_url", "kept_arrival", "n_skipped"
     )
 
 
