@@ -1933,10 +1933,15 @@ def q_commit_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the input_hint table shape with real multi-commit semantics. A
     deterministic two-commit history is synthesized from documents
     (every doc_id % 3 == 0 gets an edited second revision), then
-    collapsed to the newest revision per path with max_by + the per-row
-    sha256 invariant (SF3) on the surviving content. This is the
-    snapshot isolation step a code-dedup run performs before
-    signatures: dedup the HEAD state, not every historical blob."""
+    collapsed to the newest revision per path + the per-row sha256
+    invariant (SF3) on the surviving content. This is the snapshot
+    isolation step a code-dedup run performs before signatures: dedup
+    the HEAD state, not every historical blob. Plan note: at 10^12
+    history rows this collapse is itself a scale operator, so the
+    max_by(content, commit_seq) form (SortAggregate — sorts the whole
+    history by path) is replaced with the hash-aggregable argmax idiom:
+    fixed-width max(commit_seq) + count, then a slim join-back on
+    (repo, path, commit_seq) to hash the surviving content."""
     docs = _t(spark, sf_dir, "documents")
 
     def rev(seq: int, content, flt=None):
@@ -1951,10 +1956,18 @@ def q_commit_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = rev(1, F.col("text")).unionByName(
         rev(2, F.concat("text", F.lit(" rev2")), F.col("doc_id") % 3 == 0)
     )
-    return hist.groupBy("repo", "path").agg(
+    latest = hist.groupBy("repo", "path").agg(
         F.count("*").alias("n_revisions"),
         F.max("commit_seq").alias("latest_commit"),
-        F.sha2(F.max_by("content", "commit_seq"), 256).alias("sha_latest"),
+    )
+    back = hist.select(
+        "repo",
+        "path",
+        F.col("commit_seq").alias("latest_commit"),
+        F.sha2("content", 256).alias("sha_latest"),
+    )
+    return latest.join(back, ["repo", "path", "latest_commit"]).select(
+        "repo", "path", "n_revisions", "latest_commit", "sha_latest"
     )
 
 
