@@ -1309,8 +1309,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("c"),
     )
-    asg = scored.groupBy("vec_id").agg(
-        F.max_by("cid", F.struct(F.col("c"), -F.col("cid"))).alias("cell")
+    # argmax by (c desc, cid asc) as ONE hash-aggregable bigint max:
+    # max_by's struct buffer forces SortAggregate (sorts the n x k
+    # scored relation); packing the 6dp-rounded score (21 bits) above
+    # an inverted cid (32 bits) makes the argmax a fixed-width max
+    c6 = (F.round(F.col("c") * 1e6) + 1_000_000).cast("long")
+    packed = c6 * F.lit(1 << 32).cast("long") + (
+        F.lit((1 << 32) - 1) - F.col("cid")
+    )
+    asg = scored.groupBy("vec_id").agg(F.max(packed).alias("pk")).select(
+        "vec_id",
+        (F.lit((1 << 32) - 1) - F.col("pk") % F.lit(1 << 32)).alias("cell"),
     )
     cells = n.join(asg, "vec_id")
     q = cells.where(F.col("vec_id") < 10).select(
