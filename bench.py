@@ -188,6 +188,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         # the timing battery; the engine-path savings readout at scale
         # composes engine_dup_clusters instead
         "winnow_clone_pairs",
+        "clone_type2_pairs",
         "shingle_cardinality_sketch",
         "top_terms_tfidf",
         "token_length_quantiles",

@@ -1,0 +1,97 @@
+"""Type-2 clone detection (alpha-canonical forms): rename invariance,
+type-1 separation, boilerplate-class cap, planted-pair completeness."""
+
+from __future__ import annotations
+
+import pytest
+
+from twinspect_spark.queries import (
+    CLONE2_MAX_CLASS,
+    CLONE2_RENAME_OFFSET,
+    q_clone_type2_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    return q_clone_type2_pairs(spark, SF_DIR).collect()
+
+
+def test_every_planted_rename_found(spark, pairs):
+    """The vowel-permutation rename is a bijection on identifiers, so
+    every planted partner MUST land in its base doc's clone class —
+    unless the base doc's class blew past the boilerplate cap, which
+    would drop base and partner together (checked: none do here)."""
+    n_planted = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where("doc_id % 5 = 0")
+        .count()
+    )
+    found = {
+        (a, b)
+        for a, b, *_ in ((r.doc_a, r.doc_b) + (r.n_tokens,) for r in pairs)
+        if b - a == CLONE2_RENAME_OFFSET
+    }
+    assert len(found) == n_planted
+
+
+def test_type2_pairs_invisible_to_type1(pairs):
+    """The point of the tier: clone pairs the content-hash tier cannot
+    see. Planted renames always change text (every doc contains a
+    vowel), so each must report same_text=false."""
+    planted = [r for r in pairs if r.doc_b - r.doc_a == CLONE2_RENAME_OFFSET]
+    assert planted and all(not r.same_text for r in planted)
+
+
+def test_class_cap_bounds_pair_degree(pairs):
+    """No doc may appear in more than cap-1 pairs (class size <= cap)."""
+    from collections import Counter
+
+    deg = Counter()
+    for r in pairs:
+        deg[r.doc_a] += 1
+        deg[r.doc_b] += 1
+    assert max(deg.values()) <= CLONE2_MAX_CLASS - 1
+
+
+def test_alpha_form_invariant_under_any_bijective_rename(spark):
+    """Property: an arbitrary word-level bijective rename (not the
+    planted vowel permutation) of one real doc collides with the
+    original's canonical class."""
+    from pyspark.sql import functions as F
+
+    doc = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where("doc_id = 1")
+        .select("text")
+        .first()
+        .text
+    )
+    words = doc.split(" ")
+    vocab = {w: f"tok{i}x" for i, w in enumerate(dict.fromkeys(words))}
+    renamed = " ".join(vocab[w] for w in words)
+
+    def canon(t):
+        ws = t.split(" ")[:256]
+        fo = list(dict.fromkeys(ws))
+        return [fo.index(w) for w in ws]
+
+    assert canon(doc) == canon(renamed)
+    # and the engine-side expression agrees with the Python twin
+    row = (
+        spark.createDataFrame([(doc,), (renamed,)], ["text"])
+        .select(F.slice(F.split("text", " "), 1, 256).alias("ws"))
+        .withColumn(
+            "fo",
+            F.expr("filter(ws, (x, i) -> array_position(ws, x) = i + 1)"),
+        )
+        .select(
+            F.expr(
+                "transform(ws, w -> cast(array_position(fo, w) as int) - 1)"
+            ).alias("alpha")
+        )
+        .collect()
+    )
+    assert row[0].alpha == row[1].alpha == canon(doc)

@@ -2226,6 +2226,9 @@ CHUNK_W = 16  # words per disjoint chunk (chunk-granular exact dedup)
 WINNOW_K = 8  # winnowing gram width (chars of normalized code)
 WINNOW_W = 8  # winnowing window (hashes); guarantee span = k + w - 1
 WINNOW_SIM_T = 0.5  # shared/min fingerprint-overlap report threshold
+CLONE2_PREFIX = 256  # alpha-canonicalize the first K tokens (clone window)
+CLONE2_MAX_CLASS = 64  # bigger classes = boilerplate pattern, not clones
+CLONE2_RENAME_OFFSET = 1_000_000  # planted-rename doc_id namespace
 SEMDEDUP_EPS = 0.4  # embedding-cosine duplicate threshold (COSINE_DUP_T)
 SEMDEDUP_CENTROIDS_PATH = "/tmp/twinspect_semdedup_centroids.parquet"
 
@@ -2467,6 +2470,79 @@ def q_winnow_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clone_pairs(fps, WINNOW_SIM_T)
 
 
+def q_clone_type2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 clone detection (Roy & Cordy's clone taxonomy: structure-
+    identical code under consistent identifier renaming) via alpha-
+    canonical forms: each token is replaced by the first-occurrence
+    index of its identifier within the document's first {CLONE2_PREFIX}
+    tokens, so any BIJECTIVE rename of the vocabulary maps to the same
+    canonical sequence; exact-grouping the canonical form yields clone
+    classes that type-1 (content-hash, D1) dedup provably cannot see.
+    A planted rename partner (vowel-permutation `translate`, injective
+    on strings, doc_id % 5) exercises exactly that gap: every planted
+    pair surfaces with same_text=false. The reference has no rename-
+    robust tier — its nearest analog is whole-payload simprints
+    (/root/reference/twinspect/algos/processing.py) which a consistent
+    rename defeats; this is the code-lake tier between exact dedup and
+    MinHash.
+
+    Scale shape (10^12 files): the canonical form is pure Catalyst
+    higher-order functions (filter/transform/array_position — whole-
+    stage codegen, no UDF, O(prefix^2) per row on bounded prefixes);
+    classes group on a fixed-width sha256 of the canonical string
+    (map-side combinable count), and the self-join shuffles on that
+    64-hex key with per-class membership capped at {CLONE2_MAX_CLASS}
+    (a canonical form shared by thousands of files is a boilerplate
+    PATTERN, not a clone class — same df-ceiling idiom as winnowing's
+    max_fp_df), so pair volume is bounded by cls_n^2 <= cap * |class|."""
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
+    renamed = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + CLONE2_RENAME_OFFSET).alias("doc_id"),
+        F.translate("text", "aeiou", "uoiea").alias("text"),
+    )
+    tok = docs.unionByName(renamed).select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha_text"),
+        F.slice(F.split("text", " "), 1, CLONE2_PREFIX).alias("ws"),
+    )
+    canon = tok.withColumn(
+        # first-occurrence vocabulary, order-stable: keep ws[i] iff its
+        # first position in ws is i (0-based lambda index, 1-based
+        # array_position — hence the +1)
+        "fo",
+        F.expr("filter(ws, (x, i) -> array_position(ws, x) = i + 1)"),
+    ).select(
+        "doc_id",
+        "sha_text",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.sha2(
+            F.expr(
+                "array_join(transform(ws, w -> cast(array_position(fo, w)"
+                " as string)), ',')"
+            ),
+            256,
+        ).alias("ck"),
+    )
+    cls = canon.groupBy("ck").agg(F.count("*").alias("cls_n"))
+    ok = canon.join(
+        cls.where(
+            (F.col("cls_n") >= 2) & (F.col("cls_n") <= CLONE2_MAX_CLASS)
+        ),
+        "ck",
+    ).select("ck", "doc_id", "sha_text", "n_tokens")
+    a, b = ok.alias("a"), ok.alias("b")
+    return a.join(
+        b,
+        (F.col("a.ck") == F.col("b.ck"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n_tokens").alias("n_tokens"),
+        (F.col("a.sha_text") == F.col("b.sha_text")).alias("same_text"),
+    )
+
+
 def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span coverage (the per-doc half of Lee
     et al. arXiv:2107.06499 §4: "what fraction of each document is
@@ -2698,6 +2774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_tier_assignment": q_dedup_tier_assignment,
     "dedup_tier_report": q_dedup_tier_report,
     "winnow_clone_pairs": q_winnow_clone_pairs,
+    "clone_type2_pairs": q_clone_type2_pairs,
     "doc_dup_span_stats": q_doc_dup_span_stats,
     "shingle_cardinality_sketch": q_shingle_cardinality_sketch,
     "top_terms_tfidf": q_top_terms_tfidf,
@@ -3676,6 +3753,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM shp JOIN fsz fa ON fa.doc_id = a JOIN fsz fb ON fb.doc_id = b
         WHERE round(shared_fps * 1.0 / least(fa.nf, fb.nf), 6)
               >= {WINNOW_SIM_T}
+    """,
+    "clone_type2_pairs": f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {CLONE2_RENAME_OFFSET} AS doc_id,
+                 translate(text, 'aeiou', 'uoiea') AS text
+          FROM documents WHERE doc_id % 5 = 0
+        ), tok AS (
+          SELECT doc_id, text,
+                 list_slice(string_split(text, ' '), 1, {CLONE2_PREFIX}) AS ws
+          FROM base
+        ), canon AS (
+          SELECT doc_id, sha256(text) AS sha_text,
+                 CAST(len(ws) AS BIGINT) AS n_tokens,
+                 sha256(array_to_string(list_transform(ws,
+                   w -> CAST(list_position(fo, w) AS VARCHAR)), ',')) AS ck
+          FROM (
+            SELECT doc_id, text, ws,
+                   list_filter(ws, (x, i) -> list_position(ws, x) = i) AS fo
+            FROM tok
+          )
+        ), ok AS (
+          SELECT * FROM canon
+          QUALIFY count(*) OVER (PARTITION BY ck)
+                  BETWEEN 2 AND {CLONE2_MAX_CLASS}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_tokens AS n_tokens,
+               a.sha_text = b.sha_text AS same_text
+        FROM ok a JOIN ok b ON a.ck = b.ck AND a.doc_id < b.doc_id
     """,
     "doc_dup_span_stats": f"""
         WITH t AS (
