@@ -74,22 +74,18 @@ def test_alpha_form_invariant_under_any_bijective_rename(spark):
     renamed = " ".join(vocab[w] for w in words)
 
     def canon(t):
+        # first-occurrence POSITION form (1-based, matching the engine)
         ws = t.split(" ")[:256]
-        fo = list(dict.fromkeys(ws))
-        return [fo.index(w) for w in ws]
+        return [ws.index(w) + 1 for w in ws]
 
     assert canon(doc) == canon(renamed)
     # and the engine-side expression agrees with the Python twin
     row = (
         spark.createDataFrame([(doc,), (renamed,)], ["text"])
         .select(F.slice(F.split("text", " "), 1, 256).alias("ws"))
-        .withColumn(
-            "fo",
-            F.expr("filter(ws, (x, i) -> array_position(ws, x) = i + 1)"),
-        )
         .select(
             F.expr(
-                "transform(ws, w -> cast(array_position(fo, w) as int) - 1)"
+                "transform(ws, w -> cast(array_position(ws, w) as int))"
             ).alias("alpha")
         )
         .collect()

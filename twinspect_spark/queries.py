@@ -31,6 +31,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2486,42 +2487,59 @@ def q_clone_type2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rename defeats; this is the code-lake tier between exact dedup and
     MinHash.
 
-    Scale shape (10^12 files): the canonical form is pure Catalyst
-    higher-order functions (filter/transform/array_position — whole-
-    stage codegen, no UDF, O(prefix^2) per row on bounded prefixes);
-    classes group on a fixed-width sha256 of the canonical string
-    (map-side combinable count), and the self-join shuffles on that
-    64-hex key with per-class membership capped at {CLONE2_MAX_CLASS}
-    (a canonical form shared by thousands of files is a boilerplate
-    PATTERN, not a clone class — same df-ceiling idiom as winnowing's
-    max_fp_df), so pair volume is bounded by cls_n^2 <= cap * |class|."""
+    Scale shape (10^12 files): the canonical form is one pure Catalyst
+    higher-order function (transform/array_position — no UDF, O(prefix
+    ^2) per row on bounded prefixes); classes group on a fixed-width
+    sha256 of the canonical string (map-side combinable count), and the
+    self-join shuffles on that 64-hex key with per-class membership
+    capped at {CLONE2_MAX_CLASS} (a canonical form shared by thousands
+    of files is a boilerplate PATTERN, not a clone class — same
+    df-ceiling idiom as winnowing's max_fp_df), so pair volume is
+    bounded by cls_n^2 <= cap * |class|.
+
+    Canonical-form choice (measured 191 s -> 11.6 s -> 0.9 s at sf0.1):
+    alpha[i] is the FIRST-OCCURRENCE POSITION of token i rather than a
+    compact 1..k vocabulary index — the two encode the same position
+    partition (positions share a token iff they share a first
+    occurrence), so clone classes are identical, but the compact form
+    needs a vocabulary subexpression referenced from inside a transform
+    lambda, and Catalyst inlines single-use alias expressions into
+    lambda bodies where they re-evaluate PER ELEMENT (higher-order
+    lambdas are interpreted, no loop-invariant hoisting): O(n^2) per
+    element, O(n^3) per row (the 191 s). The declarative position form
+    (transform(ws, w -> array_position(ws, w)), still the oracle's
+    spec) is O(n^2) per row in INTERPRETED eval — the 11.6 s — so the
+    engine side computes it with an O(n) dict pass in an Arrow-batched
+    pandas UDF instead, the same built-ins-first-but-never-interpreted-
+    quadratic tradeoff as the signature kernels."""
     docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     renamed = docs.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + CLONE2_RENAME_OFFSET).alias("doc_id"),
         F.translate("text", "aeiou", "uoiea").alias("text"),
     )
-    tok = docs.unionByName(renamed).select(
+    prefix = CLONE2_PREFIX
+
+    def _ck_kernel(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in texts:
+            ws = t.split(" ")[:prefix]
+            first: dict[str, int] = {}
+            alpha = [
+                str(first.setdefault(w, i + 1)) for i, w in enumerate(ws)
+            ]
+            out.append(hashlib.sha256(",".join(alpha).encode()).hexdigest())
+        return pd.Series(out)
+
+    ck_udf = F.pandas_udf(_ck_kernel, "string")
+    canon = docs.unionByName(renamed).select(
         "doc_id",
         F.sha2("text", 256).alias("sha_text"),
-        F.slice(F.split("text", " "), 1, CLONE2_PREFIX).alias("ws"),
-    )
-    canon = tok.withColumn(
-        # first-occurrence vocabulary, order-stable: keep ws[i] iff its
-        # first position in ws is i (0-based lambda index, 1-based
-        # array_position — hence the +1)
-        "fo",
-        F.expr("filter(ws, (x, i) -> array_position(ws, x) = i + 1)"),
-    ).select(
-        "doc_id",
-        "sha_text",
-        F.size("ws").cast("long").alias("n_tokens"),
-        F.sha2(
-            F.expr(
-                "array_join(transform(ws, w -> cast(array_position(fo, w)"
-                " as string)), ',')"
-            ),
-            256,
-        ).alias("ck"),
+        F.least(F.size(F.split("text", " ")), F.lit(CLONE2_PREFIX))
+        .cast("long")
+        .alias("n_tokens"),
+        ck_udf("text").alias("ck"),
     )
     cls = canon.groupBy("ck").agg(F.count("*").alias("cls_n"))
     ok = canon.join(
@@ -3769,12 +3787,8 @@ ORACLE_SQL: dict[str, str] = {
           SELECT doc_id, sha256(text) AS sha_text,
                  CAST(len(ws) AS BIGINT) AS n_tokens,
                  sha256(array_to_string(list_transform(ws,
-                   w -> CAST(list_position(fo, w) AS VARCHAR)), ',')) AS ck
-          FROM (
-            SELECT doc_id, text, ws,
-                   list_filter(ws, (x, i) -> list_position(ws, x) = i) AS fo
-            FROM tok
-          )
+                   w -> CAST(list_position(ws, w) AS VARCHAR)), ',')) AS ck
+          FROM tok
         ), ok AS (
           SELECT * FROM canon
           QUALIFY count(*) OVER (PARTITION BY ck)
