@@ -2350,11 +2350,14 @@ def q_chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiered dedup ladder: label every document with the STRONGEST
     dedup tier that flags it — ``exact`` (normalized-fingerprint twin,
-    D1/D5), ``near`` (shingle Jaccard >= {JACCARD_T}, the J2 semantics),
-    ``containment`` (asymmetric |A∩B|/min >= {CONTAIN_T}: sub-document
-    quotes symmetric Jaccard misses), ``chunk`` (shares a disjoint
-    {CHUNK_W}-word span with another doc — boilerplate leakage), else
-    ``unique``. This is the per-document routing table a tiered
+    D1/D5), ``rename`` (alpha-canonical class twin: structure-identical
+    under consistent identifier renaming, the type-2 clone tier — a
+    bijective rename defeats both the fingerprint and the shingle
+    tiers), ``near`` (shingle Jaccard >= {JACCARD_T}, the J2
+    semantics), ``containment`` (asymmetric |A∩B|/min >= {CONTAIN_T}:
+    sub-document quotes symmetric Jaccard misses), ``chunk`` (shares a
+    disjoint {CHUNK_W}-word span with another doc — boilerplate
+    leakage), else ``unique``. This is the per-document routing table a tiered
     training-data pipeline acts on: drop exact, cluster-and-keep-one
     near, span-scrub chunk.
 
@@ -2372,6 +2375,18 @@ def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     gsz = fp.groupBy("fingerprint").agg(F.count("*").alias("g"))
     ex = fp.join(gsz, "fingerprint").select(
         "doc_id", (F.col("g") - 1).cast("long").alias("n_exact_peers")
+    )
+
+    # type-2 tier: alpha-canonical class peers (structure-identical
+    # under consistent identifier renaming — q_clone_type2_pairs); a
+    # bijective rename defeats both the fingerprint AND shingle tiers,
+    # so it slots between them in the ladder
+    ck = _t(spark, sf_dir, "documents").select(
+        "doc_id", _alpha_ck_udf()("text").alias("ck")
+    )
+    c2sz = ck.groupBy("ck").agg(F.count("*").alias("g2"))
+    ren = ck.join(c2sz, "ck").select(
+        "doc_id", (F.col("g2") - 1).cast("long").alias("n_rename_peers")
     )
 
     # the shingle relation feeds three branches (sizes + both join
@@ -2427,12 +2442,14 @@ def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.lit(0).cast("long")
     res = (
         docs.join(ex, "doc_id", "left")
+        .join(ren, "doc_id", "left")
         .join(nearp, "doc_id", "left")
         .join(conp, "doc_id", "left")
         .join(chd, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_exact_peers", z).alias("n_exact_peers"),
+            F.coalesce("n_rename_peers", z).alias("n_rename_peers"),
             F.coalesce("n_near_peers", z).alias("n_near_peers"),
             F.coalesce("n_contain_peers", z).alias("n_contain_peers"),
             F.coalesce("n_shared_chunks", z).alias("n_shared_chunks"),
@@ -2441,6 +2458,7 @@ def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn(
         "tier",
         F.when(F.col("n_exact_peers") > 0, "exact")
+        .when(F.col("n_rename_peers") > 0, "rename")
         .when(F.col("n_near_peers") > 0, "near")
         .when(F.col("n_contain_peers") > 0, "containment")
         .when(F.col("n_shared_chunks") > 0, "chunk")
@@ -2469,6 +2487,31 @@ def q_winnow_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     udf = make_winnow_udf(WINNOW_K, WINNOW_W, DOCS_CFG.seed)
     fps = docs.select("doc_id", F.explode(udf(F.col("t"))).alias("fp"))
     return clone_pairs(fps, WINNOW_SIM_T)
+
+
+def _alpha_ck_udf():
+    """Arrow-batched kernel for the type-2 alpha-canonical class key:
+    sha256 over the sequence of 1-based first-occurrence positions of
+    the first {CLONE2_PREFIX} space-split tokens — one O(n) dict pass
+    per document (see q_clone_type2_pairs for why this is a UDF and not
+    the equivalent-but-interpreted-quadratic transform/array_position
+    expression). Bit-identical to the declarative SQL oracle form."""
+    prefix = CLONE2_PREFIX
+
+    def _ck_kernel(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in texts:
+            ws = t.split(" ")[:prefix]
+            first: dict[str, int] = {}
+            alpha = [
+                str(first.setdefault(w, i + 1)) for i, w in enumerate(ws)
+            ]
+            out.append(hashlib.sha256(",".join(alpha).encode()).hexdigest())
+        return pd.Series(out)
+
+    return F.pandas_udf(_ck_kernel, "string")
 
 
 def q_clone_type2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2517,29 +2560,13 @@ def q_clone_type2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + CLONE2_RENAME_OFFSET).alias("doc_id"),
         F.translate("text", "aeiou", "uoiea").alias("text"),
     )
-    prefix = CLONE2_PREFIX
-
-    def _ck_kernel(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        out = []
-        for t in texts:
-            ws = t.split(" ")[:prefix]
-            first: dict[str, int] = {}
-            alpha = [
-                str(first.setdefault(w, i + 1)) for i, w in enumerate(ws)
-            ]
-            out.append(hashlib.sha256(",".join(alpha).encode()).hexdigest())
-        return pd.Series(out)
-
-    ck_udf = F.pandas_udf(_ck_kernel, "string")
     canon = docs.unionByName(renamed).select(
         "doc_id",
         F.sha2("text", 256).alias("sha_text"),
         F.least(F.size(F.split("text", " ")), F.lit(CLONE2_PREFIX))
         .cast("long")
         .alias("n_tokens"),
-        ck_udf("text").alias("ck"),
+        _alpha_ck_udf()("text").alias("ck"),
     )
     cls = canon.groupBy("ck").agg(F.count("*").alias("cls_n"))
     ok = canon.join(
@@ -3703,6 +3730,21 @@ ORACLE_SQL: dict[str, str] = {
           SELECT doc_id, g - 1 AS n_exact_peers
           FROM fp JOIN gsz USING (fingerprint)
         ),
+        canon AS (
+          SELECT doc_id, sha256(array_to_string(list_transform(ws,
+                   w -> CAST(list_position(ws, w) AS VARCHAR)), ',')) AS ck
+          FROM (
+            SELECT doc_id,
+                   list_slice(string_split(text, ' '), 1, {CLONE2_PREFIX})
+                     AS ws
+            FROM documents
+          )
+        ),
+        c2sz AS (SELECT ck, count(*) AS g2 FROM canon GROUP BY 1),
+        ren AS (
+          SELECT doc_id, g2 - 1 AS n_rename_peers
+          FROM canon JOIN c2sz USING (ck)
+        ),
         inter AS (
           SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -3744,17 +3786,21 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT d.doc_id,
                cast(coalesce(ex.n_exact_peers, 0) AS bigint) AS n_exact_peers,
+               cast(coalesce(ren.n_rename_peers, 0) AS bigint)
+                 AS n_rename_peers,
                cast(coalesce(nearp.n, 0) AS bigint) AS n_near_peers,
                cast(coalesce(conp.n, 0) AS bigint) AS n_contain_peers,
                cast(coalesce(chd.n_shared_chunks, 0) AS bigint)
                  AS n_shared_chunks,
                CASE WHEN coalesce(ex.n_exact_peers, 0) > 0 THEN 'exact'
+                    WHEN coalesce(ren.n_rename_peers, 0) > 0 THEN 'rename'
                     WHEN coalesce(nearp.n, 0) > 0 THEN 'near'
                     WHEN coalesce(conp.n, 0) > 0 THEN 'containment'
                     WHEN coalesce(chd.n_shared_chunks, 0) > 0 THEN 'chunk'
                     ELSE 'unique' END AS tier
         FROM (SELECT doc_id FROM documents) d
         LEFT JOIN ex USING (doc_id)
+        LEFT JOIN ren USING (doc_id)
         LEFT JOIN nearp USING (doc_id)
         LEFT JOIN conp USING (doc_id)
         LEFT JOIN chd USING (doc_id)
