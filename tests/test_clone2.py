@@ -91,3 +91,59 @@ def test_alpha_form_invariant_under_any_bijective_rename(spark):
         .collect()
     )
     assert row[0].alpha == row[1].alpha == canon(doc)
+
+
+# ---------------------------------------------------------------------------
+# pure-kernel properties (no Spark): hypothesis over alpha_canon_key
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from twinspect_spark.queries import alpha_canon_key
+
+_tokens = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_tokens, st.randoms(use_true_random=False))
+def test_bijective_rename_invariance(toks, rng):
+    """Any bijective vocabulary rename maps to the SAME class key."""
+    vocab = list(dict.fromkeys(toks))
+    shuffled = vocab[:]
+    rng.shuffle(shuffled)
+    ren = dict(zip(vocab, (f"r{i}u{s}" for i, s in enumerate(shuffled))))
+    assert alpha_canon_key(" ".join(toks)) == alpha_canon_key(
+        " ".join(ren[w] for w in toks)
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(_tokens)
+def test_merging_two_tokens_changes_the_key(toks):
+    """A NON-bijective rename (two distinct identifiers collapsed into
+    one) changes the position partition, hence the key."""
+    vocab = list(dict.fromkeys(toks))
+    if len(vocab) < 2:
+        return
+    merged = [vocab[0] if w == vocab[1] else w for w in toks]
+    assert alpha_canon_key(" ".join(toks)) != alpha_canon_key(
+        " ".join(merged)
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(_tokens)
+def test_key_matches_sql_oracle_semantics(toks):
+    """The dict pass equals the oracle's transform/array_position form
+    (1-based first-occurrence position per token)."""
+    import hashlib
+
+    ws = " ".join(toks).split(" ")[:256]
+    alpha = [str(ws.index(w) + 1) for w in ws]
+    assert (
+        alpha_canon_key(" ".join(toks))
+        == hashlib.sha256(",".join(alpha).encode()).hexdigest()
+    )

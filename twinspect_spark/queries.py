@@ -2489,27 +2489,33 @@ def q_winnow_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clone_pairs(fps, WINNOW_SIM_T)
 
 
+def alpha_canon_key(text: str, prefix: int = CLONE2_PREFIX) -> str:
+    """Pure twin of the type-2 alpha-canonical class key: sha256 hex of
+    the comma-joined 1-based first-occurrence positions of the first
+    ``prefix`` space-split tokens. One O(n) dict pass. Invariant under
+    any bijective token rename (first occurrences are preserved);
+    distinguishes any two texts whose position partitions differ
+    (positions share a token iff they share a first occurrence).
+    Bit-identical to the declarative SQL oracle form
+    (transform/array_position) and to the Arrow kernel below —
+    property-tested in tests/test_clone2.py."""
+    import hashlib
+
+    ws = text.split(" ")[:prefix]
+    first: dict[str, int] = {}
+    alpha = [str(first.setdefault(w, i + 1)) for i, w in enumerate(ws)]
+    return hashlib.sha256(",".join(alpha).encode()).hexdigest()
+
+
 def _alpha_ck_udf():
-    """Arrow-batched kernel for the type-2 alpha-canonical class key:
-    sha256 over the sequence of 1-based first-occurrence positions of
-    the first {CLONE2_PREFIX} space-split tokens — one O(n) dict pass
-    per document (see q_clone_type2_pairs for why this is a UDF and not
-    the equivalent-but-interpreted-quadratic transform/array_position
-    expression). Bit-identical to the declarative SQL oracle form."""
+    """Arrow-batched kernel for the type-2 alpha-canonical class key
+    (see q_clone_type2_pairs for why this is a UDF and not the
+    equivalent-but-interpreted-quadratic transform/array_position
+    expression)."""
     prefix = CLONE2_PREFIX
 
     def _ck_kernel(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        out = []
-        for t in texts:
-            ws = t.split(" ")[:prefix]
-            first: dict[str, int] = {}
-            alpha = [
-                str(first.setdefault(w, i + 1)) for i, w in enumerate(ws)
-            ]
-            out.append(hashlib.sha256(",".join(alpha).encode()).hexdigest())
-        return pd.Series(out)
+        return pd.Series([alpha_canon_key(t, prefix) for t in texts])
 
     return F.pandas_udf(_ck_kernel, "string")
 
