@@ -181,8 +181,10 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "semdedup_prune",
         "repo_sketch_similarity",
         "chunk_dup_spans",
+        "cdc_chunk_dup",
         "doc_dup_span_stats",
-        # cluster_purity / dedup_savings_report: oracle-tier by design
+        # cluster_purity / dedup_savings_report / dup_sample_weights:
+        # oracle-tier by design
         # (ground truth = the all-pairs exact-Jaccard closure, like
         # ngram_jaccard_pairs) — driver-gated at sf0.01, excluded from
         # the timing battery; the engine-path savings readout at scale

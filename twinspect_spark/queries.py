@@ -478,6 +478,27 @@ def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware SOFT dedup: per-document sampling weight
+    1/cluster_size over the transitive near-dup clusters — instead of
+    dropping duplicates, down-weight them so each distinct content
+    contributes one unit of expected training mass (the repeated-data
+    down-weighting of Muennighoff et al., "Scaling Data-Constrained
+    Language Models", arXiv:2305.16264). Hard dedup
+    (q_dedup_keep_canonical) is the weight-∈-{0,1} special case; a
+    sampler consumes this table directly. One groupBy(cluster_id) +
+    one broadcastable join on the cluster-size side — sizes are one row
+    per cluster, ≪ corpus."""
+    cc = q_dup_clusters(spark, sf_dir)
+    csz = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(csz, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )
+
+
 def q_lang_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language near-duplicate exposure: fraction of each language's
     documents that sit in a multi-member dup cluster. The corpus-level
@@ -2224,6 +2245,8 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 CHUNK_W = 16  # words per disjoint chunk (chunk-granular exact dedup)
+CDC_K = 8  # content-defined chunking: boundary-gram width (chars)
+CDC_D = 64  # content-defined chunking: boundary divisor (mean chunk chars)
 WINNOW_K = 8  # winnowing gram width (chars of normalized code)
 WINNOW_W = 8  # winnowing window (hashes); guarantee span = k + w - 1
 WINNOW_SIM_T = 0.5  # shared/min fingerprint-overlap report threshold
@@ -2342,6 +2365,40 @@ def q_chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_occurrences"),
             F.min("doc_id").alias("first_doc"),
             F.min(F.length("chunk")).alias("chunk_chars"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_cdc_chunk_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (Rabin/Gear-style, LBFS —
+    Muthitacharoen et al. SOSP'01): chunk boundaries where the
+    SplitMix64(FNV) hash of the k={CDC_K}-char gram at that position is
+    ≡ 0 mod {CDC_D}, so boundaries depend only on local content and an
+    insertion re-chunks ONLY the edit's neighborhood — the fixed-window
+    chunk tier (q_chunk_dup_spans) shifts every chunk after an edit and
+    misses shifted boilerplate entirely. Cross-document groups of
+    identical chunks (same sha256) are the shift-robust shared spans.
+    Kernel is one vectorized numpy pass per doc inside an Arrow-batched
+    pandas UDF (operators/cdc.py); the oracle replays boundary hashing,
+    cut-point selection, and substring extraction in ANSI SQL — a single
+    misplaced boundary anywhere fails the gate."""
+    from twinspect_spark.ingest import normalize_expr
+    from twinspect_spark.operators.cdc import make_cdc_udf
+
+    _ship_package(spark)
+    docs = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", normalize_expr(F.col("text"), "simple").alias("t")
+    )
+    udf = make_cdc_udf(CDC_K, CDC_D, DOCS_CFG.seed)
+    ch = docs.select("doc_id", F.explode(udf(F.col("t"))).alias("chunk"))
+    return (
+        ch.groupBy(F.sha2("chunk", 256).alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.min(F.length("chunk")).cast("int").alias("chunk_chars"),
         )
         .where(F.col("n_docs") > 1)
     )
@@ -2815,6 +2872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "dup_clusters_distributed": q_dup_clusters_distributed,
     "dedup_savings_report": q_dedup_savings_report,
+    "dup_sample_weights": q_dup_sample_weights,
     "simprint_fields": q_simprint_fields,
     "engine_dup_clusters": q_engine_dup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
@@ -2822,6 +2880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repo_sketch_similarity": q_repo_sketch_similarity,
     "semdedup_prune": q_semdedup_prune,
     "chunk_dup_spans": q_chunk_dup_spans,
+    "cdc_chunk_dup": q_cdc_chunk_dup,
     "dedup_tier_assignment": q_dedup_tier_assignment,
     "dedup_tier_report": q_dedup_tier_report,
     "winnow_clone_pairs": q_winnow_clone_pairs,
@@ -3204,6 +3263,61 @@ fsz AS (SELECT doc_id, count(*) AS nf FROM fps GROUP BY 1)
 
 
 _WINNOW_CTE = _build_winnow_cte()
+
+
+def _build_cdc_cte() -> str:
+    """CTE chain ``documents → … → chunks(doc_id, chunk)``: the
+    content-defined chunking kernel (operators/cdc.py) replayed in ANSI
+    SQL — positional k-gram FNV fold + SplitMix64 (carry-columns
+    replay), boundary selection at hash ≡ 0 mod d, cut points via
+    lead() over ordered starts, chunk text via substr."""
+    from twinspect_spark.functions.hashing import FNV_OFFSET, FNV_PRIME
+    from twinspect_spark.operators.cdc import cdc_key
+
+    key = cdc_key(DOCS_CFG.seed)
+    k, d = CDC_K, CDC_D
+    fnv_step = _sql_mulmod64("xor(h, c)", FNV_PRIME)
+    return f"""
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, substr(t, i, {k}) AS g
+  FROM norm, unnest(range(1, greatest(length(t) - {k} + 1, 1) + 1)) AS u(i)
+  WHERE length(t) > 0
+),
+gh AS (
+  SELECT doc_id, pos,
+         list_reduce(
+           list_prepend({FNV_OFFSET}::HUGEINT,
+                        list_transform(
+                          list_filter(string_split(g, ''), c -> c <> ''),
+                          c -> unicode(c)::HUGEINT)),
+           (h, c) -> {fnv_step}) AS h
+  FROM grams
+),
+mx0 AS (SELECT doc_id, pos, xor(h, {key}::HUGEINT) AS z FROM gh),
+{_sql_splitmix64_steps("mx0", "z", carry="doc_id, pos")},
+starts AS (
+  SELECT doc_id, 1 AS s FROM norm WHERE length(t) > 0
+  UNION
+  SELECT doc_id, pos FROM mx WHERE m % {d} = 0 AND pos > 1
+),
+seg AS (
+  SELECT doc_id, s,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+  FROM starts
+),
+chunks AS (
+  SELECT n.doc_id,
+         substr(n.t, g.s, coalesce(g.nxt, length(n.t) + 1) - g.s) AS chunk
+  FROM seg g JOIN norm n USING (doc_id)
+)
+"""
+
+
+_CDC_CTE = _build_cdc_cte()
 
 
 def _build_hll_cte() -> str:
@@ -3722,6 +3836,25 @@ ORACLE_SQL: dict[str, str] = {
                min(doc_id) AS first_doc,
                cast(min(length(chunk)) AS int) AS chunk_chars
         FROM ch GROUP BY 1 HAVING count(distinct doc_id) > 1
+    """,
+    "cdc_chunk_dup": f"""
+        WITH {_CDC_CTE}
+        SELECT sha256(chunk) AS chunk_hash,
+               count(distinct doc_id) AS n_docs,
+               count(*) AS n_occurrences,
+               min(doc_id) AS first_doc,
+               cast(min(length(chunk)) AS int) AS chunk_chars
+        FROM chunks GROUP BY 1 HAVING count(distinct doc_id) > 1
+    """,
+    "dup_sample_weights": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        csz AS (
+          SELECT cluster_id, count(*) AS cluster_size
+          FROM clusters GROUP BY 1
+        )
+        SELECT c.doc_id, c.cluster_id, s.cluster_size,
+               round(1.0::DOUBLE / s.cluster_size, 6) AS weight
+        FROM clusters c JOIN csz s USING (cluster_id)
     """,
     "dedup_tier_assignment": f"""
         WITH {_SH_SQL},

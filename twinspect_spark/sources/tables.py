@@ -68,3 +68,41 @@ def write_table(df: DataFrame, target: str, provider: str = "parquet") -> None:
             df.writeTo(target).using(provider).create()
     else:
         df.write.mode("overwrite").parquet(target)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    provider: str = "parquet",
+) -> None:
+    """Persist ``df`` as a catalog table hash-BUCKETED (and sorted)
+    by ``key`` — the co-located-join layout for relations that are
+    repeatedly joined on the same key (signatures ⋈ clusters,
+    signatures ⋈ candidate ids, …).
+
+    A join of two tables bucketed on the join key with matching bucket
+    counts reads both sides already partitioned by the key: Catalyst
+    drops BOTH shuffle Exchanges (and, with ``sortBy``, both sorts) from
+    the sort-merge join — at 100 TB that is the difference between
+    re-shuffling the full signature store on every consumer and reading
+    it join-ready. The streaming stores get the same effect from
+    directory partitions (bucket_pt/id_pt + PartitionFilters); bucketed
+    catalog tables are the batch-side counterpart for high-cardinality
+    equi-join keys where directory-per-key is infeasible. On Iceberg
+    the equivalent layout is the hidden partition transform
+    ``bucket(N, key)`` declared at CREATE TABLE; the write call is the
+    only thing that changes.
+
+    Spark's parquet bucketing cannot transactionally replace an
+    existing table; this helper mirrors write_table's drop + create
+    fallback semantics.
+    """
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.format(provider)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
