@@ -197,7 +197,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         # NOT dedup_tier_assignment: its near/containment tiers read the
         # brute-force shingle pair matrix (the oracle-tier construct, like
         # ngram_jaccard_pairs) — the engine path for each tier is benched
-        # via e2e_dedup_pipeline / chunk_dup_spans / winnow_clone_pairs
+        # via e2e_dedup_pipeline / chunk_dup_spans / cdc_chunk_dup /
+        # winnow_clone_pairs
         # NOT minhash_estimate_pairs: it deliberately materializes the
         # RAW high-recall (b=32, r=4) candidate stream and compares all
         # 128 lanes per pair — a signature-verification oracle construct,

@@ -2414,7 +2414,9 @@ def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics), ``containment`` (asymmetric |A∩B|/min >= {CONTAIN_T}:
     sub-document quotes symmetric Jaccard misses), ``chunk`` (shares a
     disjoint {CHUNK_W}-word span with another doc — boilerplate
-    leakage), else ``unique``. This is the per-document routing table a tiered
+    leakage), ``cdc`` (shares a content-defined chunk — shift-robust
+    spans the fixed window grid loses after an edit moves the
+    boilerplate), else ``unique``. This is the per-document routing table a tiered
     training-data pipeline acts on: drop exact, cluster-and-keep-one
     near, span-scrub chunk.
 
@@ -2496,6 +2498,41 @@ def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_shared_chunks"))
     )
 
+    # cdc tier: content-defined chunks (operators/cdc.py) shared with
+    # another doc — shift-robust spans the fixed CHUNK_W windows lose
+    # when an edit moves the boilerplate off the window grid; a weaker
+    # span match than the 16-word chunk tier (mean CDC chunk ~CDC_D
+    # chars), so it ranks below `chunk` and rescues docs the fixed
+    # grid labeled `unique`
+    from twinspect_spark.ingest import normalize_expr
+    from twinspect_spark.operators.cdc import make_cdc_udf
+
+    _ship_package(spark)
+    cudf = make_cdc_udf(CDC_K, CDC_D, DOCS_CFG.seed)
+    cch = (
+        _t_par(spark, sf_dir, "documents")
+        .select("doc_id", normalize_expr(F.col("text"), "simple").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(cudf(F.col("t")), lambda c: F.sha2(c, 256))
+                )
+            ).alias("h2"),
+        )
+        # feeds two branches (shared-hash rollup + the peer join);
+        # without the cut each branch re-runs the CDC kernel
+        .localCheckpoint()
+    )
+    cshared = (
+        cch.groupBy("h2").agg(F.count("*").alias("nd2")).where(F.col("nd2") > 1)
+    )
+    cdcd = (
+        cch.join(cshared.select("h2"), "h2")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_cdc"))
+    )
+
     z = F.lit(0).cast("long")
     res = (
         docs.join(ex, "doc_id", "left")
@@ -2503,6 +2540,7 @@ def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nearp, "doc_id", "left")
         .join(conp, "doc_id", "left")
         .join(chd, "doc_id", "left")
+        .join(cdcd, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_exact_peers", z).alias("n_exact_peers"),
@@ -2510,6 +2548,7 @@ def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_near_peers", z).alias("n_near_peers"),
             F.coalesce("n_contain_peers", z).alias("n_contain_peers"),
             F.coalesce("n_shared_chunks", z).alias("n_shared_chunks"),
+            F.coalesce("n_shared_cdc", z).alias("n_shared_cdc"),
         )
     )
     return res.withColumn(
@@ -2519,6 +2558,7 @@ def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_near_peers") > 0, "near")
         .when(F.col("n_contain_peers") > 0, "containment")
         .when(F.col("n_shared_chunks") > 0, "chunk")
+        .when(F.col("n_shared_cdc") > 0, "cdc")
         .otherwise("unique"),
     )
 
@@ -2772,6 +2812,7 @@ def q_dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_near_peers").cast("long").alias("total_near_peers"),
         F.sum("n_contain_peers").cast("long").alias("total_contain_peers"),
         F.sum("n_shared_chunks").cast("long").alias("total_shared_chunks"),
+        F.sum("n_shared_cdc").cast("long").alias("total_shared_cdc"),
     )
     w = W.partitionBy(F.lit(1))
     return agg.withColumn(
@@ -3922,6 +3963,13 @@ ORACLE_SQL: dict[str, str] = {
         chd AS (
           SELECT doc_id, count(*) AS n_shared_chunks
           FROM ch WHERE h IN (SELECT h FROM shared) GROUP BY 1
+        ),
+        {_CDC_CTE},
+        cch AS (SELECT DISTINCT doc_id, sha256(chunk) AS h2 FROM chunks),
+        cshared AS (SELECT h2 FROM cch GROUP BY h2 HAVING count(*) > 1),
+        cdcd AS (
+          SELECT doc_id, count(*) AS n_shared_cdc
+          FROM cch WHERE h2 IN (SELECT h2 FROM cshared) GROUP BY 1
         )
         SELECT d.doc_id,
                cast(coalesce(ex.n_exact_peers, 0) AS bigint) AS n_exact_peers,
@@ -3931,11 +3979,14 @@ ORACLE_SQL: dict[str, str] = {
                cast(coalesce(conp.n, 0) AS bigint) AS n_contain_peers,
                cast(coalesce(chd.n_shared_chunks, 0) AS bigint)
                  AS n_shared_chunks,
+               cast(coalesce(cdcd.n_shared_cdc, 0) AS bigint)
+                 AS n_shared_cdc,
                CASE WHEN coalesce(ex.n_exact_peers, 0) > 0 THEN 'exact'
                     WHEN coalesce(ren.n_rename_peers, 0) > 0 THEN 'rename'
                     WHEN coalesce(nearp.n, 0) > 0 THEN 'near'
                     WHEN coalesce(conp.n, 0) > 0 THEN 'containment'
                     WHEN coalesce(chd.n_shared_chunks, 0) > 0 THEN 'chunk'
+                    WHEN coalesce(cdcd.n_shared_cdc, 0) > 0 THEN 'cdc'
                     ELSE 'unique' END AS tier
         FROM (SELECT doc_id FROM documents) d
         LEFT JOIN ex USING (doc_id)
@@ -3943,6 +3994,7 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN nearp USING (doc_id)
         LEFT JOIN conp USING (doc_id)
         LEFT JOIN chd USING (doc_id)
+        LEFT JOIN cdcd USING (doc_id)
     """,
     "winnow_clone_pairs": f"""
         WITH {_WINNOW_CTE},
@@ -5056,6 +5108,7 @@ ORACLE_SQL["dedup_tier_report"] = f"""
            cast(sum(n_near_peers) AS bigint) AS total_near_peers,
            cast(sum(n_contain_peers) AS bigint) AS total_contain_peers,
            cast(sum(n_shared_chunks) AS bigint) AS total_shared_chunks,
+           cast(sum(n_shared_cdc) AS bigint) AS total_shared_cdc,
            round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS pct_docs
     FROM base GROUP BY tier
 """
