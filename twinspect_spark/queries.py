@@ -921,18 +921,24 @@ def q_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     of removing spans that recur verbatim across documents — word
     7-grams here standing in for the 50-token spans used at full scale):
     per document, total spans and the fraction occurring in ≥2 distinct
-    documents. Scale shape: explode → groupBy(gram) with map-side
-    combine → broadcast-joinable per-gram doc counts → one re-join on
-    gram; no all-pairs, no collect."""
+    documents. Scale shape: explode → xxhash64 the gram IMMEDIATELY (the
+    7-word string never enters a shuffle: 8-byte keys through both the
+    df groupBy and the re-join, standard 2^-64 per-pair collision risk)
+    → localCheckpoint the compact (doc_id, g) relation (it feeds the
+    df rollup AND the join side — without the cut both branches re-run
+    the explode) → groupBy(g) with map-side combine → one re-join on g;
+    no all-pairs, no collect."""
     docs = _t_par(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(_word_grams(7)).alias("gram")
+    grams = (
+        docs.select("doc_id", F.explode(_word_grams(7)).alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("g"))
+        .localCheckpoint()
     )
-    df_counts = grams.groupBy("gram").agg(
+    df_counts = grams.groupBy("g").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )
     per_doc = (
-        grams.join(df_counts, "gram")
+        grams.join(df_counts, "g")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_spans"),
