@@ -75,6 +75,28 @@ def test_spark_submit_entrypoint(tmp_path):
     assert summary["n_dup_members"] > 0
 
 
+def test_spark_submit_bucketed_table_output(tmp_path):
+    """--output-buckets writes the clusters table hash-bucketed by
+    file_id into the session catalog (read back via spark.table inside
+    the same job — bucket metadata is catalog-scoped)."""
+    import pandas as pd
+
+    corpus = generate_corpus(n_clusters=2, transforms_per_original=1, seed=5)
+    inp = str(tmp_path / "files.parquet")
+    pd.DataFrame(corpus.files).to_parquet(inp)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "twinspect_spark",
+            "--input", inp, "--output", "default.tw_submit_clusters_b",
+            "--output-buckets", "4", "--jaccard", "0.6", "--cores", "2",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_files"] == len(corpus.files)
+
+
 def test_augment_simprints(spark):
     from twinspect_spark.sources.simprint import augment_simprints
 

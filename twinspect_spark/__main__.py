@@ -48,6 +48,14 @@ def main(argv: list[str] | None = None) -> int:
         "--report", default=None, metavar="DIR",
         help="also write report.md + SVG plots into DIR",
     )
+    ap.add_argument(
+        "--output-buckets", type=int, default=None, metavar="N",
+        help="when --output is a catalog table: write it hash-BUCKETED "
+        "(and sorted) by file_id into N buckets, so downstream joins on "
+        "file_id (signatures, lineage, incremental merges) read it "
+        "co-located with zero shuffle Exchange; on Iceberg this is the "
+        "bucket(N, file_id) hidden partition transform",
+    )
     args = ap.parse_args(argv)
 
     from twinspect_spark.config import DedupConfig
@@ -78,9 +86,21 @@ def main(argv: list[str] | None = None) -> int:
 
         res, status = run_dedup(files, cfg), None
 
-    from twinspect_spark.sources.tables import read_table, write_table
+    from twinspect_spark.sources.tables import (
+        is_table_ref,
+        read_table,
+        write_bucketed,
+        write_table,
+    )
 
-    write_table(res.clusters, args.output)
+    if args.output_buckets:
+        if not is_table_ref(args.output):
+            ap.error("--output-buckets requires a catalog-table --output")
+        write_bucketed(
+            res.clusters, args.output, "file_id", args.output_buckets
+        )
+    else:
+        write_table(res.clusters, args.output)
     if args.report:
         from twinspect_spark.report import write_run_artifacts
 
