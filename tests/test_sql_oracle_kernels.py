@@ -158,3 +158,35 @@ def test_sql_minhash_random_texts_property(con):
             DOCS_CFG.seed,
         )
         assert [int(x) & MASK64 for x in lanes] == want
+
+
+def test_sql_cdc_chunks_random_texts_property(con):
+    """The CDC SQL replay (queries._CDC_CTE) must reproduce the Python
+    scalar twin's chunking exactly — boundary positions AND chunk text,
+    in document order (the `seg` CTE exposes the cut offsets)."""
+    import re
+
+    from twinspect_spark.operators.cdc import cdc_chunks_py, cdc_key
+    from twinspect_spark.queries import CDC_D, CDC_K, _CDC_CTE
+
+    key = cdc_key(DOCS_CFG.seed)
+    rng = random.Random(23)
+    alphabet = "abcdefg h\nij.,"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 400)))
+        for _ in range(12)
+    ] + ["", " ", "a", "spark " * 40]
+    q = (
+        _with_docs(_CDC_CTE, texts)
+        + """ SELECT n.doc_id,
+               list(substr(n.t, g.s,
+                           coalesce(g.nxt, length(n.t) + 1) - g.s)
+                    ORDER BY g.s) AS cl
+          FROM seg g JOIN norm n USING (doc_id)
+          GROUP BY n.doc_id ORDER BY n.doc_id"""
+    )
+    got = {doc_id: list(cl) for doc_id, cl in con.sql(q).fetchall()}
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        want = cdc_chunks_py(norm, CDC_K, CDC_D, key)
+        assert got.get(i, []) == want, f"doc {i}"
