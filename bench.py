@@ -162,6 +162,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "pii_scrub_stats",
         "url_etag_dedup",
         "bloom_seen_filter",
+        "eval_ngram_contamination",
         "domain_mix_weights",
         "gopher_quality_flags",
         "bigram_lm_score",

@@ -686,6 +686,60 @@ def q_decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 13  # word n-gram width for eval-set decontamination
+
+
+def q_eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-level eval decontamination (the GPT-3 appendix-C /
+    FineWeb idiom: flag TRAINING docs sharing any verbatim word
+    {DECON_N}-gram with the held-out eval split, doc_id % 20 == 0) —
+    the complement of q_decontaminate_vs_eval's document-level LSH
+    match: n-gram overlap catches a quoted eval QUESTION pasted into an
+    otherwise unrelated training doc, which whole-doc Jaccard never
+    reaches threshold on. Emits per-contaminated-doc evidence
+    (gram occurrences, distinct grams, contaminated fraction).
+
+    Scale shape: grams are hashed to 8-byte xxhash64 keys immediately
+    (the 13-word string never enters a shuffle; standard 2^-64
+    per-pair collision risk), the compact (doc_id, g) relation is
+    checkpointed once and feeds the eval set, the hit join, and the
+    per-doc totals; the DISTINCT eval gram set — small by nature, an
+    eval suite is bounded no matter the corpus — BROADCASTS to the
+    training stream, so the train side never shuffles at all (the same
+    asymmetry the Bloom seen-filter exploits; at 10^9+ eval grams the
+    Bloom pre-filter in functions/bloom.py slots in front unchanged)."""
+    docs = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    g = (
+        docs.select("doc_id", F.explode(_word_grams(DECON_N)).alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("g"))
+        .localCheckpoint()
+    )
+    ev = g.where(F.col("doc_id") % 20 == 0).select("g").distinct()
+    tr = g.where(F.col("doc_id") % 20 != 0)
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_eval_grams"),
+            F.count_distinct("g").cast("long").alias("n_eval_grams_distinct"),
+        )
+    )
+    tot = tr.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    return hits.join(tot, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_eval_grams",
+        "n_eval_grams_distinct",
+        F.round(F.col("n_eval_grams") / F.col("n_grams"), 6).alias(
+            "contaminated_frac"
+        ),
+    )
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5: normalized-content fingerprint groups with >1 member."""
     fp = q_doc_fingerprint(spark, sf_dir)
@@ -2939,6 +2993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "code_normalize_fingerprint": q_code_normalize_fingerprint,
     "decontaminate_vs_eval": q_decontaminate_vs_eval,
+    "eval_ngram_contamination": q_eval_ngram_contamination,
     "exact_dup_groups": q_exact_dup_groups,
     "url_etag_dedup": q_url_etag_dedup,
     "bloom_seen_filter": q_bloom_seen_filter,
@@ -4395,6 +4450,35 @@ ORACLE_SQL: dict[str, str] = {
                len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
                length(text) AS n_chars_actual
         FROM documents
+    """,
+    "eval_ngram_contamination": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   array_to_string(words[i:i+{DECON_N - 1}], ' ') AS gram
+            FROM w, unnest(generate_series(1, len(words) - {DECON_N - 1}))
+                 AS t(i)
+        ),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        tr AS (SELECT * FROM g WHERE doc_id % 20 <> 0),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+        hits AS (
+            SELECT doc_id, count(*) AS n_eval_grams,
+                   count(DISTINCT gram) AS n_eval_grams_distinct
+            FROM tr WHERE gram IN (SELECT gram FROM ev) GROUP BY 1
+        )
+        SELECT h.doc_id,
+               cast(t.n_grams AS bigint) AS n_grams,
+               cast(h.n_eval_grams AS bigint) AS n_eval_grams,
+               cast(h.n_eval_grams_distinct AS bigint)
+                 AS n_eval_grams_distinct,
+               round(h.n_eval_grams * 1.0 / t.n_grams, 6)
+                 AS contaminated_frac
+        FROM hits h JOIN tot t USING (doc_id)
     """,
     "repeated_span_stats": """
         WITH w AS (
