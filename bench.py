@@ -200,6 +200,11 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         # ngram_jaccard_pairs) — the engine path for each tier is benched
         # via e2e_dedup_pipeline / chunk_dup_spans / cdc_chunk_dup /
         # winnow_clone_pairs
+        # NOT dedup_tier_engine either: the scale-path ladder is gate-
+        # proven (its LSH near tier must reproduce the brute-force
+        # ladder exactly — recall 1.0 enforced) but it COMPOSES the
+        # already-timed pipeline + chunk/cdc/alpha kernels, so timing
+        # it would double-count ~80 s of component costs in the total
         # NOT minhash_estimate_pairs: it deliberately materializes the
         # RAW high-recall (b=32, r=4) candidate stream and compares all
         # 128 lanes per pair — a signature-verification oracle construct,

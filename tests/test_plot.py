@@ -116,3 +116,22 @@ def test_ann_recall_curve_plot(spark):
     root = _parse(svg)
     assert root.tag.endswith("svg")
     assert "macro_recall" in svg and "nprobe" in svg
+
+
+def test_tier_distribution_chart(spark):
+    from twinspect_spark.plot import plot_tier_distribution
+
+    rows = [
+        ("exact", 16), ("near", 457), ("chunk", 371),
+        ("cdc", 1934), ("unique", 2184),
+    ]
+    df = spark.createDataFrame(rows, "tier string, n_docs long")
+    svg = plot_tier_distribution(df)
+    root = _parse(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    rects = [r for r in root.iter(f"{ns}rect")]
+    assert len(rects) >= 5  # one bar per tier (+ legend swatch)
+    texts = [t.text for t in root.iter(f"{ns}text") if t.text]
+    # rank prefixes pin ladder order on the x axis
+    assert any(t.startswith("1. exact") for t in texts)
+    assert any(t.startswith("6. cdc") for t in texts)

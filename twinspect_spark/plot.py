@@ -319,6 +319,41 @@ def plot_ann_recall_curve(
     )
 
 
+# ladder order, strongest evidence first (queries.q_dedup_tier_assignment)
+_TIER_ORDER = ("exact", "rename", "near", "containment", "chunk", "cdc",
+               "unique")
+
+
+def plot_tier_distribution(
+    report: DataFrame, title: str = "Dedup tier ladder"
+) -> str:
+    """dedup_tier_report table → documents-per-tier bars in ladder
+    order (strongest first) — the one-glance routing readout of the
+    tiered scrub (no reference analog: the reference has a single
+    match tier). Rank prefixes pin the x order (grouped_bar_chart
+    sorts x values)."""
+    rows = [r.asDict() for r in report.limit(16).collect()]
+    rank = {t: i for i, t in enumerate(_TIER_ORDER)}
+    data = [
+        {
+            "tier": f"{rank.get(r['tier'], len(_TIER_ORDER)) + 1}. "
+                    f"{r['tier']}",
+            "kind": "docs",
+            "n": int(r["n_docs"]),
+        }
+        for r in rows
+    ]
+    return grouped_bar_chart(
+        data,
+        x="tier",
+        group="kind",
+        y="n",
+        title=title,
+        x_label="tier (strongest first)",
+        y_label="documents",
+    )
+
+
 def write_svg(path: str, svg: str) -> None:
     with open(path, "w") as f:
         f.write(svg)

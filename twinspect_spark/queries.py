@@ -2464,6 +2464,115 @@ def q_cdc_chunk_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tier_exact_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_exact_peers): normalized-fingerprint twins (D1/D5) —
+    a map-side-combinable groupBy on the 32-byte fingerprint."""
+    fp = q_doc_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
+    gsz = fp.groupBy("fingerprint").agg(F.count("*").alias("g"))
+    return fp.join(gsz, "fingerprint").select(
+        "doc_id", (F.col("g") - 1).cast("long").alias("n_exact_peers")
+    )
+
+
+def _tier_rename_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_rename_peers): alpha-canonical class twins
+    (structure-identical under consistent identifier renaming, the
+    type-2 clone tier — q_clone_type2_pairs); a bijective rename
+    defeats both the fingerprint AND shingle tiers, so it slots
+    between them in the ladder."""
+    ck = _t(spark, sf_dir, "documents").select(
+        "doc_id", _alpha_ck_udf()("text").alias("ck")
+    )
+    c2sz = ck.groupBy("ck").agg(F.count("*").alias("g2"))
+    return ck.join(c2sz, "ck").select(
+        "doc_id", (F.col("g2") - 1).cast("long").alias("n_rename_peers")
+    )
+
+
+def _tier_chunk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shared_chunks): disjoint CHUNK_W-word spans shared
+    with another doc — a chunk-hash groupBy, no UDF."""
+    t = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    ch = t.selectExpr(
+        "doc_id",
+        f"explode(array_distinct(transform("
+        f"  sequence(0, cast((size(w) + {CHUNK_W - 1}) div {CHUNK_W} as int) - 1),"
+        f"  j -> sha2(concat_ws(' ', slice(w, j * {CHUNK_W} + 1, {CHUNK_W})), 256)))) AS h",
+    )
+    shared = ch.groupBy("h").agg(F.count("*").alias("nd")).where(F.col("nd") > 1)
+    return (
+        ch.join(shared.select("h"), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_chunks"))
+    )
+
+
+def _tier_cdc_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shared_cdc): content-defined chunks (operators/cdc.py)
+    shared with another doc — shift-robust spans the fixed CHUNK_W
+    windows lose when an edit moves the boilerplate off the window
+    grid; a weaker span match than the 16-word chunk tier (mean CDC
+    chunk ~CDC_D chars), so it ranks below ``chunk`` and rescues docs
+    the fixed grid labeled ``unique``."""
+    from twinspect_spark.ingest import normalize_expr
+    from twinspect_spark.operators.cdc import make_cdc_udf
+
+    _ship_package(spark)
+    cudf = make_cdc_udf(CDC_K, CDC_D, DOCS_CFG.seed)
+    cch = (
+        _t_par(spark, sf_dir, "documents")
+        .select("doc_id", normalize_expr(F.col("text"), "simple").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(cudf(F.col("t")), lambda c: F.sha2(c, 256))
+                )
+            ).alias("h2"),
+        )
+        # feeds two branches (shared-hash rollup + the peer join);
+        # without the cut each branch re-runs the CDC kernel
+        .localCheckpoint()
+    )
+    cshared = (
+        cch.groupBy("h2").agg(F.count("*").alias("nd2")).where(F.col("nd2") > 1)
+    )
+    return (
+        cch.join(cshared.select("h2"), "h2")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_cdc"))
+    )
+
+
+def _tier_peer_counts(pairs: DataFrame, out: str) -> DataFrame:
+    """(a, b) pair relation → per-doc peer count over both ends."""
+    ends = pairs.select(F.col("a").alias("doc_id")).unionAll(
+        pairs.select(F.col("b").alias("doc_id"))
+    )
+    return ends.groupBy("doc_id").agg(F.count("*").cast("long").alias(out))
+
+
+def _tier_assemble(
+    docs: DataFrame, parts: list[tuple[DataFrame, str, str]]
+) -> DataFrame:
+    """Left-join evidence relations onto the doc spine, zero-fill, and
+    emit the strongest-tier CASE in ladder order. ``parts`` is ordered
+    (evidence_df, evidence_col, tier_name) strongest-first."""
+    z = F.lit(0).cast("long")
+    res = docs
+    for df, col, _name in parts:
+        res = res.join(df, "doc_id", "left")
+    res = res.select(
+        "doc_id", *[F.coalesce(col, z).alias(col) for _, col, _n in parts]
+    )
+    case = F.when(F.col(parts[0][1]) > 0, parts[0][2])
+    for _, col, name in parts[1:]:
+        case = case.when(F.col(col) > 0, name)
+    return res.withColumn("tier", case.otherwise("unique"))
+
+
 def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiered dedup ladder: label every document with the STRONGEST
     dedup tier that flags it — ``exact`` (normalized-fingerprint twin,
@@ -2483,30 +2592,14 @@ def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shingle self-join feeds BOTH pair tiers (near + containment are
     thresholds over the same (inter, sizes) matrix), the exact tier is
     a map-side-combinable fingerprint groupBy, the chunk tier a chunk-
-    hash groupBy — no UDFs anywhere. At 100 TB the pair matrix comes
-    from LSH candidates for the near tier and a prefix-filter index for
-    the containment tier; the thresholds and the CASE ladder are
-    unchanged (this query IS the oracle tier at driver scale, like
-    q_ngram_jaccard_pairs)."""
+    hash groupBy — no UDFs anywhere. This query IS the oracle tier at
+    driver scale (like q_ngram_jaccard_pairs): the scale path is
+    q_dedup_tier_engine, whose near tier reads LSH candidates instead
+    of the brute-force matrix."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
-    fp = q_doc_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
-    gsz = fp.groupBy("fingerprint").agg(F.count("*").alias("g"))
-    ex = fp.join(gsz, "fingerprint").select(
-        "doc_id", (F.col("g") - 1).cast("long").alias("n_exact_peers")
-    )
-
-    # type-2 tier: alpha-canonical class peers (structure-identical
-    # under consistent identifier renaming — q_clone_type2_pairs); a
-    # bijective rename defeats both the fingerprint AND shingle tiers,
-    # so it slots between them in the ladder
-    ck = _t(spark, sf_dir, "documents").select(
-        "doc_id", _alpha_ck_udf()("text").alias("ck")
-    )
-    c2sz = ck.groupBy("ck").agg(F.count("*").alias("g2"))
-    ren = ck.join(c2sz, "ck").select(
-        "doc_id", (F.col("g2") - 1).cast("long").alias("n_rename_peers")
-    )
+    ex = _tier_exact_peers(spark, sf_dir)
+    ren = _tier_rename_peers(spark, sf_dir)
 
     # the shingle relation feeds three branches (sizes + both join
     # sides); one cut instead of three explode passes
@@ -2533,93 +2626,51 @@ def q_dedup_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the cut each branch re-runs the shingle self-join
     pm = pm.localCheckpoint()
 
-    def _peer_counts(pairs: DataFrame, out: str) -> DataFrame:
-        ends = pairs.select(F.col("a").alias("doc_id")).unionAll(
-            pairs.select(F.col("b").alias("doc_id"))
-        )
-        return ends.groupBy("doc_id").agg(F.count("*").cast("long").alias(out))
-
-    nearp = _peer_counts(pm.where(F.col("j") >= JACCARD_T), "n_near_peers")
-    conp = _peer_counts(pm.where(F.col("c") >= CONTAIN_T), "n_contain_peers")
-
-    t = _t_par(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    nearp = _tier_peer_counts(
+        pm.where(F.col("j") >= JACCARD_T), "n_near_peers"
     )
-    ch = t.selectExpr(
-        "doc_id",
-        f"explode(array_distinct(transform("
-        f"  sequence(0, cast((size(w) + {CHUNK_W - 1}) div {CHUNK_W} as int) - 1),"
-        f"  j -> sha2(concat_ws(' ', slice(w, j * {CHUNK_W} + 1, {CHUNK_W})), 256)))) AS h",
+    conp = _tier_peer_counts(
+        pm.where(F.col("c") >= CONTAIN_T), "n_contain_peers"
     )
-    shared = ch.groupBy("h").agg(F.count("*").alias("nd")).where(F.col("nd") > 1)
-    chd = (
-        ch.join(shared.select("h"), "h")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_shared_chunks"))
+    return _tier_assemble(
+        docs,
+        [
+            (ex, "n_exact_peers", "exact"),
+            (ren, "n_rename_peers", "rename"),
+            (nearp, "n_near_peers", "near"),
+            (conp, "n_contain_peers", "containment"),
+            (_tier_chunk_shared(spark, sf_dir), "n_shared_chunks", "chunk"),
+            (_tier_cdc_shared(spark, sf_dir), "n_shared_cdc", "cdc"),
+        ],
     )
 
-    # cdc tier: content-defined chunks (operators/cdc.py) shared with
-    # another doc — shift-robust spans the fixed CHUNK_W windows lose
-    # when an edit moves the boilerplate off the window grid; a weaker
-    # span match than the 16-word chunk tier (mean CDC chunk ~CDC_D
-    # chars), so it ranks below `chunk` and rescues docs the fixed
-    # grid labeled `unique`
-    from twinspect_spark.ingest import normalize_expr
-    from twinspect_spark.operators.cdc import make_cdc_udf
 
-    _ship_package(spark)
-    cudf = make_cdc_udf(CDC_K, CDC_D, DOCS_CFG.seed)
-    cch = (
-        _t_par(spark, sf_dir, "documents")
-        .select("doc_id", normalize_expr(F.col("text"), "simple").alias("t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(cudf(F.col("t")), lambda c: F.sha2(c, 256))
-                )
-            ).alias("h2"),
-        )
-        # feeds two branches (shared-hash rollup + the peer join);
-        # without the cut each branch re-runs the CDC kernel
-        .localCheckpoint()
-    )
-    cshared = (
-        cch.groupBy("h2").agg(F.count("*").alias("nd2")).where(F.col("nd2") > 1)
-    )
-    cdcd = (
-        cch.join(cshared.select("h2"), "h2")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_shared_cdc"))
-    )
-
-    z = F.lit(0).cast("long")
-    res = (
-        docs.join(ex, "doc_id", "left")
-        .join(ren, "doc_id", "left")
-        .join(nearp, "doc_id", "left")
-        .join(conp, "doc_id", "left")
-        .join(chd, "doc_id", "left")
-        .join(cdcd, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_exact_peers", z).alias("n_exact_peers"),
-            F.coalesce("n_rename_peers", z).alias("n_rename_peers"),
-            F.coalesce("n_near_peers", z).alias("n_near_peers"),
-            F.coalesce("n_contain_peers", z).alias("n_contain_peers"),
-            F.coalesce("n_shared_chunks", z).alias("n_shared_chunks"),
-            F.coalesce("n_shared_cdc", z).alias("n_shared_cdc"),
-        )
-    )
-    return res.withColumn(
-        "tier",
-        F.when(F.col("n_exact_peers") > 0, "exact")
-        .when(F.col("n_rename_peers") > 0, "rename")
-        .when(F.col("n_near_peers") > 0, "near")
-        .when(F.col("n_contain_peers") > 0, "containment")
-        .when(F.col("n_shared_chunks") > 0, "chunk")
-        .when(F.col("n_shared_cdc") > 0, "cdc")
-        .otherwise("unique"),
+def q_dedup_tier_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-path tier ladder (the scale path of
+    q_dedup_tier_assignment, battery-timed): the ``near`` tier reads
+    LSH-banding candidates + exact-Jaccard verification (the
+    q_minhash_lsh_dedup contract — the shared brute-force oracle
+    enforces banding recall 1.0 at this config, so a recall drop fails
+    the gate, not just a benchmark), while exact / rename / chunk / cdc
+    stay the same map-side-combinable groupBys. ``containment`` is
+    deliberately ABSENT from the engine ladder: asymmetric containment
+    needs a prefix-filter index, not LSH (MinHash collision tracks
+    symmetric Jaccard, so a small doc quoted inside a big one rarely
+    collides) — containment-only docs route to their next-strongest
+    tier, exactly what a production ladder without that index ships.
+    At 10^12 files every stage here is candidate-bounded or a hash
+    groupBy; nothing touches the O(n²) shingle matrix."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_minhash_lsh_dedup(spark, sf_dir).select("a", "b")
+    return _tier_assemble(
+        docs,
+        [
+            (_tier_exact_peers(spark, sf_dir), "n_exact_peers", "exact"),
+            (_tier_rename_peers(spark, sf_dir), "n_rename_peers", "rename"),
+            (_tier_peer_counts(pairs, "n_near_peers"), "n_near_peers", "near"),
+            (_tier_chunk_shared(spark, sf_dir), "n_shared_chunks", "chunk"),
+            (_tier_cdc_shared(spark, sf_dir), "n_shared_cdc", "cdc"),
+        ],
     )
 
 
@@ -2983,6 +3034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dup_spans": q_chunk_dup_spans,
     "cdc_chunk_dup": q_cdc_chunk_dup,
     "dedup_tier_assignment": q_dedup_tier_assignment,
+    "dedup_tier_engine": q_dedup_tier_engine,
     "dedup_tier_report": q_dedup_tier_report,
     "winnow_clone_pairs": q_winnow_clone_pairs,
     "clone_type2_pairs": q_clone_type2_pairs,
@@ -3420,6 +3472,81 @@ chunks AS (
 
 
 _CDC_CTE = _build_cdc_cte()
+
+
+# shared CTE fragments for the two tier-ladder oracles (oracle-tier
+# q_dedup_tier_assignment and engine-path q_dedup_tier_engine) — one
+# definition so the groupBy tiers can never drift between them
+_TIER_GROUPBY_CTES = f"""
+fp AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint
+  FROM documents
+),
+gsz AS (SELECT fingerprint, count(*) AS g FROM fp GROUP BY 1),
+ex AS (
+  SELECT doc_id, g - 1 AS n_exact_peers
+  FROM fp JOIN gsz USING (fingerprint)
+),
+canon AS (
+  SELECT doc_id, sha256(array_to_string(list_transform(ws,
+           w -> CAST(list_position(ws, w) AS VARCHAR)), ',')) AS ck
+  FROM (
+    SELECT doc_id,
+           list_slice(string_split(text, ' '), 1, {CLONE2_PREFIX}) AS ws
+    FROM documents
+  )
+),
+c2sz AS (SELECT ck, count(*) AS g2 FROM canon GROUP BY 1),
+ren AS (
+  SELECT doc_id, g2 - 1 AS n_rename_peers
+  FROM canon JOIN c2sz USING (ck)
+),
+w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+ch AS (
+  SELECT DISTINCT doc_id,
+         sha256(array_to_string(
+           w[j * {CHUNK_W} + 1 : j * {CHUNK_W} + {CHUNK_W}], ' ')) AS h
+  FROM w, unnest(range(0, (len(w) + {CHUNK_W - 1}) // {CHUNK_W})) AS u(j)
+),
+shared AS (SELECT h FROM ch GROUP BY h HAVING count(*) > 1),
+chd AS (
+  SELECT doc_id, count(*) AS n_shared_chunks
+  FROM ch WHERE h IN (SELECT h FROM shared) GROUP BY 1
+),
+{_CDC_CTE},
+cch AS (SELECT DISTINCT doc_id, sha256(chunk) AS h2 FROM chunks),
+cshared AS (SELECT h2 FROM cch GROUP BY h2 HAVING count(*) > 1),
+cdcd AS (
+  SELECT doc_id, count(*) AS n_shared_cdc
+  FROM cch WHERE h2 IN (SELECT h2 FROM cshared) GROUP BY 1
+)
+"""
+
+_TIER_PAIR_CTES = f"""
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pm AS (
+  SELECT a, b,
+         round(i * 1.0 / least(sa.n, sb.n), 6) AS c,
+         round(i * 1.0 / (sa.n + sb.n - i), 6) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+),
+nearp AS (
+  SELECT doc_id, count(*) AS n FROM (
+    SELECT a AS doc_id FROM pm WHERE j >= {JACCARD_T}
+    UNION ALL SELECT b FROM pm WHERE j >= {JACCARD_T}
+  ) GROUP BY 1
+)
+"""
 
 
 def _build_hll_cte() -> str:
@@ -3960,77 +4087,13 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "dedup_tier_assignment": f"""
         WITH {_SH_SQL},
-        fp AS (
-          SELECT doc_id,
-                 sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-                   AS fingerprint
-          FROM documents
-        ),
-        gsz AS (SELECT fingerprint, count(*) AS g FROM fp GROUP BY 1),
-        ex AS (
-          SELECT doc_id, g - 1 AS n_exact_peers
-          FROM fp JOIN gsz USING (fingerprint)
-        ),
-        canon AS (
-          SELECT doc_id, sha256(array_to_string(list_transform(ws,
-                   w -> CAST(list_position(ws, w) AS VARCHAR)), ',')) AS ck
-          FROM (
-            SELECT doc_id,
-                   list_slice(string_split(text, ' '), 1, {CLONE2_PREFIX})
-                     AS ws
-            FROM documents
-          )
-        ),
-        c2sz AS (SELECT ck, count(*) AS g2 FROM canon GROUP BY 1),
-        ren AS (
-          SELECT doc_id, g2 - 1 AS n_rename_peers
-          FROM canon JOIN c2sz USING (ck)
-        ),
-        inter AS (
-          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ),
-        pm AS (
-          SELECT a, b,
-                 round(i * 1.0 / least(sa.n, sb.n), 6) AS c,
-                 round(i * 1.0 / (sa.n + sb.n - i), 6) AS j
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = a
-          JOIN sizes sb ON sb.doc_id = b
-        ),
-        nearp AS (
-          SELECT doc_id, count(*) AS n FROM (
-            SELECT a AS doc_id FROM pm WHERE j >= {JACCARD_T}
-            UNION ALL SELECT b FROM pm WHERE j >= {JACCARD_T}
-          ) GROUP BY 1
-        ),
+        {_TIER_GROUPBY_CTES},
+        {_TIER_PAIR_CTES},
         conp AS (
           SELECT doc_id, count(*) AS n FROM (
             SELECT a AS doc_id FROM pm WHERE c >= {CONTAIN_T}
             UNION ALL SELECT b FROM pm WHERE c >= {CONTAIN_T}
           ) GROUP BY 1
-        ),
-        w AS (
-          SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-        ),
-        ch AS (
-          SELECT DISTINCT doc_id,
-                 sha256(array_to_string(
-                   w[j * {CHUNK_W} + 1 : j * {CHUNK_W} + {CHUNK_W}], ' ')) AS h
-          FROM w, unnest(range(0, (len(w) + {CHUNK_W - 1}) // {CHUNK_W})) AS u(j)
-        ),
-        shared AS (SELECT h FROM ch GROUP BY h HAVING count(*) > 1),
-        chd AS (
-          SELECT doc_id, count(*) AS n_shared_chunks
-          FROM ch WHERE h IN (SELECT h FROM shared) GROUP BY 1
-        ),
-        {_CDC_CTE},
-        cch AS (SELECT DISTINCT doc_id, sha256(chunk) AS h2 FROM chunks),
-        cshared AS (SELECT h2 FROM cch GROUP BY h2 HAVING count(*) > 1),
-        cdcd AS (
-          SELECT doc_id, count(*) AS n_shared_cdc
-          FROM cch WHERE h2 IN (SELECT h2 FROM cshared) GROUP BY 1
         )
         SELECT d.doc_id,
                cast(coalesce(ex.n_exact_peers, 0) AS bigint) AS n_exact_peers,
@@ -4054,6 +4117,32 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN ren USING (doc_id)
         LEFT JOIN nearp USING (doc_id)
         LEFT JOIN conp USING (doc_id)
+        LEFT JOIN chd USING (doc_id)
+        LEFT JOIN cdcd USING (doc_id)
+    """,
+    "dedup_tier_engine": f"""
+        WITH {_SH_SQL},
+        {_TIER_GROUPBY_CTES},
+        {_TIER_PAIR_CTES}
+        SELECT d.doc_id,
+               cast(coalesce(ex.n_exact_peers, 0) AS bigint) AS n_exact_peers,
+               cast(coalesce(ren.n_rename_peers, 0) AS bigint)
+                 AS n_rename_peers,
+               cast(coalesce(nearp.n, 0) AS bigint) AS n_near_peers,
+               cast(coalesce(chd.n_shared_chunks, 0) AS bigint)
+                 AS n_shared_chunks,
+               cast(coalesce(cdcd.n_shared_cdc, 0) AS bigint)
+                 AS n_shared_cdc,
+               CASE WHEN coalesce(ex.n_exact_peers, 0) > 0 THEN 'exact'
+                    WHEN coalesce(ren.n_rename_peers, 0) > 0 THEN 'rename'
+                    WHEN coalesce(nearp.n, 0) > 0 THEN 'near'
+                    WHEN coalesce(chd.n_shared_chunks, 0) > 0 THEN 'chunk'
+                    WHEN coalesce(cdcd.n_shared_cdc, 0) > 0 THEN 'cdc'
+                    ELSE 'unique' END AS tier
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN ex USING (doc_id)
+        LEFT JOIN ren USING (doc_id)
+        LEFT JOIN nearp USING (doc_id)
         LEFT JOIN chd USING (doc_id)
         LEFT JOIN cdcd USING (doc_id)
     """,

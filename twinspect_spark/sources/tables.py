@@ -97,11 +97,27 @@ def write_bucketed(
 
     Spark's parquet bucketing cannot transactionally replace an
     existing table; this helper mirrors write_table's drop + create
-    fallback semantics.
+    fallback semantics. With an IN-MEMORY session catalog a previous
+    process may have left the managed LOCATION on disk while this
+    session's catalog has no entry — DROP is then a no-op and CTAS
+    fails with LOCATION_ALREADY_EXISTS — so the orphaned local
+    directory is cleared explicitly (a Hive/Iceberg catalog never hits
+    that branch: its DROP removes the location).
     """
-    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    ss = df.sparkSession
+    ss.sql(f"DROP TABLE IF EXISTS {table}")
+    parts = table.split(".")
+    db, name = (parts[-2], parts[-1]) if len(parts) >= 2 else ("default", table)
+    wh = ss.conf.get("spark.sql.warehouse.dir", "")
+    wh = wh[len("file:"):] if wh.startswith("file:") else wh
+    loc = os.path.join(wh, name if db == "default" else f"{db}.db/{name}")
+    if wh and os.path.isdir(loc):
+        import shutil
+
+        shutil.rmtree(loc)
     (
         df.write.format(provider)
+        .mode("overwrite")
         .bucketBy(n_buckets, key)
         .sortBy(key)
         .saveAsTable(table)
