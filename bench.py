@@ -192,6 +192,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         # composes engine_dup_clusters instead
         "winnow_clone_pairs",
         "clone_type2_pairs",
+        "ngram_containment_engine",
         "shingle_cardinality_sketch",
         "top_terms_tfidf",
         "token_length_quantiles",
@@ -201,10 +202,11 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         # via e2e_dedup_pipeline / chunk_dup_spans / cdc_chunk_dup /
         # winnow_clone_pairs
         # NOT dedup_tier_engine either: the scale-path ladder is gate-
-        # proven (its LSH near tier must reproduce the brute-force
-        # ladder exactly — recall 1.0 enforced) but it COMPOSES the
-        # already-timed pipeline + chunk/cdc/alpha kernels, so timing
-        # it would double-count ~80 s of component costs in the total
+        # proven (tier-identical to the oracle ladder — LSH near tier
+        # recall 1.0 + lossless prefix-filter containment) but it
+        # COMPOSES the already-timed pipeline + containment-engine +
+        # chunk/cdc/alpha kernels, so timing it would double-count
+        # ~80 s of component costs in the total
         # NOT minhash_estimate_pairs: it deliberately materializes the
         # RAW high-recall (b=32, r=4) candidate stream and compares all
         # 128 lanes per pair — a signature-verification oracle construct,

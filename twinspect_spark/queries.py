@@ -261,6 +261,81 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_containment_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filter containment join (SSJoin / PPJoin family —
+    Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): the LOSSLESS scale
+    path for asymmetric containment, closing the gap the engine tier
+    ladder documents (MinHash LSH cannot recall containment-high /
+    Jaccard-low pairs). Each doc probes with only its p smallest
+    shingles in global lexicographic order, p = n − ⌈t·n⌉ + 1 (~(1−t)·n
+    + 1; t={CONTAIN_T} → ~10% of the shingle stream), against the full
+    shingle postings of docs with LARGER-or-equal shingle sets.
+    Pigeonhole: a qualifying pair has |A∩B| ≥ ⌈t·min⌉ = ⌈t·|A|⌉, so if
+    none of A's p smallest shingles were shared, the remaining ⌈t·n⌉−1
+    could not reach the overlap — every qualifying pair MUST collide on
+    a probe element. Unlike LSH this candidate set provably contains
+    all qualifying pairs, so the brute-force oracle gates EQUALITY, not
+    recall. ⌈t·n⌉ is computed in exact integer arithmetic ((num·n +
+    10^6−1) // 10^6 with num = round(t·10^6)) — float ceil(0.9·n) is
+    off-by-one at n divisible by 10, which would silently shrink the
+    prefix and break losslessness. Exact |A∩B| is recomputed on
+    candidates only; hot-shingle df caps (q_hot_shingles) apply to the
+    posting side exactly as in the LSH bucket space."""
+    from pyspark.sql import Window as W
+
+    num = round(CONTAIN_T * 1_000_000)
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()  # 4 consumers
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    withn = sh.join(sizes, "doc_id")
+    alpha = F.expr(f"(n * {num} + 999999) div 1000000")  # ceil, integer
+    pre = (
+        withn.withColumn(
+            "rk", F.row_number().over(W.partitionBy("doc_id").orderBy("sh"))
+        )
+        .where(F.col("rk") <= F.col("n") - alpha + 1)
+        .select("doc_id", "sh", "n")
+    )
+    cands = (
+        pre.alias("x")
+        .join(withn.alias("y"), "sh")
+        .where(
+            (F.col("x.n") < F.col("y.n"))
+            | (
+                (F.col("x.n") == F.col("y.n"))
+                & (F.col("x.doc_id") != F.col("y.doc_id"))
+            )
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    xs = sh.select(F.col("doc_id").alias("a"), "sh")
+    ys = sh.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        cands.join(xs, "a")
+        .join(ys, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("i") / F.least("na", "nb"), 6).alias("containment"),
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("containment") >= CONTAIN_T)
+    )
+
+
 def _docs_as_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2651,23 +2726,29 @@ def q_dedup_tier_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-banding candidates + exact-Jaccard verification (the
     q_minhash_lsh_dedup contract — the shared brute-force oracle
     enforces banding recall 1.0 at this config, so a recall drop fails
-    the gate, not just a benchmark), while exact / rename / chunk / cdc
-    stay the same map-side-combinable groupBys. ``containment`` is
-    deliberately ABSENT from the engine ladder: asymmetric containment
-    needs a prefix-filter index, not LSH (MinHash collision tracks
-    symmetric Jaccard, so a small doc quoted inside a big one rarely
-    collides) — containment-only docs route to their next-strongest
-    tier, exactly what a production ladder without that index ships.
-    At 10^12 files every stage here is candidate-bounded or a hash
+    the gate, not just a benchmark), the ``containment`` tier reads the
+    LOSSLESS prefix-filter join (q_ngram_containment_engine — provably
+    equal to the brute-force containment matrix, because MinHash LSH
+    alone cannot recall containment-high/Jaccard-low pairs), and
+    exact / rename / chunk / cdc stay the same map-side-combinable
+    groupBys. The ladder is therefore TIER-IDENTICAL to the oracle-tier
+    q_dedup_tier_assignment, and the gate enforces full equality. At
+    10^12 files every stage here is candidate-bounded or a hash
     groupBy; nothing touches the O(n²) shingle matrix."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     pairs = q_minhash_lsh_dedup(spark, sf_dir).select("a", "b")
+    cpairs = q_ngram_containment_engine(spark, sf_dir).select("a", "b")
     return _tier_assemble(
         docs,
         [
             (_tier_exact_peers(spark, sf_dir), "n_exact_peers", "exact"),
             (_tier_rename_peers(spark, sf_dir), "n_rename_peers", "rename"),
             (_tier_peer_counts(pairs, "n_near_peers"), "n_near_peers", "near"),
+            (
+                _tier_peer_counts(cpairs, "n_contain_peers"),
+                "n_contain_peers",
+                "containment",
+            ),
             (_tier_chunk_shared(spark, sf_dir), "n_shared_chunks", "chunk"),
             (_tier_cdc_shared(spark, sf_dir), "n_shared_cdc", "cdc"),
         ],
@@ -3017,6 +3098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_skew_report": q_bucket_skew_report,
     "lsh_plan_table": q_lsh_plan_table,
     "ngram_containment_pairs": q_ngram_containment_pairs,
+    "ngram_containment_engine": q_ngram_containment_engine,
     "lang_dup_stats": q_lang_dup_stats,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "minhash_estimate_pairs": q_minhash_estimate_pairs,
@@ -3752,6 +3834,25 @@ ORACLE_SQL: dict[str, str] = {
           JOIN sizes sb ON sb.doc_id = b
         ) WHERE containment >= {CONTAIN_T}
     """,
+    # the engine path is gated against the SAME brute-force relation:
+    # prefix filtering is lossless (see q_ngram_containment_engine), so
+    # the oracle demands exact equality, not recall
+    "ngram_containment_engine": f"""
+        WITH {_SH_SQL},
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT * FROM (
+          SELECT a, b,
+                 round(i * 1.0 / least(sa.n, sb.n), 6) AS containment,
+                 round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+        ) WHERE containment >= {CONTAIN_T}
+    """,
     "lang_dup_stats": f"""
         WITH RECURSIVE {_EDGES_CTE},
         csize AS (
@@ -4117,32 +4218,6 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN ren USING (doc_id)
         LEFT JOIN nearp USING (doc_id)
         LEFT JOIN conp USING (doc_id)
-        LEFT JOIN chd USING (doc_id)
-        LEFT JOIN cdcd USING (doc_id)
-    """,
-    "dedup_tier_engine": f"""
-        WITH {_SH_SQL},
-        {_TIER_GROUPBY_CTES},
-        {_TIER_PAIR_CTES}
-        SELECT d.doc_id,
-               cast(coalesce(ex.n_exact_peers, 0) AS bigint) AS n_exact_peers,
-               cast(coalesce(ren.n_rename_peers, 0) AS bigint)
-                 AS n_rename_peers,
-               cast(coalesce(nearp.n, 0) AS bigint) AS n_near_peers,
-               cast(coalesce(chd.n_shared_chunks, 0) AS bigint)
-                 AS n_shared_chunks,
-               cast(coalesce(cdcd.n_shared_cdc, 0) AS bigint)
-                 AS n_shared_cdc,
-               CASE WHEN coalesce(ex.n_exact_peers, 0) > 0 THEN 'exact'
-                    WHEN coalesce(ren.n_rename_peers, 0) > 0 THEN 'rename'
-                    WHEN coalesce(nearp.n, 0) > 0 THEN 'near'
-                    WHEN coalesce(chd.n_shared_chunks, 0) > 0 THEN 'chunk'
-                    WHEN coalesce(cdcd.n_shared_cdc, 0) > 0 THEN 'cdc'
-                    ELSE 'unique' END AS tier
-        FROM (SELECT doc_id FROM documents) d
-        LEFT JOIN ex USING (doc_id)
-        LEFT JOIN ren USING (doc_id)
-        LEFT JOIN nearp USING (doc_id)
         LEFT JOIN chd USING (doc_id)
         LEFT JOIN cdcd USING (doc_id)
     """,
@@ -5278,6 +5353,11 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY threshold
     """,
 }
+
+# the engine-path ladder is TIER-IDENTICAL to the oracle-tier ladder
+# (lossless prefix-filter containment + recall-1.0-gated LSH near), so
+# it shares the same oracle verbatim — the gate enforces full equality
+ORACLE_SQL["dedup_tier_engine"] = ORACLE_SQL["dedup_tier_assignment"]
 
 # built from the tier-assignment oracle so the two can never drift
 ORACLE_SQL["dedup_tier_report"] = f"""
