@@ -387,6 +387,81 @@ def q_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & König, WWW'10): keep only the LOWEST
+    BIT of each of the num_perm OPH MinHash lanes — 16 bytes per
+    document instead of 1 KiB at p=128 — and recover Jaccard from the
+    1-bit agreement rate A with the b=1 estimator Ĵ = 2A − 1 (two
+    non-matching lanes collide on their low bit with probability 1/2
+    for uniform 64-bit values). At 10^12 documents the full-lane
+    sketch store is ~1 PB while the 1-bit store is ~16 TB — the
+    difference between a sketch that must live in object storage and
+    one a shard index can broadcast. Emitted per LSH candidate pair
+    NEXT TO the full-lane estimate and the exact shingle Jaccard so
+    the storage/accuracy trade is measurable, not asserted; hard
+    invariant n_bit_matches ≥ n_lane_matches (an equal lane implies an
+    equal low bit). The oracle replays lanes, parities, both
+    estimators and the exact Jaccard in ANSI SQL."""
+    _ship_package(spark)
+    p = DOCS_CFG.num_perm
+    sigs = compute_signatures(_docs_as_ingested(spark, sf_dir), DOCS_CFG)
+    cands = lsh_candidates(band_table(sigs, DOCS_CFG), DOCS_CFG)
+    sa = sigs.select(F.col("file_id").alias("a"), F.col("minhash").alias("ma"))
+    sb = sigs.select(F.col("file_id").alias("b"), F.col("minhash").alias("mb"))
+    n_full = F.aggregate(
+        F.zip_with("ma", "mb", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n_bit = F.aggregate(
+        F.zip_with(
+            "ma",
+            "mb",
+            lambda x, y: (
+                x.bitwiseAND(F.lit(1)) == y.bitwiseAND(F.lit(1))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    est = (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            n_full.alias("n_lane_matches"),
+            n_bit.alias("n_bit_matches"),
+        )
+        .where(F.col("n_lane_matches") >= p // 2)
+        .withColumn(
+            "est_full", F.round(F.col("n_lane_matches") / F.lit(p), 6)
+        )
+        .withColumn(
+            "est_1bit",
+            F.round(2.0 * F.col("n_bit_matches") / F.lit(p) - 1.0, 6),
+        )
+    )
+    exact = _exact_jaccard_pairs(
+        spark, sf_dir, candidates=est.select("a", "b")
+    )
+    return est.join(exact, ["a", "b"]).select(
+        "a",
+        "b",
+        "n_lane_matches",
+        "n_bit_matches",
+        "est_full",
+        "est_1bit",
+        "jaccard",
+        F.round(F.abs(F.col("est_full") - F.col("jaccard")), 6).alias(
+            "err_full"
+        ),
+        F.round(F.abs(F.col("est_1bit") - F.col("jaccard")), 6).alias(
+            "err_1bit"
+        ),
+    )
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash Hamming-ball candidates (8 chunks, d<=7), exact
     verify — the reference's threshold Hamming search re-expressed."""
@@ -571,6 +646,90 @@ def q_dup_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         "cluster_size",
         F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )
+
+
+def _split_of(key: F.Column) -> F.Column:
+    """Deterministic 90/5/5 split label from a sha256 of the key — the
+    same 60-bit hex-prefix idiom the Bloom and bucket kernels already
+    replay bit-identically in SQL (CAST('0x'||substr(sha256(x),1,15)
+    AS UBIGINT) % 100)."""
+    h = (
+        F.conv(F.substring(F.sha2(key.cast("string"), 256), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        F.when(h < 90, "train").when(h < 95, "valid").otherwise("test")
+    )
+
+
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the split is a function of
+    the near-dup CLUSTER id, not the document id, so a transitive
+    duplicate can never land in train while its twin sits in the eval
+    split — the cluster-granular assignment FineWeb/Dolma-style
+    pipelines use after dedup (the doc-granular hash split leaks by
+    construction: any near-dup pair is split independently with
+    2·p·(1−p) cross probability). Deterministic at any scale and under
+    any partitioning: sha256 of the cluster id, no RNG, no
+    driver-side state. Oracle-tier construct (composes the brute-force
+    cluster closure), excluded from the timing battery."""
+    clusters = q_dup_clusters(spark, sf_dir)
+    return clusters.select(
+        "doc_id", "cluster_id", _split_of(F.col("cluster_id")).alias("split")
+    )
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: per split method (doc-id hash vs cluster-id
+    hash), the split sizes and the number of verified near-dup pairs
+    whose endpoints land in DIFFERENT splits — the eval-contamination
+    count a pipeline owner reads before trusting held-out numbers. The
+    cluster-granular method is zero-leak by construction (both
+    endpoints of every verified pair share a cluster id, hence a
+    split); the doc-granular row quantifies what naive splitting would
+    have leaked. Oracle-tier construct, excluded from the timing
+    battery."""
+    clusters = q_dup_clusters(spark, sf_dir)
+    edges = q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
+
+    def summary(method: str, split_col: F.Column) -> DataFrame:
+        asn = clusters.select("doc_id", split_col.alias("split"))
+        counts = asn.groupBy().agg(
+            F.coalesce(
+                F.sum((F.col("split") == "train").cast("long")), F.lit(0)
+            ).alias("n_train"),
+            F.coalesce(
+                F.sum((F.col("split") == "valid").cast("long")), F.lit(0)
+            ).alias("n_valid"),
+            F.coalesce(
+                F.sum((F.col("split") == "test").cast("long")), F.lit(0)
+            ).alias("n_test"),
+        )
+        aa = asn.select(F.col("doc_id").alias("a"), F.col("split").alias("sa"))
+        bb = asn.select(F.col("doc_id").alias("b"), F.col("split").alias("sb"))
+        cross = (
+            edges.join(aa, "a")
+            .join(bb, "b")
+            .groupBy()
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("sa") != F.col("sb")).cast("long")),
+                    F.lit(0),
+                ).alias("n_cross_pairs")
+            )
+        )
+        return counts.crossJoin(cross).select(
+            F.lit(method).alias("method"),
+            "n_train",
+            "n_valid",
+            "n_test",
+            "n_cross_pairs",
+        )
+
+    return summary("doc_hash", _split_of(F.col("doc_id"))).unionByName(
+        summary("cluster_hash", _split_of(F.col("cluster_id")))
     )
 
 
@@ -3107,6 +3266,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters_distributed": q_dup_clusters_distributed,
     "dedup_savings_report": q_dedup_savings_report,
     "dup_sample_weights": q_dup_sample_weights,
+    "cluster_safe_split": q_cluster_safe_split,
+    "split_leakage_audit": q_split_leakage_audit,
+    "bbit_minhash_estimate": q_bbit_minhash_estimate,
     "simprint_fields": q_simprint_fields,
     "engine_dup_clusters": q_engine_dup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
@@ -3988,6 +4150,70 @@ ORACLE_SQL: dict[str, str] = {
         FROM cand c JOIN mc ON mc.a = c.a AND mc.b = c.b
         WHERE n >= {DOCS_CFG.num_perm // 2}
     """,
+    # b-bit minwise (b=1): lane low-bit agreement + the 2A-1 estimator,
+    # replayed next to the full-lane estimate and the exact Jaccard
+    "bbit_minhash_estimate": f"""
+        WITH {_MINHASH_LANES_CTE},
+        bandvals AS (
+          SELECT doc_id, bin // {DOCS_CFG.rows_per_band} AS band_idx,
+                 list(lane ORDER BY bin) AS bv
+          FROM lanes GROUP BY 1, 2
+        ),
+        keep AS (
+          SELECT band_idx, bv FROM bandvals GROUP BY 1, 2
+          HAVING count(*) > 1 AND count(*) <= {DOCS_CFG.max_band_bucket}
+        ),
+        kb AS (
+          SELECT b.doc_id, b.band_idx, b.bv
+          FROM bandvals b SEMI JOIN keep k
+            ON b.band_idx = k.band_idx AND b.bv = k.bv
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM kb x JOIN kb y
+            ON x.band_idx = y.band_idx AND x.bv = y.bv
+           AND x.doc_id < y.doc_id
+        ),
+        pairlanes AS (
+          SELECT c.a, c.b, la.lane AS lx, lb.lane AS ly
+          FROM cand c
+          JOIN lanes la ON la.doc_id = c.a
+          JOIN lanes lb ON lb.doc_id = c.b AND lb.bin = la.bin
+        ),
+        mc AS (
+          SELECT a, b,
+                 sum(CASE WHEN lx = ly THEN 1 ELSE 0 END) AS nf,
+                 sum(CASE WHEN lx % 2 = ly % 2 THEN 1 ELSE 0 END) AS nb
+          FROM pairlanes GROUP BY 1, 2
+        ),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT i.a, i.b,
+                 round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.a
+          JOIN sizes sb ON sb.doc_id = i.b
+        )
+        SELECT m.a, m.b,
+               CAST(nf AS BIGINT) AS n_lane_matches,
+               CAST(nb AS BIGINT) AS n_bit_matches,
+               round(CAST(nf AS DOUBLE) / {DOCS_CFG.num_perm}, 6)
+                 AS est_full,
+               round(2.0 * CAST(nb AS DOUBLE) / {DOCS_CFG.num_perm} - 1.0, 6)
+                 AS est_1bit,
+               e.jaccard,
+               round(abs(round(CAST(nf AS DOUBLE) / {DOCS_CFG.num_perm}, 6)
+                         - e.jaccard), 6) AS err_full,
+               round(abs(round(2.0 * CAST(nb AS DOUBLE)
+                               / {DOCS_CFG.num_perm} - 1.0, 6)
+                         - e.jaccard), 6) AS err_1bit
+        FROM mc m JOIN exact e ON e.a = m.a AND e.b = m.b
+        WHERE nf >= {DOCS_CFG.num_perm // 2}
+    """,
     "simhash_dedup": _PAIRS_SQL,
     "dup_clusters": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
     "dup_clusters_distributed": f"WITH RECURSIVE {_EDGES_CTE} SELECT doc_id, cluster_id FROM clusters",
@@ -4185,6 +4411,77 @@ ORACLE_SQL: dict[str, str] = {
         SELECT c.doc_id, c.cluster_id, s.cluster_size,
                round(1.0::DOUBLE / s.cluster_size, 6) AS weight
         FROM clusters c JOIN csz s USING (cluster_id)
+    """,
+    # leakage-safe split: split label is a pure function of the CLUSTER
+    # id (sha256 60-bit hex prefix % 100), replayed bit-identically
+    "cluster_safe_split": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        h AS (
+          SELECT doc_id, cluster_id,
+                 CAST(CAST('0x' || substr(sha256(CAST(cluster_id AS VARCHAR)),
+                                          1, 15) AS UBIGINT) % 100
+                      AS BIGINT) AS hc
+          FROM clusters
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN hc < 90 THEN 'train'
+                    WHEN hc < 95 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM h
+    """,
+    "split_leakage_audit": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        lab AS (
+          SELECT doc_id,
+                 CASE WHEN CAST(CAST('0x' ||
+                        substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS UBIGINT) % 100 AS BIGINT) < 90 THEN 'train'
+                      WHEN CAST(CAST('0x' ||
+                        substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS UBIGINT) % 100 AS BIGINT) < 95 THEN 'valid'
+                      ELSE 'test' END AS sd,
+                 CASE WHEN CAST(CAST('0x' ||
+                        substr(sha256(CAST(cluster_id AS VARCHAR)), 1, 15)
+                        AS UBIGINT) % 100 AS BIGINT) < 90 THEN 'train'
+                      WHEN CAST(CAST('0x' ||
+                        substr(sha256(CAST(cluster_id AS VARCHAR)), 1, 15)
+                        AS UBIGINT) % 100 AS BIGINT) < 95 THEN 'valid'
+                      ELSE 'test' END AS sc
+          FROM clusters
+        ),
+        m AS (
+          SELECT 'doc_hash' AS method, sd AS split, doc_id FROM lab
+          UNION ALL
+          SELECT 'cluster_hash', sc, doc_id FROM lab
+        ),
+        counts AS (
+          SELECT method,
+                 CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_train,
+                 CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_valid,
+                 CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_test
+          FROM m GROUP BY method
+        ),
+        crossp AS (
+          SELECT 'doc_hash' AS method,
+                 CAST(coalesce(sum(CASE WHEN la.sd <> lb.sd
+                                        THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS n_cross_pairs
+          FROM edges e
+          JOIN lab la ON la.doc_id = e.a
+          JOIN lab lb ON lb.doc_id = e.b
+          UNION ALL
+          SELECT 'cluster_hash',
+                 CAST(coalesce(sum(CASE WHEN la.sc <> lb.sc
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM edges e
+          JOIN lab la ON la.doc_id = e.a
+          JOIN lab lb ON lb.doc_id = e.b
+        )
+        SELECT c.method, c.n_train, c.n_valid, c.n_test, x.n_cross_pairs
+        FROM counts c JOIN crossp x ON c.method = x.method
     """,
     "dedup_tier_assignment": f"""
         WITH {_SH_SQL},
