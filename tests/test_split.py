@@ -73,3 +73,26 @@ def test_bbit_estimator_invariants(spark):
         assert -1.0 <= r["est_1bit"] <= 1.0
         assert 0.0 <= r["est_full"] <= 1.0
         assert r["err_full"] >= 0.0 and r["err_1bit"] >= 0.0
+
+
+def test_trim_spans_invariants(spark):
+    from twinspect_spark.queries import q_dedup_trim_spans
+
+    rows = q_dedup_trim_spans(spark, SF).collect()
+    assert len(rows) > 0
+    # the global-min doc can never drop a chunk (no smaller owner exists)
+    first = min(rows, key=lambda r: r["doc_id"])
+    assert first["n_chunks_dropped"] == 0
+    for r in rows:
+        assert 0 <= r["n_chunks_dropped"] <= r["n_chunks"]
+    # untrimmed docs reassemble EXACTLY to lower(text): same sha256
+    docs = {
+        r["doc_id"]: r["sha"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .selectExpr("doc_id", "sha2(lower(text), 256) AS sha")
+        .collect()
+    }
+    untouched = [r for r in rows if r["n_chunks_dropped"] == 0]
+    assert untouched
+    for r in untouched:
+        assert r["sha_trimmed"] == docs[r["doc_id"]]

@@ -2664,6 +2664,67 @@ def q_chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-TRIMMING dedup (the transform Lee et al. arXiv:2107.06499
+    actually apply, not just the report): every disjoint W-word chunk
+    whose content already occurs in a lower-id document is REMOVED from
+    the doc, and the surviving chunks are reassembled in order — the
+    output is the cleaned corpus row (kept/dropped counts + sha256 of
+    the trimmed text), so quoted boilerplate is deleted from later docs
+    while the first occurrence keeps it. Dataflow is three
+    exchanges on two keys: chunk-hash groupBy(min doc_id) for ownership
+    (map-side combinable), a join back on the same hash key, then a
+    per-doc reassembly groupBy; reassembly order is explicit
+    (sort_array over (idx, chunk) structs), so the result is
+    deterministic under any partitioning — collect_list alone is not.
+    The oracle replays chunking, first-occurrence ownership, ordered
+    string_agg reassembly and the sha256 in ANSI SQL; a single chunk
+    kept/dropped differently anywhere fails the gate."""
+    t = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    ch = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast((size(w) + {CHUNK_W - 1})"
+                f" div {CHUNK_W} as int) - 1),"
+                f" j -> concat_ws(' ', slice(w, j * {CHUNK_W} + 1, {CHUNK_W})))"
+            )
+        ).alias("idx", "chunk"),
+    ).withColumn("h", F.sha2("chunk", 256))
+    owner = ch.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    j = ch.join(owner, "h").withColumn(
+        "drp", F.col("owner") < F.col("doc_id")
+    )
+    counts = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("drp").cast("long")).alias("n_chunks_dropped"),
+    )
+    kept = (
+        j.where(~F.col("drp"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("trimmed")
+        )
+    )
+    return counts.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        "n_chunks_dropped",
+        F.length(F.coalesce("trimmed", F.lit("")))
+        .cast("long")
+        .alias("trimmed_chars"),
+        F.sha2(F.coalesce("trimmed", F.lit("")), 256).alias("sha_trimmed"),
+    )
+
+
 def q_cdc_chunk_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (Rabin/Gear-style, LBFS —
     Muthitacharoen et al. SOSP'01): chunk boundaries where the
@@ -3269,6 +3330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_safe_split": q_cluster_safe_split,
     "split_leakage_audit": q_split_leakage_audit,
     "bbit_minhash_estimate": q_bbit_minhash_estimate,
+    "dedup_trim_spans": q_dedup_trim_spans,
     "simprint_fields": q_simprint_fields,
     "engine_dup_clusters": q_engine_dup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
@@ -4392,6 +4454,40 @@ ORACLE_SQL: dict[str, str] = {
                min(doc_id) AS first_doc,
                cast(min(length(chunk)) AS int) AS chunk_chars
         FROM ch GROUP BY 1 HAVING count(distinct doc_id) > 1
+    """,
+    # span-trimming dedup: chunk ownership = min doc_id per chunk hash;
+    # later docs drop owned chunks and reassemble the rest in order
+    "dedup_trim_spans": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        ch AS (
+          SELECT doc_id, CAST(j AS INT) AS idx,
+                 array_to_string(
+                   w[j * {CHUNK_W} + 1 : j * {CHUNK_W} + {CHUNK_W}], ' ') AS chunk
+          FROM t, unnest(range(0, (len(w) + {CHUNK_W - 1}) // {CHUNK_W})) AS u(j)
+        ),
+        owner AS (
+          SELECT sha256(chunk) AS h, min(doc_id) AS owner
+          FROM ch GROUP BY 1
+        ),
+        k AS (
+          SELECT c.doc_id, c.idx, c.chunk, (o.owner < c.doc_id) AS drp
+          FROM ch c JOIN owner o ON o.h = sha256(c.chunk)
+        ),
+        agg AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_chunks,
+                 CAST(sum(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_chunks_dropped,
+                 coalesce(string_agg(chunk, ' ' ORDER BY idx)
+                            FILTER (WHERE NOT drp), '') AS trimmed
+          FROM k GROUP BY doc_id
+        )
+        SELECT doc_id, n_chunks, n_chunks_dropped,
+               CAST(length(trimmed) AS BIGINT) AS trimmed_chars,
+               sha256(trimmed) AS sha_trimmed
+        FROM agg
     """,
     "cdc_chunk_dup": f"""
         WITH {_CDC_CTE}
