@@ -183,7 +183,17 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "repo_sketch_similarity",
         "chunk_dup_spans",
         "cdc_chunk_dup",
+        "dedup_trim_spans",
         "doc_dup_span_stats",
+        # NOT bbit_minhash_estimate: like minhash_estimate_pairs it
+        # deliberately materializes the raw high-recall candidate
+        # stream, compares all 128 lanes AND exact-verifies each pair —
+        # an estimator-accuracy oracle construct, not a scale path
+        # (measured 36 s at sf0.1, all of it in the deliberate
+        # brute-force verification)
+        # NOT cluster_safe_split / split_leakage_audit: oracle-tier
+        # (compose the brute-force all-pairs cluster closure); the split
+        # hash itself is one codegen projection, nothing to time
         # cluster_purity / dedup_savings_report / dup_sample_weights:
         # oracle-tier by design
         # (ground truth = the all-pairs exact-Jaccard closure, like

@@ -279,18 +279,56 @@ def q_ngram_containment_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^6−1) // 10^6 with num = round(t·10^6)) — float ceil(0.9·n) is
     off-by-one at n divisible by 10, which would silently shrink the
     prefix and break losslessness. Exact |A∩B| is recomputed on
-    candidates only; hot-shingle df caps (q_hot_shingles) apply to the
-    posting side exactly as in the LSH bucket space."""
+    candidates only.
+
+    STRATEGY ROUTING (density-adaptive, operators/containment.py): the
+    prefix filter is selective iff the shingle vocabulary is large —
+    on a low-entropy corpus (sf0.1 measured: 985 distinct shingles,
+    avg df 895) EVERY pair collides on some prefix element
+    (12,485,397 of 12,497,500 possible pairs survived — zero
+    selectivity, ~240 s spent re-verifying all pairs). That degenerate
+    regime is exactly when the doc × shingle incidence matrix packs
+    into broadcastable bits, so when n_docs·vocab ≤ DENSE_CELLS_MAX
+    (32 MB packed) the exact intersections come from AND+popcount
+    kernels over the broadcast matrix (one broadcast, zero shuffle);
+    above the bound the vocabulary is high-entropy and the prefix join
+    is the scale path. Both strategies produce the identical (a, b, i)
+    relation; ratios, rounding and the final threshold stay in Spark,
+    and the brute-force oracle gates EQUALITY either way."""
     from pyspark.sql import Window as W
 
+    from twinspect_spark.operators.containment import (
+        DENSE_CELLS_MAX,
+        containment_stats,
+        dense_containment_intersections,
+    )
+
     num = round(CONTAIN_T * 1_000_000)
-    sh = _doc_shingles(spark, sf_dir).localCheckpoint()  # 4 consumers
+    sh = _doc_shingles(spark, sf_dir)
+    n_docs, vocab = containment_stats(sh)
+    if n_docs * vocab <= DENSE_CELLS_MAX:
+        # sizes come from the kernel's incidence row sums — no separate
+        # aggregation, no checkpoint (the shingle stream is scanned
+        # exactly twice: routing stats + the arrow collect)
+        withsz = dense_containment_intersections(spark, sh, CONTAIN_T)
+        return withsz.select(
+            "a",
+            "b",
+            F.round(F.col("i") / F.least("na", "nb"), 6).alias(
+                "containment"
+            ),
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("jaccard"),
+        ).where(F.col("containment") >= CONTAIN_T)
+    sh = sh.localCheckpoint()  # 4 consumers below
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     withn = sh.join(sizes, "doc_id")
-    alpha = F.expr(f"(n * {num} + 999999) div 1000000")  # ceil, integer
+    alpha = F.expr(f"(n * {num} + 999999) div 1000000")  # ceil, int
     pre = (
         withn.withColumn(
-            "rk", F.row_number().over(W.partitionBy("doc_id").orderBy("sh"))
+            "rk",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("sh")),
         )
         .where(F.col("rk") <= F.col("n") - alpha + 1)
         .select("doc_id", "sh", "n")
@@ -322,17 +360,17 @@ def q_ngram_containment_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
     return (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(F.col("i") / F.least("na", "nb"), 6).alias("containment"),
-            F.round(
-                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
-            ).alias("jaccard"),
-        )
-        .where(F.col("containment") >= CONTAIN_T)
+    inter.join(sa, "a")
+    .join(sb, "b")
+    .select(
+        "a",
+        "b",
+        F.round(F.col("i") / F.least("na", "nb"), 6).alias("containment"),
+        F.round(
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+        ).alias("jaccard"),
+    )
+    .where(F.col("containment") >= CONTAIN_T)
     )
 
 
