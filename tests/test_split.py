@@ -96,3 +96,20 @@ def test_trim_spans_invariants(spark):
     assert untouched
     for r in untouched:
         assert r["sha_trimmed"] == docs[r["doc_id"]]
+
+
+def test_snapshot_diff_conservation(spark):
+    from twinspect_spark.queries import q_snapshot_diff
+
+    rows = q_snapshot_diff(spark, SF).collect()
+    by = {}
+    for r in rows:
+        by[r["status"]] = by.get(r["status"], 0) + 1
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # |v1| = removed + modified + unchanged; |v2| = added + modified + unchanged
+    assert by["removed"] + by["modified"] + by["unchanged"] == n_docs
+    assert by["added"] >= 1 and by["modified"] >= 1
+    # clones land above the id horizon; originals never do
+    for r in rows:
+        if r["status"] == "added":
+            assert r["doc_id"] >= 1_000_000

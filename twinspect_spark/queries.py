@@ -2291,6 +2291,46 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: per-doc added / removed / modified /
+    unchanged status between two versions of the lake — the change set
+    an incremental ingestion run feeds to the streaming dedup stores
+    instead of reprocessing the corpus (at 10^12 files the diff IS the
+    batch; Iceberg snapshots expose exactly this via incremental
+    reads). A deterministic v2 is synthesized from documents (doc_id %
+    11 == 0 deleted, % 7 == 0 edited, % 13 == 0 cloned to a new id);
+    detection is sha256 inequality on a single full-outer join — one
+    shuffle on doc_id, content never compared byte-wise. Status counts
+    are conserved (|added| − |removed| = |v2| − |v1|, pytest-gated)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.select("doc_id", F.sha2("text", 256).alias("sha_v1"))
+    kept = docs.where(F.col("doc_id") % 11 != 0)
+    v2rows = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    v2 = v2rows.select("doc_id", F.sha2("text", 256).alias("sha_v2"))
+    j = v1.join(v2, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("sha_v1").isNull(), "added")
+        .when(F.col("sha_v2").isNull(), "removed")
+        .when(F.col("sha_v1") != F.col("sha_v2"), "modified")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("sha_v1", F.lit("")).alias("sha_v1"),
+        F.coalesce("sha_v2", F.lit("")).alias("sha_v2"),
+    )
+
+
 def q_commit_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-revision snapshot of a (repo, path, commit) file history —
     the input_hint table shape with real multi-commit semantics. A
@@ -3395,6 +3435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_seen_filter": q_bloom_seen_filter,
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "commit_latest_snapshot": q_commit_latest_snapshot,
+    "snapshot_diff": q_snapshot_diff,
     # training-data export
     "stratified_sample": q_stratified_sample,
     "training_export_budget": q_training_export_budget,
@@ -4872,6 +4913,36 @@ ORACLE_SQL: dict[str, str] = {
           JOIN documents db ON db.doc_id = p.b
         )
         GROUP BY src_a, src_b
+    """,
+    # snapshot diff: synthesized v2 (doc_id%11 deleted, %7 edited,
+    # %13 cloned to id+1e6), status from sha256 over a full-outer join
+    "snapshot_diff": """
+        WITH v1 AS (
+          SELECT doc_id, sha256(text) AS sha_v1 FROM documents
+        ),
+        v2rows AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+          WHERE doc_id % 13 = 0
+        ),
+        v2 AS (SELECT doc_id, sha256(text) AS sha_v2 FROM v2rows),
+        j AS (
+          SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                 v1.sha_v1, v2.sha_v2
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN sha_v1 IS NULL THEN 'added'
+                    WHEN sha_v2 IS NULL THEN 'removed'
+                    WHEN sha_v1 <> sha_v2 THEN 'modified'
+                    ELSE 'unchanged' END AS status,
+               coalesce(sha_v1, '') AS sha_v1,
+               coalesce(sha_v2, '') AS sha_v2
+        FROM j
     """,
     "commit_latest_snapshot": """
         WITH hist AS (
