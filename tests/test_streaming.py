@@ -237,7 +237,7 @@ def test_incremental_candidates_plan_is_pruned_and_broadcast(
     sigs = compute_signatures(ing, CFG)
     new_state = (
         ing.select("file_id", "sha256", "size", "content_norm")
-        .join(sigs.select("file_id", "minhash", "mh32", "simhash"), "file_id")
+        .join(sigs.select("file_id", "minhash", "mh16", "simhash"), "file_id")
         .select(*STATE_COLS)
     )
     cand = _incremental_candidates(bucket_table(new_state, CFG), store, CFG)

@@ -50,18 +50,18 @@ def combine_signatures(
     bb = b.select(
         "file_id",
         F.col("minhash").alias("minhash_b"),
-        *([F.col("mh32").alias("mh32_b")] if "mh32" in b.columns else []),
+        *([F.col("mh16").alias("mh16_b")] if "mh16" in b.columns else []),
         F.col("simhash").alias("simhash_b"),
         F.col("micros").alias("micros_b"),
     )
-    both_mh32 = "mh32" in a.columns and "mh32" in b.columns
+    both_mh16 = "mh16" in a.columns and "mh16" in b.columns
     return a.join(bb, "file_id").select(
         "file_id",
         "sha256",
         "size",
         F.array("simhash", "simhash_b").alias("simhashes"),
         F.concat("minhash", "minhash_b").alias("minhash"),
-        *([F.concat("mh32", "mh32_b").alias("mh32")] if both_mh32 else []),
+        *([F.concat("mh16", "mh16_b").alias("mh16")] if both_mh16 else []),
         (F.col("micros") + F.col("micros_b")).alias("micros"),
     )
 

@@ -150,13 +150,16 @@ def estimate_filter_candidates(
     cheapest shuffle in the pipeline, and the signature arrays are then
     shipped only once per distinct pair. (With 46M raw pairs at 80k
     files, est-before-dedup shuffles ~92GB of arrays; dedup-first cuts
-    that ~300x.) Lanes are truncated to int32 before the join — equality
-    of 32-bit lane prefixes collides at 2^-32, invisible next to the
-    ±margin band — halving shuffle and Arrow bytes; the lane-match
-    kernel itself is a vectorized pandas UDF (see _lane_match_frac)."""
-    if "mh32" in signatures.columns:
+    that ~300x.) Lanes are truncated to int16 before the join — equality
+    of 16-bit lane prefixes falsely collides at 2^-16 per non-matching
+    lane, inflating est by ≤ (1-J)·2^-16 ≈ 1.5e-5, invisible next to the
+    ±margin band, while a truly matching lane always matches its prefix
+    (the cascade only ADDS candidates; exact verify re-checks them all)
+    — quartering shuffle and Arrow bytes vs full lanes; the lane-match
+    kernel itself is a vectorized Arrow map (see _est_filter_arrow)."""
+    if "mh16" in signatures.columns:
         # precomputed vectorized in the signature UDF (signatures.py)
-        sig = signatures.select("file_id", "mh32")
+        sig = signatures.select("file_id", "mh16")
         if materialize:
             # Narrow side-checkpoint: checkpoint scans cannot
             # column-prune, so BOTH join sides below would otherwise
@@ -168,15 +171,15 @@ def estimate_filter_candidates(
             sig = sig.localCheckpoint()
     else:
         # fallback for signature relations built elsewhere (e.g. ensemble
-        # concat): top 32 bits per lane, fits int under ANSI casting
+        # concat): top 16 bits per lane, fits smallint under ANSI casting
         sig = signatures.select(
             "file_id",
             F.expr(
-                "transform(minhash, x -> cast(shiftright(x, 32) as int))"
-            ).alias("mh32"),
+                "transform(minhash, x -> cast(shiftright(x, 48) as smallint))"
+            ).alias("mh16"),
         )
-    sa = sig.select(F.col("file_id").alias("a"), F.col("mh32").alias("mh_a"))
-    sb = sig.select(F.col("file_id").alias("b"), F.col("mh32").alias("mh_b"))
+    sa = sig.select(F.col("file_id").alias("a"), F.col("mh16").alias("mh_a"))
+    sb = sig.select(F.col("file_id").alias("b"), F.col("mh16").alias("mh_b"))
     # JVM prefix gate before any Python: on vocabulary-noisy corpora
     # >99% of band-collision pairs are low-similarity accidents; a
     # 16-lane prefix match at (t - 2·margin) rejects them inside the

@@ -29,10 +29,17 @@ from twinspect_spark.functions import hashing as H
 SIGNATURE_FIELDS = T.StructType(
     [
         T.StructField("minhash", T.ArrayType(T.LongType()), True),
-        # top-32-bit lane prefixes, precomputed vectorized: the estimate
+        # top-16-bit lane prefixes, precomputed vectorized: the estimate
         # filter consumes these directly — computing them later with a
-        # Catalyst transform() costs 128 interpreted ops/row/consumer
-        T.StructField("mh32", T.ArrayType(T.IntegerType()), True),
+        # Catalyst transform() costs 128 interpreted ops/row/consumer.
+        # 16 bits per lane is enough for an EQUALITY-only consumer: a
+        # non-matching lane pair collides at 2^-16, inflating the lane-
+        # match estimate by ≤ (1-J)·2^-16 ≈ 1.5e-5 — invisible next to
+        # the ±margin triage band — while the payload the estimate join
+        # shuffles per document drops 2x vs int32 prefixes (4x vs full
+        # lanes). A truly matching lane always matches its prefix, so
+        # the cascade only ADDS candidates; exact verify re-checks all.
+        T.StructField("mh16", T.ArrayType(T.ShortType()), True),
         T.StructField("simhash", T.LongType(), True),
         T.StructField("n_shingles", T.LongType(), True),
         T.StructField("micros", T.LongType(), True),
@@ -54,7 +61,7 @@ def make_signature_udf(cfg: DedupConfig):
         t0 = time.perf_counter_ns()
         n = len(s)
         minhashes: list[list[int] | None] = [None] * n
-        mh32s: list[list[int] | None] = [None] * n
+        mh16s: list[list[int] | None] = [None] * n
         simhashes: list[int | None] = [None] * n
         counts: list[int | None] = [None] * n
         scratch: dict = {}  # minhash tile buffers, reused across the batch
@@ -64,14 +71,14 @@ def make_signature_udf(cfg: DedupConfig):
             sh = H.shingle_hashes(text, k)
             mh = H.minhash(sh, num_perm, seed, _scratch=scratch)
             minhashes[i] = H.to_signed64(mh).tolist()
-            mh32s[i] = (mh >> np.uint64(32)).astype(np.int32).tolist()
+            mh16s[i] = (mh >> np.uint64(48)).astype(np.int16).tolist()
             simhashes[i] = H.to_signed64(H.simhash64(sh, seed))
             counts[i] = int(len(sh))
         per_row = (time.perf_counter_ns() - t0) // max(n, 1) // 1000
         return pd.DataFrame(
             {
                 "minhash": minhashes,
-                "mh32": mh32s,
+                "mh16": mh16s,
                 "simhash": pd.array(simhashes, dtype="Int64"),
                 "n_shingles": pd.array(counts, dtype="Int64"),
                 "micros": np.full(n, per_row, dtype=np.int64),

@@ -92,11 +92,11 @@ from twinspect_spark.operators.verify import (
 )
 from twinspect_spark.signatures import compute_signatures
 
-STATE_COLS = ["file_id", "sha256", "size", "content_norm", "minhash", "mh32", "simhash"]
+STATE_COLS = ["file_id", "sha256", "size", "content_norm", "minhash", "mh16", "simhash"]
 BUCKET_COLS = ["file_id", "simhash", "space", "bucket_idx", "bucket_key"]
 REMAP_SCHEMA = "old_label long, new_label long"
 
-STORE_FORMAT = 2
+STORE_FORMAT = 3
 META = "_meta.json"
 
 # Directory-partition fan-out of the two stores. At 10^12-file scale
@@ -531,7 +531,7 @@ def process_batch(
     sigs_new = compute_signatures(ingested_new, cfg)
     new_state = (
         ingested_new.select("file_id", "sha256", "size", "content_norm")
-        .join(sigs_new.select("file_id", "minhash", "mh32", "simhash"), "file_id")
+        .join(sigs_new.select("file_id", "minhash", "mh16", "simhash"), "file_id")
         .select(*STATE_COLS)
         .localCheckpoint()
     )
