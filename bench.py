@@ -160,6 +160,10 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "training_pack_sequences",
         "boilerplate_headers",
         "pii_scrub_stats",
+        "code_quality_flags",
+        "license_detect",
+        "secret_scrub_stats",
+        "import_dep_profile",
         "url_etag_dedup",
         "bloom_seen_filter",
         "eval_ngram_contamination",

@@ -1,0 +1,224 @@
+"""Code-lake gating operators: per-file quality flags, license
+classification, secret scrubbing, and import-dependency profiling.
+
+These are the file-level gates a source-code pretraining pipeline runs
+between snapshot isolation (queries.q_commit_latest_snapshot) and dedup
+(pipeline.run_dedup): drop vendored/generated/minified files, classify
+the license a file ships under, strip credentials, and take the
+dependency census that decides which ecosystems the corpus covers.
+Public precedents for the filter family: The Stack / StarCoder data
+pipeline line-statistic gates (max/avg line length, alphanumeric
+fraction), SPDX license identifiers, and detect-secrets-style
+credential regexes. Reference analog: twinspect's per-file filter
+predicates (/root/reference/twinspect/datasets/download.py min-size /
+extension gates) — the same pure-function-of-the-row shape, widened to
+the gates a code corpus actually needs.
+
+Scale shape: every operator here is a pure column projection or a
+regexp chain — whole-stage codegen, zero shuffles, zero UDFs. At
+10^12 files these run fused into the ingest scan; nothing in this
+module adds an exchange. All regex syntax is restricted to the
+Java-regex ∩ RE2 common subset (character classes, bounded repetition,
+word boundaries, (?i) flags — no lookaround, no backrefs) so every
+operator replays verbatim in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# generic progressive-redaction scrub (shared by PII and secret scans)
+# ---------------------------------------------------------------------------
+
+
+def scrub_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: tuple[tuple[str, str, str], ...],
+) -> DataFrame:
+    """Per-row match counts + sha256 of the fully redacted text for an
+    ordered ``(name, regex, replacement)`` pattern table.
+
+    Counting happens on the PROGRESSIVELY redacted text so one span is
+    never double-counted by two patterns (training.pii_scrub's
+    contract, generalized). Pure regexp_count / regexp_replace chain —
+    whole-stage codegen, no Python on the data path.
+    """
+    red = F.col(text_col)
+    cols: list[Column] = [F.col(id_col)]
+    for name, pat, token in patterns:
+        cols.append(
+            F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, F.lit(pat), F.lit(token))
+    cols.append(F.sha2(red, 256).alias("redacted_sha256"))
+    return df.select(*cols)
+
+
+# Credential patterns a code lake scrubs before export (detect-secrets /
+# trufflehog regex family, public). Order is fixed and load-bearing only
+# in that earlier redactions can never create later matches (disjoint
+# charsets/prefixes; the ghp_ token's 36-char tail cannot contain a
+# 40-char hex run because 'g'/'p'/'_' break it).
+SECRET_PATTERNS = (
+    ("aws_key", r"AKIA[0-9A-Z]{16}", "<AWSKEY>"),
+    ("gh_token", r"ghp_[A-Za-z0-9]{36}", "<GHTOKEN>"),
+    ("pem_block", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PEMKEY>"),
+    ("hex40", r"\b[0-9a-f]{40}\b", "<HEX40>"),
+)
+
+
+def secret_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Credential scan + redaction fingerprint (code-lake sibling of
+    training.pii_scrub)."""
+    return scrub_stats(df, id_col, text_col, SECRET_PATTERNS)
+
+
+# ---------------------------------------------------------------------------
+# quality flags (The Stack / StarCoder line-statistic gate family)
+# ---------------------------------------------------------------------------
+
+# Thresholds are the published StarCoder gates scaled to this corpus's
+# document lengths (the published values are 1000/100/0.25 on real
+# source files; the synthetic docs are shorter so the scaled analogs
+# keep both branches of every predicate exercised at sf0.01).
+MAX_LINE_LEN = 200
+AVG_LINE_LEN = 120
+MIN_ALNUM_FRAC = 0.5
+
+GENERATED_MARKER = r"(?i)auto-generated|do not edit|@generated"
+VENDORED_PREFIX = r"^(vendor|node_modules|third_party)/"
+
+
+def code_quality_flags(
+    df: DataFrame, id_col: str, path_col: str, content_col: str
+) -> DataFrame:
+    """Per-file keep/drop gate from line statistics + path + marker
+    heuristics.
+
+    Emits the raw statistics (auditable) and the individual flags, not
+    just the verdict — a pipeline owner re-tunes thresholds from the
+    stats table without rescanning content. avg_line_len is computed
+    arithmetically from (total length, newline count) rather than a
+    per-line list aggregate: same value, no array materialization.
+    """
+    c = F.col(content_col)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("long")
+    max_line = F.array_max(F.transform(lines, F.length)).cast("long")
+    total = F.length(c).cast("long")
+    avg_line = (total - n_lines + F.lit(1)) / n_lines
+    alnum = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", "")).cast("long")
+    alnum_frac = alnum / total
+    f_long = (max_line > MAX_LINE_LEN) | (avg_line > AVG_LINE_LEN)
+    f_alnum = alnum_frac < MIN_ALNUM_FRAC
+    f_gen = c.rlike(GENERATED_MARKER)
+    f_vend = F.col(path_col).rlike(VENDORED_PREFIX)
+    return df.select(
+        F.col(id_col),
+        F.col(path_col),
+        n_lines.alias("n_lines"),
+        max_line.alias("max_line_len"),
+        F.round(avg_line, 6).alias("avg_line_len"),
+        F.round(alnum_frac, 6).alias("alnum_frac"),
+        f_long.alias("flag_long_lines"),
+        f_alnum.alias("flag_low_alnum"),
+        f_gen.alias("flag_generated"),
+        f_vend.alias("flag_vendored"),
+        (~(f_long | f_alnum | f_gen | f_vend)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# license classification (SPDX tag first, phrase heuristics second)
+# ---------------------------------------------------------------------------
+
+SPDX_RE = r"SPDX-License-Identifier: ([A-Za-z0-9.+-]+)"
+
+# (license id, detection regex) in precedence order; first match wins.
+# Phrase signatures are the canonical first lines of each license text
+# (public SPDX corpus).
+LICENSE_PHRASES = (
+    ("MIT", r"Permission is hereby granted, free of charge"),
+    ("Apache-2.0", r"Licensed under the Apache License"),
+    ("GPL-3.0", r"GNU General Public License"),
+    ("Proprietary", r"(?i)all rights reserved"),
+)
+
+PERMISSIVE = ("MIT", "Apache-2.0", "BSD-3-Clause", "ISC", "Unlicense")
+
+
+def license_detect(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Per-file license classification: an explicit SPDX tag wins, then
+    license-text phrase signatures in precedence order, else unknown.
+    Emits the detection channel (spdx/phrase/none) so a compliance
+    audit can weight tag-backed rows above heuristic ones, and a
+    ``permissive`` verdict against a fixed allowlist — the gate a
+    permissively-licensed-only training corpus filters on.
+    """
+    c = F.col(content_col)
+    spdx = F.regexp_extract(c, SPDX_RE, 1)
+    lic = F.when(spdx != "", spdx)
+    for name, pat in LICENSE_PHRASES:
+        lic = lic.when(c.rlike(pat), F.lit(name))
+    lic = lic.otherwise(F.lit("Unknown"))
+    via = (
+        F.when(spdx != "", F.lit("spdx"))
+        .when(lic != "Unknown", F.lit("phrase"))
+        .otherwise(F.lit("none"))
+    )
+    return df.select(
+        F.col(id_col),
+        lic.alias("license"),
+        via.alias("via"),
+        lic.isin(*PERMISSIVE).alias("permissive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# import-dependency census
+# ---------------------------------------------------------------------------
+
+IMPORT_RE = r"import ([a-z_][a-z0-9_]*)"
+
+
+def import_deps(
+    df: DataFrame, repo_col: str, id_col: str, content_col: str
+) -> DataFrame:
+    """Exploded (repo, file, dependency) edge list from import
+    statements — one row per DISTINCT dependency per file (a file
+    importing a module twice is one edge; array_distinct runs before
+    the explode so the generator never amplifies duplicates).
+    """
+    deps = F.array_distinct(
+        F.regexp_extract_all(F.col(content_col), F.lit(IMPORT_RE), 1)
+    )
+    return df.select(
+        F.col(repo_col).alias("repo"),
+        F.col(id_col),
+        F.explode(deps).alias("dep"),
+    )
+
+
+def dep_profile(edges: DataFrame) -> DataFrame:
+    """Dependency census over the edge list: per-dependency file count,
+    repo fan-in, and a deterministic popularity rank. One map-side-
+    combinable aggregation on ``dep`` (count + count-distinct repo over
+    a bounded repo set) and a window over the ~|vocabulary| rollup —
+    the per-file relation is never sorted.
+    """
+    from pyspark.sql import Window
+
+    roll = edges.groupBy("dep").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.countDistinct("repo").cast("long").alias("n_repos"),
+    )
+    w = Window.orderBy(F.desc("n_files"), F.asc("dep"))
+    return roll.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )

@@ -226,12 +226,6 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     path); counts are taken on the PROGRESSIVELY REDACTED text so one
     span is never double-counted (an email inside a URL counts as URL).
     """
-    red = F.col(text_col)
-    cols = [F.col(id_col)]
-    for name, pat, token in PII_PATTERNS:
-        cols.append(
-            F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}")
-        )
-        red = F.regexp_replace(red, F.lit(pat), F.lit(token))
-    cols.append(F.sha2(red, 256).alias("redacted_sha256"))
-    return df.select(*cols)
+    from twinspect_spark.codelake import scrub_stats
+
+    return scrub_stats(df, id_col, text_col, PII_PATTERNS)
