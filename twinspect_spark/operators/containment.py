@@ -55,9 +55,12 @@ def dense_containment_intersections(
     mapInPandas and each task runs AND + popcount-LUT kernels against
     the full matrix — O(n^2 * vocab/8) byte ops total, no shuffle."""
     num = round(threshold * 1_000_000)
-    vocab = [r["sh"] for r in sh.select("sh").distinct().orderBy("sh").collect()]
-    v = len(vocab)
     pdf = sh.select("doc_id", "sh").toPandas()
+    # vocabulary derives from the one collected stream — a separate
+    # distinct-collect would re-run the shingle explode scan (~6 s at
+    # sf0.1, a third of the query) for data already on the driver
+    vocab = np.sort(pdf["sh"].unique())
+    v = len(vocab)
     doc_ids = np.sort(pdf["doc_id"].unique().astype(np.int64))
     n = len(doc_ids)
     docpos = pd.Series(np.arange(n), index=doc_ids)
