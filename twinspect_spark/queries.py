@@ -1806,6 +1806,89 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_purity(pred, gt)
 
 
+# pair-audit cap: clusters above this are skipped (C(64,2) ≈ 2k pairs
+# bounds per-cluster audit work; a mega-cluster can't go quadratic)
+AUDIT_MAX_MEMBERS = 64
+
+
+def q_cluster_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the cheap chunk tier: for every multi-member
+    chunk cluster (docs transitively linked by shared disjoint
+    CHUNK_W-word spans), how many intra-cluster pairs are DIRECTLY
+    similar (exact shingle Jaccard >= JACCARD_T) vs merely chained
+    through intermediates — the standard QA readout before trusting a
+    transitive tier at scale, since chaining is how near-dup clusters
+    absorb unrelated docs. Emits per-cluster member count, direct vs
+    chained pair counts, and the weakest direct link.
+
+    Scale shape: the intra-cluster expansion is quadratic per cluster,
+    so the audit caps at AUDIT_MAX_MEMBERS members (size table
+    broadcast, pairs bounded per task); direct-Jaccard verification
+    pushes the audited-member restriction INTO the shingle self-join
+    (_exact_jaccard_pairs candidates path), and chained pairs — absent
+    from the co-shingle stream — surface via left-join nulls, never a
+    full pair matrix. Reference analog: the cluster-scoring half of
+    effectiveness (/root/reference/twinspect/metrics/eff.py)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id")
+    )
+    ch = _doc_chunks(spark, sf_dir)
+    cedges = (
+        ch.alias("x")
+        .join(ch.alias("y"), "chunk")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    pred = connected_components(cedges, vertices=docs).select(
+        F.col("file_id").alias("doc_id"), F.col("cluster_id").alias("pred_id")
+    )
+    sz = pred.groupBy("pred_id").agg(F.count("*").alias("n_members"))
+    audited = sz.where(
+        (F.col("n_members") >= 2) & (F.col("n_members") <= AUDIT_MAX_MEMBERS)
+    )
+    memb = pred.join(F.broadcast(audited), "pred_id")
+    pairs = (
+        memb.alias("m1")
+        .join(memb.alias("m2"), "pred_id")
+        .where(F.col("m1.doc_id") < F.col("m2.doc_id"))
+        .select(
+            "pred_id",
+            F.col("m1.n_members").alias("n_members"),
+            F.col("m1.doc_id").alias("a"),
+            F.col("m2.doc_id").alias("b"),
+        )
+    )
+    jac = _exact_jaccard_pairs(
+        spark, sf_dir, candidates=pairs.select("a", "b")
+    )
+    pj = pairs.join(jac, ["a", "b"], "left").withColumn(
+        "jaccard", F.coalesce("jaccard", F.lit(0.0))
+    )
+    return (
+        pj.groupBy("pred_id", "n_members")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("jaccard") >= JACCARD_T).cast("long")).alias(
+                "n_direct"
+            ),
+            F.sum((F.col("jaccard") < JACCARD_T).cast("long")).alias(
+                "n_chained"
+            ),
+            F.round(F.min("jaccard"), 6).alias("weakest_link"),
+        )
+        .select(
+            F.col("pred_id").alias("cluster_id"),
+            "n_members",
+            "n_pairs",
+            "n_direct",
+            "n_chained",
+            "weakest_link",
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def q_robustness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/J8: per-transform robustness stats (robustness.py:43-60) —
     distance between each cluster's original and its transformed members.
@@ -3673,6 +3756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distance_histogram": q_distance_histogram,
     "corpus_stats": q_corpus_stats,
     "cluster_purity": q_cluster_purity,
+    "cluster_transitivity_audit": q_cluster_transitivity_audit,
     "robustness_stats": q_robustness_stats,
     "speed_stats": q_speed_stats,
     # ensemble / groups / LCS-rescue operator paths
@@ -6235,4 +6319,69 @@ ORACLE_SQL["import_dep_profile"] = """
            cast(row_number() OVER (ORDER BY n_files DESC, dep) AS bigint)
                AS rank
     FROM roll
+"""
+
+ORACLE_SQL["cluster_transitivity_audit"] = f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    tt AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    chk AS (
+      SELECT doc_id,
+             array_to_string(
+               w[j * {CHUNK_W} + 1 : j * {CHUNK_W} + {CHUNK_W}], ' ')
+               AS chunk
+      FROM tt,
+           unnest(range(0, (len(w) + {CHUNK_W - 1}) // {CHUNK_W})) AS u(j)
+    ),
+    cedges AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM chk a JOIN chk b
+        ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+    ),
+    csym AS (
+      SELECT a AS s, b AS d FROM cedges
+      UNION SELECT b, a FROM cedges
+    ),
+    creach(s, d) AS (
+      SELECT s, d FROM csym
+      UNION
+      SELECT r.s, y.d FROM creach r JOIN csym y ON r.d = y.s
+    ),
+    cclusters AS (
+      SELECT dd.doc_id,
+             least(dd.doc_id, coalesce(min(r.d), dd.doc_id)) AS pred_id
+      FROM docs dd LEFT JOIN creach r ON r.s = dd.doc_id
+      GROUP BY dd.doc_id
+    ),
+    csz AS (
+      SELECT pred_id, cast(count(*) AS bigint) AS n_members
+      FROM cclusters GROUP BY 1
+      HAVING count(*) BETWEEN 2 AND {AUDIT_MAX_MEMBERS}
+    ),
+    cpairs AS (
+      SELECT m1.pred_id, m1.doc_id AS a, m2.doc_id AS b
+      FROM cclusters m1
+      JOIN cclusters m2
+        ON m1.pred_id = m2.pred_id AND m1.doc_id < m2.doc_id
+      JOIN csz ON csz.pred_id = m1.pred_id
+    ),
+    pj AS (
+      SELECT p.pred_id,
+             coalesce(round(i * 1.0 / (sa.n + sb.n - i), 6), 0) AS jaccard
+      FROM cpairs p
+      LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
+      LEFT JOIN sizes sa ON sa.doc_id = p.a
+      LEFT JOIN sizes sb ON sb.doc_id = p.b
+    )
+    SELECT p.pred_id AS cluster_id,
+           csz.n_members,
+           cast(count(*) AS bigint) AS n_pairs,
+           cast(sum(CASE WHEN jaccard >= {JACCARD_T} THEN 1 ELSE 0 END)
+                AS bigint) AS n_direct,
+           cast(sum(CASE WHEN jaccard < {JACCARD_T} THEN 1 ELSE 0 END)
+                AS bigint) AS n_chained,
+           round(min(jaccard), 6) AS weakest_link
+    FROM pj p JOIN csz USING (pred_id)
+    GROUP BY 1, 2
 """
