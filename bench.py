@@ -164,6 +164,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "license_detect",
         "secret_scrub_stats",
         "import_dep_profile",
+        "doc_repetition_stats",
         "url_etag_dedup",
         "bloom_seen_filter",
         "eval_ngram_contamination",

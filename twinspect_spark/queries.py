@@ -2726,6 +2726,130 @@ def q_import_dep_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dep_profile(import_deps(files, "repo", "doc_id", "content"))
 
 
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition gate (Rae et al.,
+    arXiv:2112.11446 §A1.1): duplicate-line fraction, duplicate-line
+    CHARACTER fraction, most-frequent-2-gram character fraction, and
+    duplicate-5-gram character fraction, plus the keep verdict at the
+    Gopher thresholds (0.30 / 0.20 / 0.20 / 0.15). Repetitive docs
+    (boilerplate tables, scraped nav bars, degenerate generations) slip
+    past near-dup dedup because they repeat INTERNALLY, not across docs
+    — this is the standard third gate after exact + near dedup.
+
+    Input synthesis: text wrapped to CODE_WRAP_W-word lines; planted
+    trippers exercise every branch — doc_id%17==0 appends 8 copies of
+    the first line (dup-line fractions), %13==2 appends the first
+    5-word phrase 4x (duplicate 5-grams), %19==5 appends the first
+    2-word phrase 30x (dominant 2-gram).
+
+    Scale shape: line stats are PURE column expressions over the split
+    array (size/array_distinct/aggregate — no explode, no shuffle);
+    the n-gram fractions are one tagged explode → one
+    map-side-combinable groupBy(doc_id, n, gram) → a doc-sized rollup,
+    the same shingle-stream shape the dedup ladder already scales.
+    Gram char fractions can exceed 1 by construction (overlapping
+    grams); the verdict thresholds only bound them from above."""
+    docs = _t_par(spark, sf_dir, "documents")
+    wrapped = F.regexp_replace("text", _WRAP_RE, "$1\n")
+    p5 = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
+    p2 = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2))
+    line1 = F.substring_index(wrapped, "\n", 1)
+    content = F.concat(
+        wrapped,
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.repeat(F.concat(F.lit("\n"), line1), 8),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 2,
+            F.concat(
+                F.lit("\n"), p5, F.lit(" "), p5, F.lit(" "), p5,
+                F.lit(" "), p5,
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 19 == 5,
+            F.concat(
+                F.lit("\n"), F.repeat(F.concat(p2, F.lit(" ")), 29), p2
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = docs.select(
+        "doc_id",
+        F.split(content, "\n").alias("lines"),
+        F.split(F.translate(content, "\n", " "), " ").alias("w"),
+    )
+    scal = base.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        (F.size("lines") - F.size(F.array_distinct("lines")))
+        .cast("long")
+        .alias("n_dup_lines"),
+        F.expr("aggregate(lines, 0L, (a, x) -> a + length(x))").alias(
+            "chars"
+        ),
+        F.expr(
+            "aggregate(array_distinct(lines), 0L, (a, x) -> a + length(x))"
+        ).alias("dchars"),
+        "w",
+    )
+    g2 = F.expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2),"
+        " i -> concat(w[i], ' ', w[i + 1])) ELSE array() END"
+    )
+    g5 = F.expr(
+        "CASE WHEN size(w) >= 5 THEN transform(sequence(0, size(w) - 5),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+        " ELSE array() END"
+    )
+    e2 = base.select(
+        "doc_id", F.lit(2).alias("n"), F.explode(g2).alias("gram")
+    )
+    e5 = base.select(
+        "doc_id", F.lit(5).alias("n"), F.explode(g5).alias("gram")
+    )
+    gc = (
+        e2.unionByName(e5)
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    gr = gc.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("n") == 2, F.col("cnt") * F.length("gram"))
+        ).alias("top2_chars"),
+        F.sum(
+            F.when(
+                (F.col("n") == 5) & (F.col("cnt") > 1),
+                F.col("cnt") * F.length("gram"),
+            ).otherwise(F.lit(0))
+        ).alias("dup5_chars"),
+    )
+    joined = scal.drop("w").join(gr, "doc_id", "left")
+    out = joined.select(
+        "doc_id",
+        "n_lines",
+        F.round(F.col("n_dup_lines") / F.col("n_lines"), 6).alias(
+            "dup_line_frac"
+        ),
+        F.round(
+            (F.col("chars") - F.col("dchars")) / F.col("chars"), 6
+        ).alias("dup_line_char_frac"),
+        F.round(
+            F.coalesce(F.col("top2_chars"), F.lit(0)) / F.col("chars"), 6
+        ).alias("top_2gram_char_frac"),
+        F.round(
+            F.coalesce(F.col("dup5_chars"), F.lit(0)) / F.col("chars"), 6
+        ).alias("dup_5gram_char_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (F.col("top_2gram_char_frac") <= 0.20)
+        & (F.col("dup_5gram_char_frac") <= 0.15),
+    )
+
+
 PACK_SEQ_LEN = 256
 
 
@@ -3719,6 +3843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "license_detect": q_license_detect,
     "secret_scrub_stats": q_secret_scrub_stats,
     "import_dep_profile": q_import_dep_profile,
+    "doc_repetition_stats": q_doc_repetition_stats,
     "domain_mix_weights": q_domain_mix_weights,
     # text analysis
     "token_stats": q_token_stats,
@@ -6384,4 +6509,83 @@ ORACLE_SQL["cluster_transitivity_audit"] = f"""
            round(min(jaccard), 6) AS weakest_link
     FROM pj p JOIN csz USING (pred_id)
     GROUP BY 1, 2
+"""
+
+ORACLE_SQL["doc_repetition_stats"] = f"""
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text, '((\\S+ ){{{CODE_WRAP_W - 1}}}\\S+) ',
+                            '\\1' || chr(10), 'g') AS wrapped,
+             array_to_string((string_split(text, ' '))[1:5], ' ') AS p5,
+             array_to_string((string_split(text, ' '))[1:2], ' ') AS p2
+      FROM documents
+    ),
+    files AS (
+      SELECT doc_id,
+             wrapped
+             || (CASE WHEN doc_id % 17 = 0
+                 THEN repeat(chr(10) || string_split(wrapped, chr(10))[1], 8)
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 13 = 2
+                 THEN chr(10) || p5 || ' ' || p5 || ' ' || p5 || ' ' || p5
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 19 = 5
+                 THEN chr(10) || repeat(p2 || ' ', 29) || p2
+                 ELSE '' END) AS content
+      FROM lined
+    ),
+    base AS (
+      SELECT doc_id, string_split(content, chr(10)) AS lines,
+             string_split(replace(content, chr(10), ' '), ' ') AS w
+      FROM files
+    ),
+    scal AS (
+      SELECT doc_id,
+             cast(len(lines) AS bigint) AS n_lines,
+             cast(len(lines) - len(list_distinct(lines)) AS bigint)
+                 AS n_dup_lines,
+             cast(coalesce(list_sum(list_transform(lines,
+                 x -> length(x))), 0) AS bigint) AS chars,
+             cast(coalesce(list_sum(list_transform(list_distinct(lines),
+                 x -> length(x))), 0) AS bigint) AS dchars
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, 2 AS n, w[i] || ' ' || w[i + 1] AS gram
+      FROM base, unnest(range(1, len(w))) AS u(i)
+      UNION ALL
+      SELECT doc_id, 5,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4]
+      FROM base, unnest(range(1, len(w) - 3)) AS u(i)
+    ),
+    gc AS (
+      SELECT doc_id, n, gram, count(*) AS cnt
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    gr AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 THEN cnt * length(gram) END)
+                 AS top2_chars,
+             sum(CASE WHEN n = 5 AND cnt > 1 THEN cnt * length(gram)
+                      ELSE 0 END) AS dup5_chars
+      FROM gc GROUP BY 1
+    ),
+    fr AS (
+      SELECT s.doc_id, n_lines,
+             round(n_dup_lines * 1.0 / n_lines, 6) AS dup_line_frac,
+             round((chars - dchars) * 1.0 / chars, 6)
+                 AS dup_line_char_frac,
+             round(coalesce(top2_chars, 0) * 1.0 / chars, 6)
+                 AS top_2gram_char_frac,
+             round(coalesce(dup5_chars, 0) * 1.0 / chars, 6)
+                 AS dup_5gram_char_frac
+      FROM scal s LEFT JOIN gr ON gr.doc_id = s.doc_id
+    )
+    SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+           top_2gram_char_frac, dup_5gram_char_frac,
+           (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+            AND top_2gram_char_frac <= 0.20
+            AND dup_5gram_char_frac <= 0.15) AS keep
+    FROM fr
 """
