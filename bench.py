@@ -165,6 +165,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "secret_scrub_stats",
         "import_dep_profile",
         "doc_repetition_stats",
+        "code_comment_stats",
         "url_etag_dedup",
         "bloom_seen_filter",
         "eval_ngram_contamination",

@@ -132,6 +132,55 @@ def code_quality_flags(
     )
 
 
+# Full-line comment starters across the hash/slash/star/dash families
+# (Python/shell, C/JS, block-comment bodies, SQL/Lua). Line-granular by
+# design: inline trailing comments need a language-aware lexer, and the
+# gate's published form (StarCoder comment-to-code ratio) is line-based.
+COMMENT_LINE_RE = r"^[ \t]*(#|//|/\*|\*|--)"
+MAX_COMMENT_FRAC = 0.8  # mostly-comment files: license stubs, generated docs
+MIN_COMMENT_FRAC = 0.01  # comment-free big files: minified/generated signal
+NO_COMMENT_MIN_LINES = 8
+
+
+def comment_stats(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Comment-to-code ratio gate (StarCoder data-pipeline family):
+    per-file full-comment-line count, line fraction, and character
+    fraction, plus flags — ``flag_high_comment`` (> MAX_COMMENT_FRAC of
+    lines are comments: license stubs / generated API docs; the keep
+    verdict drops these) and ``flag_no_comment`` (big file with
+    < MIN_COMMENT_FRAC comment lines — a minification/generation
+    signal, informational only).
+
+    Pure higher-order column expressions (split → filter(rlike) →
+    size/aggregate): no explode, no shuffle, no UDF — fuses into the
+    ingest scan like the rest of the gate family.
+    """
+    c = F.col(content_col)
+    lines = F.split(c, "\n")
+    cl = F.filter(lines, lambda x: x.rlike(COMMENT_LINE_RE))
+    n_lines = F.size(lines).cast("long")
+    n_comment = F.size(cl).cast("long")
+    total = F.length(c).cast("long")
+    cchars = F.aggregate(
+        cl, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+    )
+    frac = n_comment / n_lines
+    f_high = frac > MAX_COMMENT_FRAC
+    f_none = (n_lines >= NO_COMMENT_MIN_LINES) & (frac < MIN_COMMENT_FRAC)
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_comment.alias("n_comment_lines"),
+        F.round(frac, 6).alias("comment_line_frac"),
+        F.round(cchars / total, 6).alias("comment_char_frac"),
+        f_high.alias("flag_high_comment"),
+        f_none.alias("flag_no_comment"),
+        (~f_high).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # license classification (SPDX tag first, phrase heuristics second)
 # ---------------------------------------------------------------------------

@@ -2726,6 +2726,42 @@ def q_import_dep_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dep_profile(import_deps(files, "repo", "doc_id", "content"))
 
 
+def q_code_comment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment-to-code ratio gate (codelake.comment_stats, StarCoder
+    pipeline family) over the synthesized code corpus: full-comment-line
+    count, line + character fractions, high-comment / no-comment flags,
+    keep verdict. Planted branches: doc_id%31==0 comments EVERY line
+    (license-stub/generated-doc shape, trips the >0.8 drop), %41==3
+    prepends a 3-line comment header (mid-range ratio), everything else
+    is comment-free (the big-file no-comment flag fires on its own).
+    Pure higher-order column expressions — no explode, no shuffle."""
+    from twinspect_spark.codelake import comment_stats
+
+    files = _code_files(spark, sf_dir)
+    all_comment = F.array_join(
+        F.transform(
+            F.split("content", "\n"), lambda x: F.concat(F.lit("# "), x)
+        ),
+        "\n",
+    )
+    content = (
+        F.when(F.col("doc_id") % 31 == 0, all_comment)
+        .when(
+            F.col("doc_id") % 41 == 3,
+            F.concat(
+                F.lit("// overview\n// details\n// notes\n"),
+                F.col("content"),
+            ),
+        )
+        .otherwise(F.col("content"))
+    )
+    return comment_stats(
+        files.select("doc_id", content.alias("content")),
+        "doc_id",
+        "content",
+    )
+
+
 def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition gate (Rae et al.,
     arXiv:2112.11446 §A1.1): duplicate-line fraction, duplicate-line
@@ -3844,6 +3880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "secret_scrub_stats": q_secret_scrub_stats,
     "import_dep_profile": q_import_dep_profile,
     "doc_repetition_stats": q_doc_repetition_stats,
+    "code_comment_stats": q_code_comment_stats,
     "domain_mix_weights": q_domain_mix_weights,
     # text analysis
     "token_stats": q_token_stats,
@@ -6588,4 +6625,49 @@ ORACLE_SQL["doc_repetition_stats"] = f"""
             AND top_2gram_char_frac <= 0.20
             AND dup_5gram_char_frac <= 0.15) AS keep
     FROM fr
+"""
+
+# single source of truth for the comment regex: the oracle embeds the
+# same pattern string comment_stats compiles (Java-regex ∩ RE2 subset)
+from twinspect_spark.codelake import COMMENT_LINE_RE as _CMT_RE  # noqa: E402
+
+ORACLE_SQL["code_comment_stats"] = f"""
+    WITH {_CODE_FILES_SQL},
+    synth AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 31 = 0 THEN array_to_string(
+                 list_transform(string_split(content, chr(10)),
+                                x -> '# ' || x), chr(10))
+               WHEN doc_id % 41 = 3 THEN
+                 '// overview' || chr(10) || '// details' || chr(10)
+                 || '// notes' || chr(10) || content
+               ELSE content
+             END AS content
+      FROM code_files
+    ),
+    st AS (
+      SELECT doc_id, string_split(content, chr(10)) AS lines,
+             cast(length(content) AS bigint) AS total
+      FROM synth
+    ),
+    cs AS (
+      SELECT doc_id, total,
+             cast(len(lines) AS bigint) AS n_lines,
+             cast(len(list_filter(lines,
+                 x -> regexp_matches(x, '{_CMT_RE}'))) AS bigint)
+                 AS n_comment_lines,
+             cast(coalesce(list_sum(list_transform(
+                 list_filter(lines, x -> regexp_matches(x, '{_CMT_RE}')),
+                 x -> length(x))), 0) AS bigint) AS cchars
+      FROM st
+    )
+    SELECT doc_id, n_lines, n_comment_lines,
+           round(n_comment_lines * 1.0 / n_lines, 6) AS comment_line_frac,
+           round(cchars * 1.0 / total, 6) AS comment_char_frac,
+           (n_comment_lines * 1.0 / n_lines > 0.8) AS flag_high_comment,
+           (n_lines >= 8 AND n_comment_lines * 1.0 / n_lines < 0.01)
+               AS flag_no_comment,
+           NOT (n_comment_lines * 1.0 / n_lines > 0.8) AS keep
+    FROM cs
 """
