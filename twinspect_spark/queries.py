@@ -2844,8 +2844,14 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e5 = base.select(
         "doc_id", F.lit(5).alias("n"), F.explode(g5).alias("gram")
     )
+    # one exchange for the whole gram lane: hash-partitioning on doc_id
+    # satisfies the clustered-distribution requirement of BOTH groupBys
+    # (doc_id,n,gram) and (doc_id) AND the doc_id join below, so the
+    # near-|grams|-row gc rollup never re-crosses the wire (6 → 3
+    # exchanges, the heavy stream shuffles once)
     gc = (
         e2.unionByName(e5)
+        .repartition("doc_id")
         .groupBy("doc_id", "n", "gram")
         .agg(F.count("*").alias("cnt"))
     )
