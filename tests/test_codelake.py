@@ -148,3 +148,38 @@ def test_pii_scrub_still_progressive(spark):
     )
     row = pii_scrub(df, "doc_id", "text").collect()[0]
     assert row["n_url"] == 1 and row["n_email"] == 1
+
+
+def test_comment_stats_branches(spark):
+    from twinspect_spark.codelake import comment_stats
+
+    code = "def f():\n    return 1"
+    rows = [
+        # 2 comment lines of 4: mid-range ratio, both flags off
+        (0, "a", "# one\n// two\n" + code),
+        # all-comment file: high flag + dropped
+        (1, "b", "# x\n  # y\n\t// z\n/* w */\n * v\n-- u"),
+        # 9 comment-free lines: no-comment flag fires, still kept
+        (2, "c", "\n".join(["line %d" % i for i in range(9)])),
+        # short comment-free file: below the line floor, no flag
+        (3, "d", code),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in comment_stats(
+            _files(spark, rows), "doc_id", "content"
+        ).collect()
+    }
+    assert out[0]["n_lines"] == 4 and out[0]["n_comment_lines"] == 2
+    assert out[0]["comment_line_frac"] == 0.5
+    assert not out[0]["flag_high_comment"] and not out[0]["flag_no_comment"]
+    assert out[0]["keep"] is True
+    # char fraction counts the comment lines' characters only
+    assert out[0]["comment_char_frac"] == round(
+        (len("# one") + len("// two")) / len(rows[0][2]), 6
+    )
+    assert out[1]["n_comment_lines"] == 6 and out[1]["flag_high_comment"]
+    assert out[1]["keep"] is False
+    assert out[2]["n_comment_lines"] == 0 and out[2]["flag_no_comment"]
+    assert out[2]["keep"] is True
+    assert not out[3]["flag_no_comment"] and out[3]["keep"] is True
