@@ -230,6 +230,67 @@ def license_detect(
 
 
 # ---------------------------------------------------------------------------
+# function-span extraction + function-granular dedup census
+# ---------------------------------------------------------------------------
+
+# Function-head starters across the def/function/func families, anchored
+# to line starts via the preceding newline (callers \n-prefix the content
+# so a head at offset 0 is matched too). Alternation order is leftmost-
+# preferred in both Java regex and RE2, so 'function ' wins over 'func '
+# at the same position in both engines.
+FUNC_HEAD_RE = "\n(def |function |func )"
+_SPAN_SENTINEL = ""
+
+
+def function_spans(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """(id, fn_idx, span): syntax-aligned function spans — the text from
+    each function head to the next head (or EOF). fn_idx 0 is the file
+    preamble (imports/constants before the first function); census
+    consumers filter it out.
+
+    File-level dedup misses the dominant unit of code reuse — the
+    copied FUNCTION inside an otherwise-novel file (utility snippets,
+    StackOverflow idioms) — and fixed-width chunking splits functions
+    mid-body; this operator aligns the dedup unit to syntax with one
+    regexp pass + one split (sentinel-insert then split, because the
+    Java-regex ∩ RE2 subset the oracle replays has no lookahead).
+    Whole-stage codegen; the explode is the only row amplification.
+    """
+    c = F.concat(F.lit("\n"), F.col(content_col))
+    marked = F.regexp_replace(
+        c, FUNC_HEAD_RE, _SPAN_SENTINEL + "\n$1"
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(marked, _SPAN_SENTINEL)).alias(
+            "fn_idx", "span"
+        ),
+    )
+
+
+def function_dup_census(spans: DataFrame, id_col: str) -> DataFrame:
+    """Duplicated-function table over function_spans output: spans
+    (fn_idx >= 1, i.e. real functions) that appear byte-identical more
+    than once, with occurrence/document counts and a canonical first
+    location. One map-side-combinable groupBy on the span hash — the
+    chunk_dup_spans shape, aligned to function boundaries.
+    """
+    fns = spans.where(F.col("fn_idx") >= 1)
+    return (
+        fns.groupBy(F.sha2("span", 256).alias("fn_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+            F.min(F.length("span")).cast("long").alias("span_chars"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
 # import-dependency census
 # ---------------------------------------------------------------------------
 

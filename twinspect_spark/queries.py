@@ -2762,6 +2762,53 @@ def q_code_comment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_function_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-granular exact-dup census (codelake.function_spans +
+    function_dup_census): the dominant unit of code reuse is the copied
+    FUNCTION inside an otherwise-novel file — file-level dedup misses
+    it, fixed-width chunks split it mid-body. Content is wrapped text
+    plus planted function tails: a corpus-wide ``def common_util``
+    (%7), a ``def helper`` whose body is the doc's first 5 words —
+    identical across planted near-dup docs, so CROSS-DOC function
+    clones arise from the corpus's own dup structure (%5), and
+    ``function``/``func`` heads (%11/%13) covering every alternation
+    branch. One regexp sentinel pass + split + posexplode + one
+    map-side-combinable groupBy(sha256(span)) — chunk_dup_spans shape,
+    syntax-aligned."""
+    from twinspect_spark.codelake import function_dup_census, function_spans
+
+    docs = _t_par(spark, sf_dir, "documents")
+    wrapped = F.regexp_replace("text", _WRAP_RE, "$1\n")
+    p5 = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
+    content = F.concat(
+        wrapped,
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\ndef common_util():\n    return 42"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("\ndef helper():\n    return "), p5),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(F.lit("\nfunction jsStub() "), F.col("lang")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 4, F.lit("\nfunc goStub() {}")
+        ).otherwise(F.lit("")),
+        # a second common_util INSIDE the same file: n_occurrences >
+        # n_docs for that group (the within-file copy-paste case)
+        F.when(
+            F.col("doc_id") % 49 == 0,
+            F.lit("\ndef common_util():\n    return 42"),
+        ).otherwise(F.lit("")),
+    )
+    files = docs.select("doc_id", content.alias("content"))
+    spans = function_spans(files, "doc_id", "content")
+    return function_dup_census(spans, "doc_id")
+
+
 def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition gate (Rae et al.,
     arXiv:2112.11446 §A1.1): duplicate-line fraction, duplicate-line
@@ -2771,6 +2818,10 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boilerplate tables, scraped nav bars, degenerate generations) slip
     past near-dup dedup because they repeat INTERNALLY, not across docs
     — this is the standard third gate after exact + near dedup.
+    Complements gopher_quality_flags / intra_doc_repetition (which gate
+    on DISTINCT-count bigram fractions): these are the line-granular
+    and occurrence-×-length char-weighted forms, which catch a doc
+    whose repeated span is long but rare.
 
     Input synthesis: text wrapped to CODE_WRAP_W-word lines; planted
     trippers exercise every branch — doc_id%17==0 appends 8 copies of
@@ -3887,6 +3938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "import_dep_profile": q_import_dep_profile,
     "doc_repetition_stats": q_doc_repetition_stats,
     "code_comment_stats": q_code_comment_stats,
+    "function_dup_census": q_function_dup_census,
     "domain_mix_weights": q_domain_mix_weights,
     # text analysis
     "token_stats": q_token_stats,
@@ -6676,4 +6728,53 @@ ORACLE_SQL["code_comment_stats"] = f"""
                AS flag_no_comment,
            NOT (n_comment_lines * 1.0 / n_lines > 0.8) AS keep
     FROM cs
+"""
+
+ORACLE_SQL["function_dup_census"] = f"""
+    WITH files AS (
+      SELECT doc_id,
+             regexp_replace(text, '((\\S+ ){{{CODE_WRAP_W - 1}}}\\S+) ',
+                            '\\1' || chr(10), 'g')
+             || (CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'def common_util():' || chr(10)
+                      || '    return 42' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 1
+                 THEN chr(10) || 'def helper():' || chr(10)
+                      || '    return '
+                      || array_to_string((string_split(text, ' '))[1:5], ' ')
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 11 = 3
+                 THEN chr(10) || 'function jsStub() ' || lang
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 13 = 4
+                 THEN chr(10) || 'func goStub() {{}}' ELSE '' END)
+             || (CASE WHEN doc_id % 49 = 0
+                 THEN chr(10) || 'def common_util():' || chr(10)
+                      || '    return 42' ELSE '' END)
+             AS content
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id,
+             regexp_replace(chr(10) || content,
+                 chr(10) || '(def |function |func )',
+                 chr(1) || chr(10) || '\\1', 'g') AS m
+      FROM files
+    ),
+    sp AS (
+      SELECT doc_id, string_split(m, chr(1)) AS s FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, i - 1 AS fn_idx, s[i] AS span
+      FROM sp, unnest(range(1, len(s) + 1)) AS u(i)
+    )
+    SELECT sha256(span) AS fn_hash,
+           cast(count(*) AS bigint) AS n_occurrences,
+           cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+           min(doc_id) AS first_doc,
+           cast(min(length(span)) AS bigint) AS span_chars
+    FROM spans
+    WHERE fn_idx >= 1
+    GROUP BY 1
+    HAVING count(*) > 1
 """
