@@ -3117,6 +3117,67 @@ CLONE2_RENAME_OFFSET = 1_000_000  # planted-rename doc_id namespace
 SEMDEDUP_EPS = 0.4  # embedding-cosine duplicate threshold (COSINE_DUP_T)
 SEMDEDUP_CENTROIDS_PATH = "/tmp/twinspect_semdedup_centroids.parquet"
 
+FORK_OVERLAP_T = 0.05  # source-pair shared-cluster fraction → fork flag
+
+
+def q_fork_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fork/mirror readout from the VERIFIED dup clusters: for
+    every source (repo-corpus) pair, the number of multi-member dup
+    clusters spanning both, each side's total cluster count, the
+    overlap fraction against the smaller side, and the fork flag at
+    FORK_OVERLAP_T. Complements repo_sketch_similarity — that is the
+    O(sketch) ESTIMATE you run over 10^8 repo pairs; this is the exact
+    join-path audit you run on the survivors after dedup has already
+    paid for the clusters.
+
+    Scale shape: input is the (source, cluster) presence relation —
+    ≤ |docs| rows collapsing to ~|clusters| — and the pair join is on
+    cluster_id, so its output is Σ sources-per-cluster², bounded by
+    cluster spans, never #sources². All aggregations map-side
+    combinable."""
+    clusters = q_dup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = (
+        clusters.join(docs, "doc_id")
+        .select("source", "cluster_id")
+        .distinct()
+    )
+    per_src = m.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    pairs = (
+        m.alias("x")
+        .join(m.alias("y"), "cluster_id")
+        .where(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("src_a"),
+            F.col("y.source").alias("src_b"),
+        )
+        .agg(F.count("*").cast("long").alias("shared_clusters"))
+    )
+    a = per_src.select(
+        F.col("source").alias("src_a"), F.col("n_clusters").alias("n_a")
+    )
+    b = per_src.select(
+        F.col("source").alias("src_b"), F.col("n_clusters").alias("n_b")
+    )
+    frac = F.round(
+        F.col("shared_clusters") / F.least("n_a", "n_b"), 6
+    )
+    return (
+        pairs.join(F.broadcast(a), "src_a")
+        .join(F.broadcast(b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_clusters",
+            "n_a",
+            "n_b",
+            frac.alias("overlap_frac"),
+            (frac >= FORK_OVERLAP_T).alias("fork_candidate"),
+        )
+    )
+
 
 def q_repo_sketch_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-level (here: `source`-level) estimated shingle-set Jaccard
@@ -3939,6 +4000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_stats": q_doc_repetition_stats,
     "code_comment_stats": q_code_comment_stats,
     "function_dup_census": q_function_dup_census,
+    "fork_candidates": q_fork_candidates,
     "domain_mix_weights": q_domain_mix_weights,
     # text analysis
     "token_stats": q_token_stats,
@@ -6777,4 +6839,31 @@ ORACLE_SQL["function_dup_census"] = f"""
     WHERE fn_idx >= 1
     GROUP BY 1
     HAVING count(*) > 1
+"""
+
+ORACLE_SQL["fork_candidates"] = f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    m AS (
+      SELECT DISTINCT d.source, c.cluster_id
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    per AS (
+      SELECT source, cast(count(*) AS bigint) AS n FROM m GROUP BY 1
+    ),
+    p AS (
+      SELECT x.source AS src_a, y.source AS src_b,
+             cast(count(*) AS bigint) AS shared_clusters
+      FROM m x JOIN m y
+        ON x.cluster_id = y.cluster_id AND x.source < y.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, shared_clusters,
+           a.n AS n_a, b.n AS n_b,
+           round(shared_clusters * 1.0 / least(a.n, b.n), 6)
+               AS overlap_frac,
+           (round(shared_clusters * 1.0 / least(a.n, b.n), 6)
+            >= {FORK_OVERLAP_T}) AS fork_candidate
+    FROM p
+    JOIN per a ON a.source = p.src_a
+    JOIN per b ON b.source = p.src_b
 """
