@@ -299,3 +299,41 @@ def pq_exact_rerank(
         .where(F.col("rn") <= topk)
         .drop("rn")
     )
+
+
+def pq_adc_score(
+    cand: DataFrame,
+    luts: np.ndarray,
+    qids: np.ndarray,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC-score pre-joined (q_id, candidate, codes) rows — the IVF-ADC
+    composition path: candidates arrive from an IVF cell-probe join, so
+    each row carries its own q_id and the scan touches only probed
+    cells (Σ probed-cell sizes, never the full code table). Same exact
+    int64 LUT-sum distance as pq_adc_topk."""
+    spark = cand.sparkSession
+    m = luts.shape[1]
+    bc = spark.sparkContext.broadcast((luts, qids))
+
+    def gen(batches):
+        lu, qi = bc.value
+        qpos = {int(q): i for i, q in enumerate(qi)}
+        marange = np.arange(m)
+        for b in batches:
+            if not len(b):
+                continue
+            C = np.vstack(b["codes"].to_numpy()).astype(np.int64)
+            qidx = np.fromiter(
+                (qpos[int(x)] for x in b["q_id"]), dtype=np.int64
+            )
+            d = lu[qidx[:, None], marange[None, :], C].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "q_id": b["q_id"],
+                    "neighbor_id": b[id_col],
+                    "dist": d,
+                }
+            )
+
+    return cand.mapInPandas(gen, "q_id long, neighbor_id long, dist long")

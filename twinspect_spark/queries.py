@@ -2141,16 +2141,15 @@ def _ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(spark.read.parquet(IVF_CENTROIDS_PATH))
 
 
-def _ann_ivf_kmeans(
-    spark: SparkSession,
-    sf_dir: str,
-    nprobe: int,
-    cdf: DataFrame | None = None,
-) -> DataFrame:
+def _ivf_km_ranked(
+    spark: SparkSession, sf_dir: str, cdf: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(normed, ranked, asg): per-vector centroid ranking by rounded
+    cosine (lower-cid tie-break) and the rn=1 cell assignment — the
+    shared quantizer front-end of the k-means IVF and IVF-PQ queries
+    (one definition, so the two can never diverge from the oracle's
+    replay of the same CTEs)."""
     from pyspark.sql import Window as W
-
-    if cdf is None:
-        cdf = _ivf_kmeans_centroids(spark, sf_dir)
 
     n = _normed_embeddings(spark, sf_dir)
     # centroids are unit-norm by construction; both sides still divide by
@@ -2167,6 +2166,21 @@ def _ann_ivf_kmeans(
     wq = W.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cid"))
     ranked = scored.withColumn("rn", F.row_number().over(wq))
     asg = ranked.where("rn = 1").select("vec_id", F.col("cid").alias("cell"))
+    return n, ranked, asg
+
+
+def _ann_ivf_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    cdf: DataFrame | None = None,
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    if cdf is None:
+        cdf = _ivf_kmeans_centroids(spark, sf_dir)
+
+    n, ranked, asg = _ivf_km_ranked(spark, sf_dir, cdf)
     cells = n.join(asg, "vec_id")
     q = (
         ranked.where(
@@ -3122,7 +3136,66 @@ FORK_OVERLAP_T = 0.05  # source-pair shared-cluster fraction → fork flag
 PQ_CODEBOOKS_PATH = "/tmp/twinspect_pq_codebooks.parquet"
 PQ_TOPK = 10
 PQ_RERANK = 100  # ADC shortlist width fed to the exact rerank
+IVF_PQ_RERANK = 50  # cell-pruned pool is smaller; shortlist scales with it
 ANN_PQ_NQ = 10  # audit panel: queries are vec_id < NQ (ANN panel idiom)
+
+
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC — the production composition of the two quantizers
+    (Jegou et al. TPAMI 2011 §IV): the k-means IVF (persisted coarse
+    centroids, rounded-cosine cell assignment shared verbatim with
+    ann_ivf_kmeans_topk via _ivf_km_ranked) decides WHICH cells a query
+    scans, PQ codes (persisted integer codebooks) price what the scan
+    COSTS, and the exact integer-L2 rerank re-scores the top shortlist.
+    Per query the ADC touches Σ probed-cell code rows — never the full
+    code table — and raw vectors are read for nq x IVF_PQ_RERANK rows
+    only. This is the shape that serves 10^12-vector search: 8 TB of
+    cell-partitioned codes, constant-size rerank.
+
+    Oracle: the cell CTEs replay the float-cosine assignment with the
+    established round-6 idiom; every PQ/rerank step downstream is exact
+    int64 (no tolerance)."""
+    from twinspect_spark.operators.pq import (
+        pq_adc_score,
+        pq_encode,
+        pq_exact_rerank,
+        pq_query_luts,
+        save_codebooks,
+        train_pq_codebooks,
+    )
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cdf = _ivf_kmeans_centroids(spark, sf_dir)
+    _, ranked, asg = _ivf_km_ranked(spark, sf_dir, cdf)
+    dim = len(emb.select("embedding").first()["embedding"])
+    cb = train_pq_codebooks(emb, dim)
+    save_codebooks(spark, cb, PQ_CODEBOOKS_PATH)
+    codes = pq_encode(emb, cb).join(asg, "vec_id")
+    probe = ranked.where(
+        (F.col("rn") <= IVF_KM_NPROBE) & (F.col("vec_id") < ANN_PQ_NQ)
+    ).select(F.col("vec_id").alias("q_id"), F.col("cid").alias("cell"))
+    cand = (
+        F.broadcast(probe)
+        .join(codes, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "codes")
+    )
+    qpdf = (
+        emb.where(F.col("vec_id") < ANN_PQ_NQ)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    luts, qids = pq_query_luts(qpdf, cb)
+    scored = pq_adc_score(cand, luts, qids)
+    w = W.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= IVF_PQ_RERANK)
+        .select("q_id", "neighbor_id")
+    )
+    return pq_exact_rerank(shortlist, emb, qpdf, PQ_TOPK)
 
 
 def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4053,6 +4126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "function_dup_census": q_function_dup_census,
     "fork_candidates": q_fork_candidates,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
+    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "domain_mix_weights": q_domain_mix_weights,
     # text analysis
     "token_stats": q_token_stats,
@@ -6967,6 +7041,98 @@ ORACLE_SQL["ann_pq_adc_topk"] = f"""
                                      ORDER BY adc_dist, neighbor_id) AS rn
         FROM adc
       ) WHERE rn <= {PQ_RERANK}
+    ),
+    ex AS (
+      SELECT s.q_id, s.neighbor_id,
+             cast(sum((a.qv - b.qv) * (a.qv - b.qv)) AS bigint) AS dist
+      FROM short s
+      JOIN qq a ON a.vec_id = s.q_id
+      JOIN qq b ON b.vec_id = s.neighbor_id AND b.idx = a.idx
+      GROUP BY 1, 2
+    )
+    SELECT q_id, neighbor_id, dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dist, neighbor_id) AS rn
+      FROM ex
+    ) WHERE rn <= {PQ_TOPK}
+"""
+
+ORACLE_SQL["ann_ivf_pq_topk"] = f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> cast(x AS double) * cast(x AS double)))) AS nrm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT cid, cemb FROM read_parquet('{IVF_CENTROIDS_PATH}/*.parquet')
+    ),
+    cscored AS (
+      SELECT n.vec_id, cid,
+             round(list_sum(list_transform(list_zip(n.embedding, cemb),
+                   p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                   / n.nrm, 6) AS c
+      FROM n CROSS JOIN cent
+    ),
+    cranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY c DESC, cid) AS rn
+      FROM cscored
+    ),
+    asg AS (SELECT vec_id, cid AS cell FROM cranked WHERE rn = 1),
+    cb AS (
+      SELECT m, cid, j, v
+      FROM read_parquet('{PQ_CODEBOOKS_PATH}/*.parquet')
+    ),
+    geom AS (SELECT max(j) + 1 AS dsub FROM cb),
+    qq AS (
+      SELECT vec_id, i - 1 AS idx,
+             cast(floor(cast(embedding[i] AS double) * {_PQ_SCALE})
+                  AS bigint) AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    encd AS (
+      SELECT q.vec_id, c.m, c.cid,
+             sum((q.qv - c.v) * (q.qv - c.v)) AS d
+      FROM qq q
+      CROSS JOIN geom g
+      JOIN cb c ON q.idx = c.m * g.dsub + c.j
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, cid) AS rn
+        FROM encd
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS q_id, cid AS cell
+      FROM cranked
+      WHERE rn <= {IVF_KM_NPROBE} AND vec_id < {ANN_PQ_NQ}
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS neighbor_id
+      FROM probe p
+      JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.q_id
+    ),
+    adc AS (
+      SELECT c.q_id, c.neighbor_id,
+             cast(sum(e.d) AS bigint) AS adc_dist
+      FROM cand c
+      JOIN codes k2 ON k2.vec_id = c.neighbor_id
+      JOIN encd e
+        ON e.vec_id = c.q_id AND e.m = k2.m AND e.cid = k2.cid
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= {IVF_PQ_RERANK}
     ),
     ex AS (
       SELECT s.q_id, s.neighbor_id,
