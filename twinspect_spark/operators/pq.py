@@ -337,3 +337,44 @@ def pq_adc_score(
             )
 
     return cand.mapInPandas(gen, "q_id long, neighbor_id long, dist long")
+
+
+def cached_pq_codebooks(
+    spark: SparkSession,
+    embeddings: DataFrame | None,
+    cache_root: str,
+    corpus_token: str,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample_size: int = PQ_SAMPLE,
+    seed: int = 77,
+    iters: int = PQ_ITERS,
+) -> np.ndarray:
+    """Train-once PQ codebooks (cached_ivf_centroids idiom): keyed
+    parquet cache committed write-then-marker, so every batch/stream
+    run reloads identical codebooks instead of re-sampling — which also
+    guarantees identical codes (and therefore identical ADC results)
+    across runs. On a cache hit ``embeddings`` is never touched."""
+    import json as _json
+    import os as _os
+
+    key = (
+        f"pq-m{m}-k{k}-s{sample_size}-seed{seed}-it{iters}"
+        f"-d{dim}-{corpus_token}"
+    )
+    path = _os.path.join(cache_root, key)
+    done = _os.path.join(cache_root, f"{key}.done.json")
+    if _os.path.exists(done):
+        return load_codebooks(spark, path)
+    if embeddings is None:
+        raise ValueError(f"PQ cache miss for {key} and no embeddings given")
+    cb = train_pq_codebooks(
+        embeddings, dim, m=m, k=k, sample_size=sample_size,
+        seed=seed, iters=iters,
+    )
+    _os.makedirs(cache_root, exist_ok=True)
+    save_codebooks(spark, cb, path)
+    with open(done, "w") as f:  # marker strictly AFTER the data write
+        _json.dump({"key": key, "shape": [int(x) for x in cb.shape]}, f)
+    return cb

@@ -3134,10 +3134,28 @@ SEMDEDUP_CENTROIDS_PATH = "/tmp/twinspect_semdedup_centroids.parquet"
 FORK_OVERLAP_T = 0.05  # source-pair shared-cluster fraction → fork flag
 
 PQ_CODEBOOKS_PATH = "/tmp/twinspect_pq_codebooks.parquet"
+PQ_CACHE_ROOT = "/tmp/twinspect_pq_cache"
 PQ_TOPK = 10
 PQ_RERANK = 100  # ADC shortlist width fed to the exact rerank
 IVF_PQ_RERANK = 50  # cell-pruned pool is smaller; shortlist scales with it
 ANN_PQ_NQ = 10  # audit panel: queries are vec_id < NQ (ANN panel idiom)
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Train-or-load the PQ codebooks (keyed durable cache, one
+    training per corpus ever — _ivf_kmeans_centroids idiom) and publish
+    the fixed-path copy the oracle reads."""
+    from twinspect_spark.operators.pq import (
+        cached_pq_codebooks,
+        save_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    tok = os.path.basename(sf_dir.rstrip("/")) or "default"
+    cb = cached_pq_codebooks(spark, emb, PQ_CACHE_ROOT, tok, dim)
+    save_codebooks(spark, cb, PQ_CODEBOOKS_PATH)
+    return cb
 
 
 def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3160,17 +3178,13 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
         pq_exact_rerank,
         pq_query_luts,
-        save_codebooks,
-        train_pq_codebooks,
     )
     from pyspark.sql import Window as W
 
     emb = _t(spark, sf_dir, "embeddings")
     cdf = _ivf_kmeans_centroids(spark, sf_dir)
     _, ranked, asg = _ivf_km_ranked(spark, sf_dir, cdf)
-    dim = len(emb.select("embedding").first()["embedding"])
-    cb = train_pq_codebooks(emb, dim)
-    save_codebooks(spark, cb, PQ_CODEBOOKS_PATH)
+    cb = _pq_codebooks(spark, sf_dir)
     codes = pq_encode(emb, cb).join(asg, "vec_id")
     probe = ranked.where(
         (F.col("rn") <= IVF_KM_NPROBE) & (F.col("vec_id") < ANN_PQ_NQ)
@@ -3224,14 +3238,10 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
         pq_exact_rerank,
         pq_query_luts,
-        save_codebooks,
-        train_pq_codebooks,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    cb = train_pq_codebooks(emb, dim)
-    save_codebooks(spark, cb, PQ_CODEBOOKS_PATH)
+    cb = _pq_codebooks(spark, sf_dir)
     codes = pq_encode(emb, cb)
     qpdf = (
         emb.where(F.col("vec_id") < ANN_PQ_NQ)
