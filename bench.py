@@ -185,6 +185,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "ann_ivf_kmeans_topk",
         "ann_pq_adc_topk",
         "ann_ivf_pq_topk",
+        "pq_recall_report",
         "ann_recall_report",
         "embedding_srp_lsh_dup",
         "embedding_norms",

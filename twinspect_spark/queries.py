@@ -3158,6 +3158,82 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     return cb
 
 
+PQ_RERANK_SWEEP = (0, 50, 100)  # 0 = ADC-only, else rerank width
+
+
+def q_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ paths against EXACT quantized-L2 ground truth
+    — the calibration readout that justifies the shipped rerank width
+    (ann_recall_report's sibling for the PQ ladder). Three variants per
+    query: ADC-only top-k, rerank-50, rerank-100. Unlike the cosine
+    report, every number here — truth, ADC, rerank, the hit counts —
+    is exact int64 arithmetic, so the oracle replay is BIT-EXACT with
+    no rounding idiom anywhere except the final recall division.
+    Truth is the exact top-k over the nq-query panel (one bounded
+    brute-force pass regardless of corpus size)."""
+    from functools import reduce
+
+    from twinspect_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_exact_rerank,
+        pq_query_luts,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks(spark, sf_dir)
+    codes = pq_encode(emb, cb)
+    qpdf = (
+        emb.where(F.col("vec_id") < ANN_PQ_NQ)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    luts, qids = pq_query_luts(qpdf, cb)
+    # exact truth: rerank over ALL (query, candidate) pairs
+    allpairs = (
+        emb.select(F.col("vec_id").alias("neighbor_id"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(int(q),) for q in qids], "q_id long"
+            )
+        )
+        .where(F.col("neighbor_id") != F.col("q_id"))
+    )
+    truth = pq_exact_rerank(allpairs, emb, qpdf, PQ_TOPK).select(
+        "q_id", "neighbor_id"
+    )
+    parts = []
+    for r in PQ_RERANK_SWEEP:
+        if r == 0:
+            variant = pq_adc_topk(codes, luts, qids, PQ_TOPK)
+        else:
+            variant = pq_exact_rerank(
+                pq_adc_topk(codes, luts, qids, r), emb, qpdf, PQ_TOPK
+            )
+        v = variant.select(
+            "q_id", "neighbor_id", F.lit(True).alias("hit")
+        )
+        parts.append(
+            truth.join(v, ["q_id", "neighbor_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.sum(F.when(F.col("hit"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_hits")
+            )
+            .select(
+                F.lit(r).cast("long").alias("rerank"),
+                "q_id",
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(PQ_TOPK), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ADC — the production composition of the two quantizers
     (Jegou et al. TPAMI 2011 §IV): the k-means IVF (persisted coarse
@@ -4137,6 +4213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fork_candidates": q_fork_candidates,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+    "pq_recall_report": q_pq_recall_report,
     "domain_mix_weights": q_domain_mix_weights,
     # text analysis
     "token_stats": q_token_stats,
@@ -7158,3 +7235,117 @@ ORACLE_SQL["ann_ivf_pq_topk"] = f"""
       FROM ex
     ) WHERE rn <= {PQ_TOPK}
 """
+
+# PQ recall report: truth + each variant replayed integer-exact.
+_PQ_CORE_CTES = f"""
+    cb AS (
+      SELECT m, cid, j, v
+      FROM read_parquet('{PQ_CODEBOOKS_PATH}/*.parquet')
+    ),
+    geom AS (SELECT max(j) + 1 AS dsub FROM cb),
+    qq AS (
+      SELECT vec_id, i - 1 AS idx,
+             cast(floor(cast(embedding[i] AS double) * {_PQ_SCALE})
+                  AS bigint) AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    encd AS (
+      SELECT q.vec_id, c.m, c.cid,
+             sum((q.qv - c.v) * (q.qv - c.v)) AS d
+      FROM qq q
+      CROSS JOIN geom g
+      JOIN cb c ON q.idx = c.m * g.dsub + c.j
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, cid) AS rn
+        FROM encd
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT e.vec_id AS q_id, c.vec_id AS neighbor_id,
+             cast(sum(e.d) AS bigint) AS adc_dist
+      FROM codes c
+      JOIN encd e ON e.m = c.m AND e.cid = c.cid
+      WHERE e.vec_id < {ANN_PQ_NQ} AND c.vec_id <> e.vec_id
+      GROUP BY 1, 2
+    )
+"""
+
+_PQ_TRUTH_SQL = f"""
+    WITH qq AS (
+      SELECT vec_id, i - 1 AS idx,
+             cast(floor(cast(embedding[i] AS double) * {_PQ_SCALE})
+                  AS bigint) AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    pd AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+             sum((a.qv - b.qv) * (a.qv - b.qv)) AS dist
+      FROM qq a JOIN qq b ON b.idx = a.idx AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {ANN_PQ_NQ}
+      GROUP BY 1, 2
+    )
+    SELECT q_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dist, neighbor_id) AS rn
+      FROM pd
+    ) WHERE rn <= {PQ_TOPK}
+"""
+
+
+def _pq_variant_sql(r: int) -> str:
+    """(q_id, neighbor_id) of the top-PQ_TOPK via ADC-only (r == 0) or
+    ADC shortlist r -> exact rerank."""
+    if r == 0:
+        return f"""
+            WITH {_PQ_CORE_CTES}
+            SELECT q_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY adc_dist, neighbor_id) AS rn
+              FROM adc
+            ) WHERE rn <= {PQ_TOPK}
+        """
+    return f"""
+        WITH {_PQ_CORE_CTES},
+        short AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY adc_dist, neighbor_id) AS rn
+            FROM adc
+          ) WHERE rn <= {r}
+        ),
+        ex AS (
+          SELECT s.q_id, s.neighbor_id,
+                 cast(sum((a.qv - b.qv) * (a.qv - b.qv)) AS bigint) AS dist
+          FROM short s
+          JOIN qq a ON a.vec_id = s.q_id
+          JOIN qq b ON b.vec_id = s.neighbor_id AND b.idx = a.idx
+          GROUP BY 1, 2
+        )
+        SELECT q_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY dist, neighbor_id) AS rn
+          FROM ex
+        ) WHERE rn <= {PQ_TOPK}
+    """
+
+
+ORACLE_SQL["pq_recall_report"] = " UNION ALL ".join(
+    f"""
+    SELECT cast({r} AS bigint) AS rerank, t.q_id,
+           cast(sum(CASE WHEN v.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS bigint) AS n_hits,
+           round(sum(CASE WHEN v.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END) * 1.0 / {PQ_TOPK}, 6)
+               AS recall
+    FROM ({_PQ_TRUTH_SQL}) t
+    LEFT JOIN ({_pq_variant_sql(r)}) v
+      ON v.q_id = t.q_id AND v.neighbor_id = t.neighbor_id
+    GROUP BY t.q_id
+    """
+    for r in PQ_RERANK_SWEEP
+)
