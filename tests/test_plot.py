@@ -135,3 +135,15 @@ def test_tier_distribution_chart(spark):
     # rank prefixes pin ladder order on the x axis
     assert any(t.startswith("1. exact") for t in texts)
     assert any(t.startswith("6. cdc") for t in texts)
+
+
+def test_pq_recall_curve_plot(spark):
+    """The PQ calibration chart renders from the real report table."""
+    from twinspect_spark.plot import plot_pq_recall_curve
+    from twinspect_spark.queries import QUERIES
+
+    rep = QUERIES["pq_recall_report"](spark, "/root/testdata/sf0.001")
+    svg = plot_pq_recall_curve(rep)
+    root = _parse(svg)
+    assert root.tag.endswith("svg")
+    assert "macro_recall" in svg and "rerank" in svg

@@ -319,6 +319,30 @@ def plot_ann_recall_curve(
     )
 
 
+def plot_pq_recall_curve(
+    report: DataFrame, title: str = "PQ recall vs rerank width"
+) -> str:
+    """pq_recall_report table → macro recall@k vs rerank width line —
+    the calibration chart for the PQ ladder (0 = ADC-only): shows what
+    the exact-rerank stage buys and where it saturates."""
+    from pyspark.sql import functions as F
+
+    macro = (
+        report.groupBy("rerank")
+        .agg(F.round(F.avg("recall"), 6).alias("macro_recall"))
+        .orderBy("rerank")
+    )
+    rows = [r.asDict() for r in macro.limit(64).collect()]
+    return line_chart(
+        rows,
+        x="rerank",
+        series=["macro_recall"],
+        title=title,
+        x_label="rerank width (0 = ADC-only)",
+        y_label="macro recall@k",
+    )
+
+
 # ladder order, strongest evidence first (queries.q_dedup_tier_assignment)
 _TIER_ORDER = ("exact", "rename", "near", "containment", "chunk", "cdc",
                "unique")
