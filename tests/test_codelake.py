@@ -183,3 +183,43 @@ def test_comment_stats_branches(spark):
     assert out[2]["n_comment_lines"] == 0 and out[2]["flag_no_comment"]
     assert out[2]["keep"] is True
     assert not out[3]["flag_no_comment"] and out[3]["keep"] is True
+
+
+def test_function_spans_lossless_partition(spark):
+    """The sentinel split is a PARTITION of the \\n-prefixed content:
+    spans concatenate back byte-exactly, every span but the preamble
+    starts with a head, and no span contains an interior head."""
+    import re
+
+    from twinspect_spark.codelake import FUNC_HEAD_RE, function_spans
+
+    rows = [
+        (0, "x", "import os\ndef a():\n    pass\ndef b():\n    pass"),
+        (1, "x", "def a():\n    pass"),           # head at offset 0
+        (2, "x", "no functions at all"),          # preamble only
+        (3, "x", "function js() { x }\nfunc g() {}\ndef p():\n 1"),
+        (4, "x", ""),                             # empty file
+        (5, "x", "defer() is not a head\n xdef y"),  # near-miss tokens
+    ]
+    spans = (
+        function_spans(_files(spark, rows), "doc_id", "content")
+        .orderBy("doc_id", "fn_idx")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    head = re.compile(FUNC_HEAD_RE)
+    for doc_id, _, content in rows:
+        got = by_doc[doc_id]
+        assert [r["fn_idx"] for r in got] == list(range(len(got)))
+        assert "".join(r["span"] for r in got) == "\n" + content
+        n_heads = len(head.findall("\n" + content))
+        assert len(got) == n_heads + 1
+        for r in got[1:]:
+            m = head.match(r["span"])
+            assert m is not None and m.start() == 0
+            # no interior head: the NEXT head always starts a new span
+            assert head.search(r["span"], 1) is None
+    # near-miss tokens produced no split
+    assert len(by_doc[5]) == 1
