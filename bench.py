@@ -216,6 +216,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "ngram_containment_engine",
         "shingle_cardinality_sketch",
         "top_terms_tfidf",
+        "bm25_search",
         "token_length_quantiles",
         # NOT dedup_tier_assignment: its near/containment tiers read the
         # brute-force shingle pair matrix (the oracle-tier construct, like

@@ -3158,6 +3158,92 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     return cb
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_RANK_LO = 20  # query terms: df ranks 20..24 (mid-frequency band)
+BM25_NTERMS = 5
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (Robertson/Sparck-Jones probabilistic
+    ranking, the classic corpus-exploration query a data curator runs
+    against the lake): top-k documents per query term with tf, df and
+    the BM25 score. Query terms are picked deterministically — the
+    5 terms at document-frequency ranks 20..24 (mid-frequency: frequent
+    enough to rank many docs, rare enough that idf discriminates).
+
+    Scale shape: one explode → two map-side-combinable rollups (df per
+    term, tf per (doc, term) restricted to the BROADCAST query terms —
+    the explode stream is semi-joined down to query-term rows before
+    any shuffle), corpus N/avgdl as an in-plan one-row aggregate
+    crossJoined in (no driver-side count), rank window per term over
+    the candidate rollup only. ln() + round-6 follows the established
+    float idiom (char_entropy/bigram_lm/tfidf precedents)."""
+    from pyspark.sql import Window as W
+
+    docs = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    toks = docs.select("doc_id", F.explode("w").alias("term"))
+    dfr = toks.distinct().groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    wr = W.orderBy(F.desc("df"), F.asc("term"))
+    qterms = (
+        dfr.withColumn("r", F.row_number().over(wr))
+        .where(
+            (F.col("r") >= BM25_RANK_LO)
+            & (F.col("r") < BM25_RANK_LO + BM25_NTERMS)
+        )
+        .select("term", "df")
+    )
+    totals = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg(F.size("w")).alias("avgdl"),
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term", "df")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dl = docs.select("doc_id", F.size("w").cast("long").alias("dl"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "df",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (
+                        1.0
+                        - BM25_B
+                        + BM25_B * F.col("dl") / F.col("avgdl")
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    wt = W.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wt).cast("long"))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select("term", "doc_id", "tf", "df", "score", "rank")
+    )
+
+
 PQ_RERANK_SWEEP = (0, 50, 100)  # 0 = ADC-only, else rerank width
 
 
@@ -4214,6 +4300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "pq_recall_report": q_pq_recall_report,
+    "bm25_search": q_bm25_search,
     "domain_mix_weights": q_domain_mix_weights,
     # text analysis
     "token_stats": q_token_stats,
@@ -7349,3 +7436,54 @@ ORACLE_SQL["pq_recall_report"] = " UNION ALL ".join(
     """
     for r in PQ_RERANK_SWEEP
 )
+
+ORACLE_SQL["bm25_search"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    dfr AS (
+      SELECT term, cast(count(*) AS bigint) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM toks)
+      GROUP BY term
+    ),
+    qterms AS (
+      SELECT term, df FROM (
+        SELECT term, df,
+               row_number() OVER (ORDER BY df DESC, term) AS r
+        FROM dfr
+      ) WHERE r >= {BM25_RANK_LO} AND r < {BM25_RANK_LO + BM25_NTERMS}
+    ),
+    totals AS (
+      SELECT cast(count(*) AS bigint) AS n_docs,
+             avg(len(string_split(lower(text), ' '))) AS avgdl
+      FROM documents
+    ),
+    tf AS (
+      SELECT t.doc_id, t.term, q.df, cast(count(*) AS bigint) AS tf
+      FROM toks t JOIN qterms q ON q.term = t.term
+      GROUP BY 1, 2, 3
+    ),
+    dl AS (
+      SELECT doc_id,
+             cast(len(string_split(lower(text), ' ')) AS bigint) AS dl
+      FROM documents
+    ),
+    scored AS (
+      SELECT tf.term, tf.doc_id, tf.tf, tf.df,
+             round(
+               ln((n_docs - tf.df + 0.5) / (tf.df + 0.5) + 1.0)
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * dl.dl / avgdl)),
+               6) AS score
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN totals
+    )
+    SELECT term, doc_id, tf, df, score,
+           cast(rank AS bigint) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {BM25_TOPK}
+"""
