@@ -205,7 +205,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         # (compose the brute-force all-pairs cluster closure); the split
         # hash itself is one codegen projection, nothing to time
         # cluster_purity / cluster_transitivity_audit / fork_candidates /
-        # dedup_savings_report / dup_sample_weights:
+        # curated_export_stats / dedup_savings_report / dup_sample_weights:
         # oracle-tier by design
         # (ground truth = the all-pairs exact-Jaccard closure, like
         # ngram_jaccard_pairs) — driver-gated at sf0.01, excluded from

@@ -89,8 +89,13 @@ def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # documents: shared shingle relations
 # --------------------------------------------------------------------------
 
-_SH_SQL = f"""
-docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+def _sh_sql(source: str = "documents") -> str:
+    """Shared shingle CTE chain, parametrized on the source relation
+    (a table or an upstream CTE name) so the pair/closure machinery can
+    run over a FILTERED doc set (curated_export_stats gates BEFORE
+    dedup — the real pipeline order)."""
+    return f"""
+docs AS (SELECT doc_id, lower(t_src.text) AS t FROM {source} t_src),
 sh AS (
   SELECT doc_id,
          unnest(list_distinct([substr(t, i, {SHINGLE_K})
@@ -99,6 +104,9 @@ sh AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
+
+
+_SH_SQL = _sh_sql()
 
 _PAIRS_SQL = f"""
 WITH {_SH_SQL},
@@ -116,8 +124,11 @@ jac AS (
 SELECT a, b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
 """
 
-_EDGES_CTE = f"""
-{_SH_SQL},
+def _edges_cte(source: str = "documents") -> str:
+    """Jaccard>=T edge + recursive-closure CTE chain over ``source``
+    (see _sh_sql); `clusters` assigns min-id labels like the engine."""
+    return f"""
+{_sh_sql(source)},
 inter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -142,6 +153,9 @@ clusters AS (
   GROUP BY dd.doc_id
 )
 """
+
+
+_EDGES_CTE = _edges_cte()
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3158,6 +3172,86 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     return cb
 
 
+GATE_MIN_WORDS = 30  # curation gate: drop short docs
+GATE_MAX_DUP_BIGRAM = 0.05  # curation gate: drop internally repetitive docs
+
+
+def q_curated_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation composition under ONE oracle — the
+    actual product of this engine: quality gates → near-dup dedup →
+    per-source export accounting. Gates are NATURAL (no synthesis):
+    n_words >= GATE_MIN_WORDS and dup-bigram fraction <=
+    GATE_MAX_DUP_BIGRAM both fire both ways on the raw corpus (~60%
+    survive at sf0.01). Pipeline ORDER is load-bearing and the oracle
+    pins it: dedup's transitive closure is computed over gate
+    SURVIVORS only — a gated-out document must not become a canonical
+    nor bridge two clusters into one (filtering clusters post-hoc
+    would get both wrong).
+
+    Emits per source: total docs, gate survivors, exported canonicals,
+    exported tokens, and the export fraction — the table a pretraining
+    budget owner reads. Scale shape: gates are pure column expressions
+    fused into the scan; the closure machinery is the verified cluster
+    path; the accounting is one map-side-combinable groupBy(source)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = _word_grams(2)
+    nw = F.size(F.split(F.trim("text"), r"\s+"))
+    dupbi = F.when(
+        F.size(grams) > 0,
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        nw.cast("long").alias("n_tok"),
+        (
+            (nw >= GATE_MIN_WORDS) & (dupbi <= GATE_MAX_DUP_BIGRAM)
+        ).alias("keep"),
+    )
+    gated = flagged.where("keep").select("doc_id")
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    edges = (
+        pairs.join(
+            F.broadcast(gated.withColumnRenamed("doc_id", "a")),
+            "a",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(gated.withColumnRenamed("doc_id", "b")),
+            "b",
+            "left_semi",
+        )
+        .select("a", "b")
+    )
+    verts = gated.select(F.col("doc_id").alias("file_id"))
+    cc = connected_components(edges, vertices=verts).select(
+        F.col("file_id").alias("doc_id"), "cluster_id"
+    )
+    j = flagged.join(cc, "doc_id", "left")
+    exported = F.col("cluster_id").isNotNull() & (
+        F.col("doc_id") == F.col("cluster_id")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gate_pass"),
+            F.sum(F.when(exported, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exported"),
+            F.sum(F.when(exported, F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tok_exported"),
+        )
+        .withColumn(
+            "pct_exported",
+            F.round(F.col("n_exported") / F.col("n_docs"), 6),
+        )
+    )
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
@@ -4301,6 +4395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "pq_recall_report": q_pq_recall_report,
     "bm25_search": q_bm25_search,
+    "curated_export_stats": q_curated_export_stats,
     "domain_mix_weights": q_domain_mix_weights,
     # text analysis
     "token_stats": q_token_stats,
@@ -7486,4 +7581,44 @@ ORACLE_SQL["bm25_search"] = f"""
                                    ORDER BY score DESC, doc_id) AS rank
       FROM scored
     ) WHERE rank <= {BM25_TOPK}
+"""
+
+ORACLE_SQL["curated_export_stats"] = f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, source, text,
+             regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id, source, text,
+             cast(len(words) AS bigint) AS n_tok,
+             [words[i] || ' ' || words[i + 1]
+              FOR i IN generate_series(1, len(words) - 1)] AS grams
+      FROM w
+    ),
+    flagged AS (
+      SELECT doc_id, source, text, n_tok,
+             (n_tok >= {GATE_MIN_WORDS}
+              AND (CASE WHEN len(grams) > 0
+                        THEN 1 - len(list_distinct(grams))
+                             / cast(len(grams) AS double)
+                        ELSE 0.0 END) <= {GATE_MAX_DUP_BIGRAM}) AS keep
+      FROM gr
+    ),
+    gated AS (SELECT doc_id, text FROM flagged WHERE keep),
+    {_edges_cte("gated")}
+    SELECT f.source,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(CASE WHEN f.keep THEN 1 ELSE 0 END) AS bigint)
+               AS n_gate_pass,
+           cast(sum(CASE WHEN c.cluster_id = f.doc_id
+                         THEN 1 ELSE 0 END) AS bigint) AS n_exported,
+           cast(sum(CASE WHEN c.cluster_id = f.doc_id
+                         THEN f.n_tok ELSE 0 END) AS bigint)
+               AS tok_exported,
+           round(sum(CASE WHEN c.cluster_id = f.doc_id
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS pct_exported
+    FROM flagged f LEFT JOIN clusters c ON c.doc_id = f.doc_id
+    GROUP BY 1
 """
