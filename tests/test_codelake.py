@@ -223,3 +223,22 @@ def test_function_spans_lossless_partition(spark):
             assert head.search(r["span"], 1) is None
     # near-miss tokens produced no split
     assert len(by_doc[5]) == 1
+
+
+def test_curation_gate_expression(spark):
+    from twinspect_spark.codelake import curation_gate
+
+    rows = [
+        (0, "x", " ".join(f"w{i}" for i in range(40))),   # passes both
+        (1, "x", "too short"),                            # length gate
+        (2, "x", "spam ham " * 40 + "spam ham"),          # repetition
+    ]
+    df = _files(spark, rows).select(
+        "doc_id",
+        curation_gate(F.col("content"), 5, 0.5).alias("keep"),
+    )
+    out = {r["doc_id"]: r["keep"] for r in df.collect()}
+    assert out == {0: True, 1: False, 2: False}
+    # no thresholds -> constant true
+    df2 = _files(spark, rows).where(curation_gate(F.col("content")))
+    assert df2.count() == 3

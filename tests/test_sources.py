@@ -168,3 +168,38 @@ def test_catalog_table_roundtrip(spark, tmp_path):
     p = str(tmp_path / "files_out")
     write_table(df, p)
     assert read_table(spark, p).count() == 2
+
+
+def test_spark_submit_curation_gates(tmp_path):
+    """--min-words / --max-dup-bigram drop files BEFORE dedup: planted
+    short + internally-repetitive files never reach the clusters table
+    and the summary accounts for them."""
+    import pandas as pd
+
+    corpus = generate_corpus(n_clusters=3, transforms_per_original=1, seed=11)
+    base = corpus.files
+    extra = pd.DataFrame(
+        [
+            ("r0", "short.txt", "c0", "python", "too short"),
+            ("r0", "repeat.txt", "c0", "python",
+             "spam ham " * 40 + "spam ham"),
+        ],
+        columns=base.columns,
+    )
+    files = pd.concat([base, extra], ignore_index=True)
+    inp = str(tmp_path / "files.parquet")
+    files.to_parquet(inp)
+    out = str(tmp_path / "clusters")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "twinspect_spark",
+            "--input", inp, "--output", out,
+            "--jaccard", "0.6", "--cores", "4",
+            "--min-words", "5", "--max-dup-bigram", "0.5",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_gated_out"] == 2
+    assert summary["n_files"] == len(files) - 2

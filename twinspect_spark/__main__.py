@@ -49,6 +49,17 @@ def main(argv: list[str] | None = None) -> int:
         help="also write report.md + SVG plots into DIR",
     )
     ap.add_argument(
+        "--min-words", type=int, default=None, metavar="N",
+        help="curation gate: drop files with fewer than N whitespace "
+        "tokens before dedup",
+    )
+    ap.add_argument(
+        "--max-dup-bigram", type=float, default=None, metavar="X",
+        help="curation gate: drop files whose duplicate word-bigram "
+        "fraction exceeds X (internally repetitive boilerplate) before "
+        "dedup",
+    )
+    ap.add_argument(
         "--output-buckets", type=int, default=None, metavar="N",
         help="when --output is a catalog table: write it hash-BUCKETED "
         "(and sorted) by file_id into N buckets, so downstream joins on "
@@ -73,6 +84,20 @@ def main(argv: list[str] | None = None) -> int:
         from twinspect_spark.sources.tables import read_table
 
         files = read_table(spark, args.input)
+
+    n_gated_out = None
+    if args.min_words is not None or args.max_dup_bigram is not None:
+        from pyspark.sql import functions as F
+
+        from twinspect_spark.codelake import curation_gate
+
+        pre = files.count()
+        files = files.where(
+            curation_gate(
+                F.col("content"), args.min_words, args.max_dup_bigram
+            )
+        )
+        n_gated_out = pre - files.count()
 
     t0 = time.perf_counter()
     if args.checkpoint:
@@ -112,6 +137,7 @@ def main(argv: list[str] | None = None) -> int:
         "wall_sec": round(time.perf_counter() - t0, 2),
         "config": cfg.fingerprint(),
         "stages": status,
+        "n_gated_out": n_gated_out,
     }
     print(json.dumps(summary))
     spark.stop()

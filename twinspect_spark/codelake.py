@@ -229,6 +229,37 @@ def license_detect(
     )
 
 
+def curation_gate(
+    content: Column,
+    min_words: int | None = None,
+    max_dup_bigram: float | None = None,
+) -> Column:
+    """Boolean keep-predicate for the pre-dedup curation gates the
+    entrypoint exposes (--min-words / --max-dup-bigram): length floor
+    and within-document bigram-repetition ceiling — the same natural
+    gates queries.q_curated_export_stats pins under the oracle. Pure
+    column expressions; with no thresholds set it is literally TRUE
+    and Catalyst folds it away."""
+    words = F.split(F.trim(content), r"\s+")
+    cond = F.lit(True)
+    if min_words is not None:
+        cond = cond & (F.size(words) >= min_words)
+    if max_dup_bigram is not None:
+        cnt = F.size(words) - 1
+        idx = F.when(cnt > 0, F.sequence(F.lit(1), cnt)).otherwise(
+            F.array().cast("array<int>")
+        )
+        grams = F.transform(
+            idx, lambda i: F.array_join(F.slice(words, i, 2), " ")
+        )
+        dupbi = F.when(
+            F.size(grams) > 0,
+            1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+        ).otherwise(F.lit(0.0))
+        cond = cond & (dupbi <= max_dup_bigram)
+    return cond
+
+
 # ---------------------------------------------------------------------------
 # function-span extraction + function-granular dedup census
 # ---------------------------------------------------------------------------
