@@ -55,7 +55,7 @@ def test_ingest_commit_and_replay_idempotent(store, spark):
     # meta is O(1): a pure high-water mark, no per-batch growth
     with open(os.path.join(st.path, "_meta.json")) as f:
         m = json.load(f)
-    assert m == {"format": 1, "hwm": 2, "extra": []}
+    assert m == {"format": 1, "hwm": 2, "extra": [], "pq": False}
     # foreachBatch replay of batch 1 (same data, same id) is a no-op
     st.sink()(df.where((F.col("vec_id") % 3) == 1), 1)
     assert st.read().count() == 120
@@ -133,7 +133,7 @@ def test_compact_merges_generations_and_stream_continues(spark, tmp_path):
     assert st.compact() == 60
     with open(os.path.join(st.path, "_meta.json")) as f:
         m = json.load(f)
-    assert m == {"format": 1, "hwm": -1, "extra": [-1]}
+    assert m == {"format": 1, "hwm": -1, "extra": [-1], "pq": False}
     assert st.read().count() == 60
     # old batch dirs are gone; exactly one generation dir remains
     dirs = sorted(os.listdir(os.path.join(st.path, "cells")))
@@ -150,3 +150,64 @@ def test_compact_merges_generations_and_stream_continues(spark, tmp_path):
     dirs = sorted(os.listdir(os.path.join(st.path, "cells")))
     assert dirs == ["batch_id=-2"]
     assert st.read().count() == 61
+
+
+def test_pq_store_ingest_search_and_guard(spark, tmp_path):
+    """IVF-ADC over the incremental store: codes ride ingest, search_adc
+    with full probing + full rerank EQUALS the exact integer-L2 top-k,
+    the ADC scan prunes the embedding column, and a pq store refuses to
+    open without codebooks."""
+    from twinspect_spark.operators.ann import train_ivf_centroids
+    from twinspect_spark.operators.pq import PQ_SCALE, train_pq_codebooks
+    from twinspect_spark.streaming.vectors import VectorStore
+
+    rng = np.random.default_rng(13)
+    rows = _vecs(rng, 90, dim=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = train_ivf_centroids(
+        df, k=4, sample_size=90, seed=42, iters=8,
+        id_col="vec_id", vec_col="embedding",
+    )
+    cb = train_pq_codebooks(
+        df, dim=16, m=4, k=8, sample_size=90, seed=5
+    )
+    path = str(tmp_path / "pqstore")
+    st = VectorStore(spark, path, cent, codebooks=cb)
+    sink = st.sink()
+    for bid in range(3):
+        sink(df.where((F.col("vec_id") % 3) == bid), bid)
+
+    stored = st.read()
+    assert "codes" in stored.columns
+    queries = df.where(F.col("vec_id") < 5)
+    # full probing + full rerank -> must equal exact integer-L2 top-k
+    res = st.search_adc(queries, k=3, nprobe=4, rerank=90).toPandas()
+    X = np.floor(
+        np.array([v for _, v in rows], dtype=np.float64) * PQ_SCALE
+    ).astype(np.int64)
+    for q in range(5):
+        d = ((X - X[q]) ** 2).sum(axis=1)
+        ids = np.arange(len(rows))
+        mask = ids != q
+        order = np.lexsort((ids[mask], d[mask]))[:3]
+        want = list(ids[mask][order])
+        got = list(
+            res[res.q_id == q]
+            .sort_values(["dist", "neighbor_id"])
+            .neighbor_id
+        )
+        assert got == want, (q, got, want)
+    # ADC path exists with pruning: codes-only scan never reads the
+    # embedding column (two scans in the full plan: the rerank one does)
+    plan = (
+        st.search_adc(queries, k=3, nprobe=2, rerank=20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    # mismatch guard: reopening without codebooks must refuse
+    st2 = VectorStore(spark, path, cent)
+    try:
+        st2.read()
+        assert False, "expected pq-flag mismatch to raise"
+    except ValueError as e:
+        assert "pq" in str(e)

@@ -149,16 +149,12 @@ def _quantize(emb: pd.Series) -> np.ndarray:
     ).astype(np.int64)
 
 
-def pq_encode(
-    df: DataFrame,
-    cb: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, codes array<int>): per-subspace argmin of exact integer
-    squared L2 against the codebooks; ties go to the lowest centroid id
-    (numpy argmin first occurrence). One broadcasting numpy kernel per
-    Arrow batch."""
+def pq_encode_udf(cb: np.ndarray):
+    """pandas UDF: embedding array → codes array<int>. Per-subspace
+    argmin of exact integer squared L2 against the codebooks; ties go
+    to the lowest centroid id (numpy argmin first occurrence). One
+    broadcasting numpy kernel per Arrow batch; the codebooks ride in
+    the closure (m x k x dsub ints, broadcast once)."""
     m, k, dsub = cb.shape
 
     @F.pandas_udf("array<int>")
@@ -171,7 +167,18 @@ def pq_encode(
             codes[:, mi] = D.argmin(axis=1)
         return pd.Series([c.tolist() for c in codes])
 
-    return df.select(F.col(id_col), _enc(F.col(vec_col)).alias("codes"))
+    return _enc
+
+
+def pq_encode(
+    df: DataFrame,
+    cb: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — see pq_encode_udf."""
+    enc = pq_encode_udf(cb)
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
 
 
 def pq_query_luts(

@@ -49,12 +49,21 @@ class VectorStore:
         centroids: np.ndarray,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        codebooks: np.ndarray | None = None,
     ):
+        """``codebooks`` (operators/pq.py train_pq_codebooks output)
+        turns this into an IVF-ADC store: ingest additionally writes
+        the PQ codes column, and search_adc scans CODES ONLY in the
+        probed cells (the fat embedding column is column-pruned out of
+        the scan) before an exact rerank. A store written with codes
+        must be reopened with codebooks and vice versa (pq flag in the
+        commit record guards the mismatch)."""
         self.spark = spark
         self.path = path
         self.centroids = np.ascontiguousarray(centroids, dtype=np.float64)
         self.id_col = id_col
         self.vec_col = vec_col
+        self.codebooks = codebooks
         os.makedirs(path, exist_ok=True)
 
     # -- commit record ------------------------------------------------
@@ -71,6 +80,11 @@ class VectorStore:
             raise ValueError(
                 f"vector store at {self.path} has format {m.get('format')};"
                 f" this build reads format {STORE_FORMAT} — rebuild"
+            )
+        if m.get("pq", False) != (self.codebooks is not None):
+            raise ValueError(
+                f"vector store at {self.path} was written with pq="
+                f"{m.get('pq', False)}; reopen it with matching codebooks"
             )
         return m
 
@@ -92,7 +106,12 @@ class VectorStore:
             hwm += 1
             extra.discard(hwm)
         self._write_meta(
-            {"format": STORE_FORMAT, "hwm": hwm, "extra": sorted(extra)}
+            {
+                "format": STORE_FORMAT,
+                "hwm": hwm,
+                "extra": sorted(extra),
+                "pq": self.codebooks is not None,
+            }
         )
 
     def committed_ids(self) -> list[int]:
@@ -108,11 +127,17 @@ class VectorStore:
         from twinspect_spark.operators.ann import make_cell_assign_udf
 
         assign = make_cell_assign_udf(self.centroids, 1)
-        rows = batch_df.select(
-            self.id_col,
-            self.vec_col,
+        cols = [
+            F.col(self.id_col),
+            F.col(self.vec_col),
             F.element_at(assign(F.col(self.vec_col)), 1).alias("cell"),
-        )
+        ]
+        if self.codebooks is not None:
+            from twinspect_spark.operators.pq import pq_encode_udf
+
+            enc = pq_encode_udf(self.codebooks)
+            cols.append(enc(F.col(self.vec_col)).alias("codes"))
+        rows = batch_df.select(*cols)
         dest = os.path.join(self.path, f"cells/batch_id={batch_id}")
         rows.write.mode("overwrite").partitionBy("cell").parquet(dest)
         self._commit(batch_id)  # marker strictly AFTER the data write
@@ -146,7 +171,14 @@ class VectorStore:
         merged.write.mode("overwrite").partitionBy("cell").parquet(gen_dir)
         # single atomic switch: the store points only at the merged
         # generation — no window where it reads empty or half-swapped
-        self._write_meta({"format": STORE_FORMAT, "hwm": -1, "extra": [gen]})
+        self._write_meta(
+            {
+                "format": STORE_FORMAT,
+                "hwm": -1,
+                "extra": [gen],
+                "pq": self.codebooks is not None,
+            }
+        )
         for b in ids:  # stale dirs are uncommitted leftovers from here on
             d = os.path.join(self.path, f"cells/batch_id={b}")
             if os.path.exists(d):
@@ -208,4 +240,74 @@ class VectorStore:
             pairs.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
             .drop("rn")
+        )
+
+    def search_adc(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 2,
+        rerank: int = 50,
+    ) -> DataFrame:
+        """→ (q_id, neighbor_id, dist): IVF-ADC over the incremental
+        store — the scan reads ONLY the probed cells' directories
+        (partition-pruned) and ONLY the codes column (the fat embedding
+        column is pruned from the ADC scan's ReadSchema), then the
+        top-``rerank`` shortlist is exactly re-scored with integer L2
+        against raw vectors read from the SAME probed cells. dist is
+        the exact quantized squared L2 (operators/pq.py grid)."""
+        from pyspark.sql import Window as W
+
+        from twinspect_spark.operators.pq import (
+            pq_adc_score,
+            pq_exact_rerank,
+            pq_query_luts,
+        )
+
+        if self.codebooks is None:
+            raise ValueError("search_adc needs a store built with codebooks")
+        qpdf = queries.select(
+            F.col(self.id_col), F.col(self.vec_col)
+        ).toPandas()
+        luts, qids = pq_query_luts(
+            qpdf, self.codebooks, id_col=self.id_col, vec_col=self.vec_col
+        )
+        # probe cells driver-side (the query panel is metric-sized, the
+        # centroid matrix already lives on the driver)
+        Q = np.vstack(qpdf[self.vec_col].to_numpy()).astype(np.float64)
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = Q @ self.centroids.T
+        order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        probe = self.spark.createDataFrame(
+            [
+                (int(q), int(c))
+                for q, row in zip(qids, order)
+                for c in row
+            ],
+            "q_id long, cell int",
+        )
+        probed = sorted({int(c) for row in order for c in row})
+        data = self.read().where(F.col("cell").isin(probed))
+        cand = (
+            F.broadcast(probe)
+            .join(
+                data.select(self.id_col, "cell", "codes"),
+                "cell",
+            )
+            .where(F.col(self.id_col) != F.col("q_id"))
+            .select("q_id", self.id_col, "codes")
+        )
+        scored = pq_adc_score(cand, luts, qids, id_col=self.id_col)
+        w = W.partitionBy("q_id").orderBy(
+            F.asc("dist"), F.asc("neighbor_id")
+        )
+        shortlist = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= rerank)
+            .select("q_id", "neighbor_id")
+        )
+        emb = data.select(self.id_col, self.vec_col)
+        return pq_exact_rerank(
+            shortlist, emb, qpdf, k,
+            id_col=self.id_col, vec_col=self.vec_col,
         )
