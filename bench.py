@@ -126,6 +126,13 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
     # headline: the full near-dup pipeline on documents
     cfg = DedupConfig(jaccard_threshold=0.7)
 
+    # untimed warmup: spin up Python UDF workers, trigger whole-stage
+    # codegen JIT and shuffle machinery on a 64-file slice so the FIRST
+    # timed query (the headline e2e) measures steady state, not session
+    # cold-start — the per-query numbers are what a long-running cluster
+    # job would see. Host drift is still documented in BASELINE.md.
+    run_dedup(_files_df(spark, sf_dir).limit(64), cfg).clusters.count()
+
     def _dedup():
         res = run_dedup(_files_df(spark, sf_dir), cfg)
         return res.clusters.where("file_id != cluster_id").count()
