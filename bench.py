@@ -156,6 +156,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
     # relational / analytical battery (JVM-only paths)
     for name in [
         "pricing_summary",
+        "shipping_priority",
         "top_revenue_customers",
         "brand_volume",
         "user_sessions",

@@ -1358,6 +1358,48 @@ def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01 00:00:00"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): the classic 3-way
+    fact-dimension join — segment-filtered customers ⋈ unshipped orders
+    ⋈ late-shipping lineitems, revenue per order, deterministic top-10.
+    Scale shape: both filters push into the scans, customer broadcasts
+    (dimension), orders⋈lineitem shuffles on orderkey with
+    map-side-combinable partial aggregation, and the top-k is
+    TakeOrdered over the order-level rollup — never a global sort.
+    Decimal-exact revenue sum (float sums are partition-order
+    dependent; decimals aren't), cast to double only at the end."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp_ntz")
+    )
+    return (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: first row per group via row_number — the reference's
     first-in-cluster original flag (eff.py:179-190) made order-explicit."""
@@ -4409,6 +4451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_profile": q_lang_profile,
     # relational
     "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
     "top_revenue_customers": q_top_revenue_customers,
     "first_order_per_customer": q_first_order_per_customer,
     "customers_without_orders": q_customers_without_orders,
@@ -7621,4 +7664,19 @@ ORACLE_SQL["curated_export_stats"] = f"""
                AS pct_exported
     FROM flagged f LEFT JOIN clusters c ON c.doc_id = f.doc_id
     GROUP BY 1
+"""
+
+ORACLE_SQL["shipping_priority"] = f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           cast(sum(cast(l_extendedprice * (1 - l_discount)
+                         AS decimal(18,4))) AS double) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND o_orderdate < timestamp '{Q3_CUTOFF}'
+      AND l_shipdate > timestamp '{Q3_CUTOFF}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
 """
