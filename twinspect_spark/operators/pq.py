@@ -39,6 +39,8 @@ nq x topk x n_batches rows. No shuffle touches raw vectors.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -122,21 +124,31 @@ def save_codebooks(
     spark: SparkSession, cb: np.ndarray, path: str
 ) -> None:
     """Persist (m, k, dsub) int64 codebooks in LONG form (m, cid, j, v)
-    — directly joinable by the SQL oracle, lossless (integers)."""
+    — directly joinable by the SQL oracle, lossless (integers). The
+    table is ~m*k*dsub rows (kilobytes), so it writes DRIVER-side via
+    pyarrow: a Spark job for it is ~5 s of pure scheduling overhead at
+    local[32]. The single part file still matches the oracle's
+    ``<path>/*.parquet`` glob (``spark`` kept for signature stability)."""
+    import shutil
+
     m, k, dsub = cb.shape
-    rows = [
-        (mi, ci, j, int(cb[mi, ci, j]))
-        for mi in range(m)
-        for ci in range(k)
-        for j in range(dsub)
-    ]
-    spark.createDataFrame(rows, CODEBOOK_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    idx = np.indices((m, k, dsub)).reshape(3, -1)
+    pdf = pd.DataFrame(
+        {
+            "m": idx[0].astype(np.int32),
+            "cid": idx[1].astype(np.int32),
+            "j": idx[2].astype(np.int32),
+            "v": cb.reshape(-1),
+        }
+    )
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    pdf.to_parquet(os.path.join(path, "part-0.parquet"), index=False)
 
 
 def load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
-    pdf = spark.read.parquet(path).orderBy("m", "cid", "j").toPandas()
+    pdf = pd.read_parquet(path).sort_values(["m", "cid", "j"])
     m = pdf["m"].max() + 1
     k = pdf["cid"].max() + 1
     dsub = pdf["j"].max() + 1
