@@ -98,22 +98,28 @@ def train_ivf_centroids(
     return centroids
 
 
-def centroids_to_df(spark: SparkSession, centroids: np.ndarray) -> DataFrame:
-    """(k × dim) float64 → DataFrame(cid int, cemb array<double>);
-    parquet round-trips float64 exactly, so persisted centroids reload
-    bit-identical."""
-    return spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
-        CENTROID_SCHEMA,
-    )
-
-
 def save_centroids(spark: SparkSession, centroids: np.ndarray, path: str) -> None:
-    centroids_to_df(spark, centroids).write.mode("overwrite").parquet(path)
+    """Driver-side pyarrow write: the centroid table is k rows of
+    kilobytes — a Spark write job for it is seconds of pure scheduling
+    at local[32]. float64 round-trips bit-exactly either way; the part
+    file matches both spark.read.parquet(dir) and the oracle's glob
+    (``spark`` kept for signature stability)."""
+    import shutil
+
+    pdf = pd.DataFrame(
+        {
+            "cid": np.arange(len(centroids), dtype=np.int32),
+            "cemb": [row.astype(np.float64) for row in centroids],
+        }
+    )
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    pdf.to_parquet(os.path.join(path, "part-0.parquet"), index=False)
 
 
 def load_centroids(spark: SparkSession, path: str) -> np.ndarray:
-    pdf = spark.read.parquet(path).orderBy("cid").toPandas()
+    pdf = pd.read_parquet(path).sort_values("cid")
     return np.vstack(pdf["cemb"].to_numpy()).astype(np.float64)
 
 
