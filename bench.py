@@ -175,6 +175,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "doc_repetition_stats",
         "code_comment_stats",
         "function_dup_census",
+        "media_phash_dedup",
         "url_etag_dedup",
         "bloom_seen_filter",
         "eval_ngram_contamination",

@@ -217,3 +217,48 @@ def resize_media(
             )
 
     return media.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+PHASH_SALTS = 3  # salted sha256 digests -> 96 pseudo-pixel bytes (72 used)
+PHASH_GRID_W = 9  # dHash grid: 9x8 pixels -> 8x8 horizontal gradients
+
+
+def phash64_expr(content, backend: str = "fake"):
+    """64-bit dHash (difference hash — the classic perceptual-hash
+    family: downscale to a 9x8 grayscale grid, bit = pixel brighter
+    than its right neighbor) as ONE pure column expression over a
+    binary media column.
+
+    ``backend="real"`` is the decoder seam (PIL/ffmpeg are not in this
+    environment) and raises exactly where a real decode-and-downscale
+    would plug in — the gradient/packing logic below is what it would
+    feed. ``backend="fake"`` derives the deterministic 9x8 pseudo-pixel
+    grid from the blob bytes themselves (PHASH_SALTS salted sha256
+    digests → 72 bytes), so byte-identical blobs get identical codes
+    and everything downstream — gradient bits, packed 64-bit code, the
+    Hamming-ball candidate join — is the real pipeline, SQL-replayable
+    with no UDF anywhere. Bit 63 lands in the sign position; the packed
+    sum of distinct powers never carries, so the signed long IS the
+    64-bit pattern (same convention as the SimHash codes)."""
+    if backend == "real":
+        raise NotImplementedError(
+            "media decode requires PIL/ffmpeg; plug the decoder in here"
+            " and keep the 9x8 downscale + gradient identical"
+        )
+    digs = [
+        F.sha2(F.concat(content, F.encode(F.lit(str(s)), "UTF-8")), 256)
+        for s in range(PHASH_SALTS)
+    ]
+    hexstr = F.concat(*digs)
+    px = [
+        F.conv(F.substring(hexstr, 2 * j + 1, 2), 16, 10).cast("long")
+        for j in range(PHASH_GRID_W * 8)
+    ]
+    code = F.lit(0).cast("long")
+    for r in range(8):
+        for c in range(8):
+            i = r * PHASH_GRID_W + c
+            code = code + F.shiftleft(
+                (px[i] > px[i + 1]).cast("long"), r * 8 + c
+            )
+    return code

@@ -3214,6 +3214,41 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     return cb
 
 
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over BINARY media — the
+    reference's core domain (compact binary codes over image/audio/
+    video payloads, metrics/hamming.py) on the engine's media columns:
+    64-bit dHash per blob (multimodal.phash64_expr — pure column
+    expression, deterministic fake-decode behind the documented real-
+    codec seam), then the SAME pigeonhole Hamming-ball join the text
+    SimHash path uses (operators/simhash_ball, 4 chunks, d <= 3).
+    Planted byte-identical blobs (doc_id%29==7 share one of three
+    payloads) produce hamming-0 clusters; random 64-bit codes collide
+    at d <= 3 with probability ~2e-15, so the output is exactly the
+    perceptual structure. Hard-oracled: the fake decode, gradient bits,
+    64-bit packing (HUGEINT wrap), and the Hamming filter all replay in
+    ANSI SQL."""
+    from twinspect_spark.multimodal import phash64_expr
+
+    docs = _t_par(spark, sf_dir, "documents")
+    blob = F.when(
+        F.col("doc_id") % 29 == 7,
+        F.concat(
+            F.lit("shared blob "), (F.col("doc_id") % 3).cast("string")
+        ),
+    ).otherwise(F.col("text"))
+    media = docs.select(
+        F.col("doc_id").alias("file_id"),
+        F.encode(blob, "UTF-8").alias("content"),
+    )
+    codes = media.select(
+        "file_id", phash64_expr(F.col("content")).alias("simhash")
+    )
+    return simhash_candidates(codes, DedupConfig()).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+
+
 GATE_MIN_WORDS = 30  # curation gate: drop short docs
 GATE_MAX_DUP_BIGRAM = 0.05  # curation gate: drop internally repetitive docs
 
@@ -4438,6 +4473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_recall_report": q_pq_recall_report,
     "bm25_search": q_bm25_search,
     "curated_export_stats": q_curated_export_stats,
+    "media_phash_dedup": q_media_phash_dedup,
     "domain_mix_weights": q_domain_mix_weights,
     # text analysis
     "token_stats": q_token_stats,
@@ -7679,4 +7715,104 @@ ORACLE_SQL["shipping_priority"] = f"""
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
     ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
     LIMIT 10
+"""
+
+ORACLE_SQL["media_phash_dedup"] = """
+    WITH media AS (
+      SELECT doc_id AS file_id,
+             CASE WHEN doc_id % 29 = 7
+                  THEN 'shared blob ' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE text END AS blob
+      FROM documents
+    ),
+    hx AS (
+      SELECT file_id,
+             sha256(blob || '0') || sha256(blob || '1')
+                 || sha256(blob || '2') AS h
+      FROM media
+    ),
+    px AS (
+      SELECT file_id,
+             [('0x' || substr(h, 2 * j + 1, 2))::BIGINT
+              FOR j IN range(0, 72)] AS p
+      FROM hx
+    ),
+    code AS (
+      SELECT file_id,
+             CAST(CASE WHEN c >= 9223372036854775808::HUGEINT
+                       THEN c - 18446744073709551616::HUGEINT
+                       ELSE c END AS BIGINT) AS phash
+      FROM (
+        SELECT file_id,
+           ((CASE WHEN p[1] > p[2] THEN 1::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[2] > p[3] THEN 2::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[3] > p[4] THEN 4::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[4] > p[5] THEN 8::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[5] > p[6] THEN 16::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[6] > p[7] THEN 32::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[7] > p[8] THEN 64::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[8] > p[9] THEN 128::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[10] > p[11] THEN 256::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[11] > p[12] THEN 512::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[12] > p[13] THEN 1024::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[13] > p[14] THEN 2048::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[14] > p[15] THEN 4096::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[15] > p[16] THEN 8192::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[16] > p[17] THEN 16384::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[17] > p[18] THEN 32768::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[19] > p[20] THEN 65536::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[20] > p[21] THEN 131072::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[21] > p[22] THEN 262144::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[22] > p[23] THEN 524288::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[23] > p[24] THEN 1048576::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[24] > p[25] THEN 2097152::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[25] > p[26] THEN 4194304::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[26] > p[27] THEN 8388608::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[28] > p[29] THEN 16777216::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[29] > p[30] THEN 33554432::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[30] > p[31] THEN 67108864::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[31] > p[32] THEN 134217728::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[32] > p[33] THEN 268435456::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[33] > p[34] THEN 536870912::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[34] > p[35] THEN 1073741824::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[35] > p[36] THEN 2147483648::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[37] > p[38] THEN 4294967296::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[38] > p[39] THEN 8589934592::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[39] > p[40] THEN 17179869184::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[40] > p[41] THEN 34359738368::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[41] > p[42] THEN 68719476736::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[42] > p[43] THEN 137438953472::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[43] > p[44] THEN 274877906944::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[44] > p[45] THEN 549755813888::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[46] > p[47] THEN 1099511627776::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[47] > p[48] THEN 2199023255552::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[48] > p[49] THEN 4398046511104::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[49] > p[50] THEN 8796093022208::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[50] > p[51] THEN 17592186044416::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[51] > p[52] THEN 35184372088832::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[52] > p[53] THEN 70368744177664::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[53] > p[54] THEN 140737488355328::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[55] > p[56] THEN 281474976710656::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[56] > p[57] THEN 562949953421312::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[57] > p[58] THEN 1125899906842624::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[58] > p[59] THEN 2251799813685248::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[59] > p[60] THEN 4503599627370496::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[60] > p[61] THEN 9007199254740992::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[61] > p[62] THEN 18014398509481984::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[62] > p[63] THEN 36028797018963968::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[64] > p[65] THEN 72057594037927936::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[65] > p[66] THEN 144115188075855872::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[66] > p[67] THEN 288230376151711744::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[67] > p[68] THEN 576460752303423488::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[68] > p[69] THEN 1152921504606846976::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[69] > p[70] THEN 2305843009213693952::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[70] > p[71] THEN 4611686018427387904::HUGEINT ELSE 0::HUGEINT END)
+           + (CASE WHEN p[71] > p[72] THEN 9223372036854775808::HUGEINT ELSE 0::HUGEINT END)) AS c
+        FROM px
+      )
+    )
+    SELECT a.file_id AS a, b.file_id AS b,
+           cast(bit_count(xor(a.phash, b.phash)) AS bigint) AS hamming
+    FROM code a JOIN code b ON a.file_id < b.file_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
