@@ -34,7 +34,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-CENTROID_SCHEMA = "cid int, cemb array<double>"
 
 
 def _normalize(X: np.ndarray) -> np.ndarray:

@@ -45,22 +45,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 PQ_M = 16           # subspaces
 PQ_K = 16           # centroids per subspace (4-bit ids: M nibbles -> 8 B)
 PQ_SCALE = 1_000_000  # embedding quantization grid (srp.py idiom)
 PQ_SAMPLE = 2048    # training sample cap
 PQ_ITERS = 10       # Lloyd iterations per subspace
-
-CODEBOOK_SCHEMA = T.StructType(
-    [
-        T.StructField("m", T.IntegerType()),
-        T.StructField("cid", T.IntegerType()),
-        T.StructField("j", T.IntegerType()),
-        T.StructField("v", T.LongType()),
-    ]
-)
 
 
 def train_pq_codebooks(
