@@ -3249,6 +3249,95 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_W = 64  # bytes per sampled frame window
+SCENE_FRAMES = 4  # planted shared-scene length, in frames
+MIN_SHARED_FRAMES = 2  # report video pairs sharing at least this many
+
+
+def q_video_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection between VIDEOS — the content-ID shape
+    (YouTube-style): per-frame perceptual codes, then videos sharing
+    >= MIN_SHARED_FRAMES distinct codes are overlap candidates with an
+    overlap fraction. Frame-level matching catches a shared SCENE
+    inside otherwise-different videos, which whole-payload hashing
+    (media_phash_dedup) structurally cannot.
+
+    Synthesis: video blobs (doc_id%3==2, as_media_table's round-robin)
+    are padded to a frame boundary and doc_id%17==2 appends one of two
+    shared scenes (SCENE_FRAMES frames long, frame-aligned by
+    construction). Near-dup videos additionally share aligned common-
+    prefix frames, so both planted and natural overlap structure
+    surface. Frames are disjoint FRAME_W-byte windows as pure column
+    expressions (transform/sequence/substr — frame_sample's mapInPandas
+    is the blob-level row-expansion analog); each frame gets the dHash
+    code (multimodal.phash64_expr, fake-decode seam), and matching is
+    an EQUALITY join on the code — with a real decoder the same join
+    widens to the Hamming ball. Scale shape: code-equality join volume
+    is Σ|code bucket|², never #videos²; per-pair rollup is map-side
+    combinable."""
+    from twinspect_spark.multimodal import phash64_expr
+
+    docs = _t_par(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    )
+    scene = F.when(
+        F.col("doc_id") % 17 == 2,
+        F.rpad(
+            F.concat(F.lit("SCENE-"), (F.col("doc_id") % 2).cast("string")),
+            SCENE_FRAMES * FRAME_W,
+            "#",
+        ),
+    ).otherwise(F.lit(""))
+    padded = F.expr(
+        f"rpad(text, cast((length(text) + {FRAME_W - 1}) div {FRAME_W}"
+        f" * {FRAME_W} as int), ' ')"
+    )
+    blob = F.concat(padded, scene)
+    vids = docs.select(F.col("doc_id").alias("video_id"), blob.alias("b"))
+    frames = vids.select(
+        "video_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(length(b) div {FRAME_W} as int)"
+                f" - 1), j -> substring(b, j * {FRAME_W} + 1, {FRAME_W}))"
+            )
+        ).alias("f"),
+    )
+    codes = frames.select(
+        "video_id",
+        phash64_expr(F.encode(F.col("f"), "UTF-8")).alias("code"),
+    ).distinct()
+    nf = codes.groupBy("video_id").agg(
+        F.count("*").cast("long").alias("n_frames")
+    )
+    pairs = (
+        codes.alias("x")
+        .join(codes.alias("y"), "code")
+        .where(F.col("x.video_id") < F.col("y.video_id"))
+        .groupBy(
+            F.col("x.video_id").alias("a"), F.col("y.video_id").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= MIN_SHARED_FRAMES)
+    )
+    na = nf.select(F.col("video_id").alias("a"), F.col("n_frames").alias("nfa"))
+    nb = nf.select(F.col("video_id").alias("b"), F.col("n_frames").alias("nfb"))
+    return (
+        pairs.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            F.col("nfa").alias("n_frames_a"),
+            F.col("nfb").alias("n_frames_b"),
+            F.round(
+                F.col("n_shared") / F.least("nfa", "nfb"), 6
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 GATE_MIN_WORDS = 30  # curation gate: drop short docs
 GATE_MAX_DUP_BIGRAM = 0.05  # curation gate: drop internally repetitive docs
 
@@ -4474,6 +4563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "curated_export_stats": q_curated_export_stats,
     "media_phash_dedup": q_media_phash_dedup,
+    "video_frame_overlap": q_video_frame_overlap,
     "domain_mix_weights": q_domain_mix_weights,
     # text analysis
     "token_stats": q_token_stats,
@@ -7816,3 +7906,127 @@ ORACLE_SQL["media_phash_dedup"] = """
     FROM code a JOIN code b ON a.file_id < b.file_id
     WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
+
+ORACLE_SQL["video_frame_overlap"] = """
+    WITH vids AS (
+      SELECT doc_id AS video_id,
+             rpad(text, cast((length(text) + {fw1}) // {fw} * {fw}
+                             AS int), ' ')
+             || (CASE WHEN doc_id % 17 = 2
+                 THEN rpad('SCENE-' || CAST(doc_id % 2 AS VARCHAR),
+                           {scene}, '#')
+                 ELSE '' END) AS b
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT video_id,
+             unnest([substr(b, j * {fw} + 1, {fw})
+                     FOR j IN range(0, len(b) // {fw})]) AS f
+      FROM vids
+    ),
+    hx AS (
+      SELECT video_id,
+             sha256(f || '0') || sha256(f || '1') || sha256(f || '2') AS h
+      FROM frames
+    ),
+    px AS (
+      SELECT video_id,
+             [('0x' || substr(h, 2 * j + 1, 2))::BIGINT
+              FOR j IN range(0, 72)] AS p
+      FROM hx
+    ),
+    codes AS (
+      SELECT DISTINCT video_id,
+             CAST(CASE WHEN c >= 9223372036854775808::HUGEINT
+                       THEN c - 18446744073709551616::HUGEINT
+                       ELSE c END AS BIGINT) AS code
+      FROM (
+        SELECT video_id,
+           ((CASE WHEN p[1] > p[2] THEN 1::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[2] > p[3] THEN 2::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[3] > p[4] THEN 4::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[4] > p[5] THEN 8::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[5] > p[6] THEN 16::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[6] > p[7] THEN 32::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[7] > p[8] THEN 64::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[8] > p[9] THEN 128::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[10] > p[11] THEN 256::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[11] > p[12] THEN 512::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[12] > p[13] THEN 1024::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[13] > p[14] THEN 2048::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[14] > p[15] THEN 4096::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[15] > p[16] THEN 8192::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[16] > p[17] THEN 16384::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[17] > p[18] THEN 32768::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[19] > p[20] THEN 65536::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[20] > p[21] THEN 131072::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[21] > p[22] THEN 262144::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[22] > p[23] THEN 524288::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[23] > p[24] THEN 1048576::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[24] > p[25] THEN 2097152::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[25] > p[26] THEN 4194304::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[26] > p[27] THEN 8388608::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[28] > p[29] THEN 16777216::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[29] > p[30] THEN 33554432::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[30] > p[31] THEN 67108864::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[31] > p[32] THEN 134217728::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[32] > p[33] THEN 268435456::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[33] > p[34] THEN 536870912::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[34] > p[35] THEN 1073741824::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[35] > p[36] THEN 2147483648::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[37] > p[38] THEN 4294967296::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[38] > p[39] THEN 8589934592::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[39] > p[40] THEN 17179869184::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[40] > p[41] THEN 34359738368::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[41] > p[42] THEN 68719476736::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[42] > p[43] THEN 137438953472::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[43] > p[44] THEN 274877906944::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[44] > p[45] THEN 549755813888::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[46] > p[47] THEN 1099511627776::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[47] > p[48] THEN 2199023255552::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[48] > p[49] THEN 4398046511104::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[49] > p[50] THEN 8796093022208::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[50] > p[51] THEN 17592186044416::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[51] > p[52] THEN 35184372088832::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[52] > p[53] THEN 70368744177664::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[53] > p[54] THEN 140737488355328::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[55] > p[56] THEN 281474976710656::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[56] > p[57] THEN 562949953421312::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[57] > p[58] THEN 1125899906842624::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[58] > p[59] THEN 2251799813685248::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[59] > p[60] THEN 4503599627370496::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[60] > p[61] THEN 9007199254740992::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[61] > p[62] THEN 18014398509481984::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[62] > p[63] THEN 36028797018963968::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[64] > p[65] THEN 72057594037927936::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[65] > p[66] THEN 144115188075855872::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[66] > p[67] THEN 288230376151711744::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[67] > p[68] THEN 576460752303423488::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[68] > p[69] THEN 1152921504606846976::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[69] > p[70] THEN 2305843009213693952::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[70] > p[71] THEN 4611686018427387904::HUGEINT ELSE 0::HUGEINT END)
+               + (CASE WHEN p[71] > p[72] THEN 9223372036854775808::HUGEINT ELSE 0::HUGEINT END)) AS c
+        FROM px
+      )
+    ),
+    nf AS (
+      SELECT video_id, cast(count(*) AS bigint) AS n_frames
+      FROM codes GROUP BY 1
+    ),
+    pairs AS (
+      SELECT x.video_id AS a, y.video_id AS b,
+             cast(count(*) AS bigint) AS n_shared
+      FROM codes x JOIN codes y
+        ON x.code = y.code AND x.video_id < y.video_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {minsh}
+    )
+    SELECT p.a, p.b, p.n_shared,
+           na.n_frames AS n_frames_a, nb.n_frames AS n_frames_b,
+           round(p.n_shared * 1.0 / least(na.n_frames, nb.n_frames), 6)
+               AS overlap_frac
+    FROM pairs p
+    JOIN nf na ON na.video_id = p.a
+    JOIN nf nb ON nb.video_id = p.b
+""".format(fw=FRAME_W, fw1=FRAME_W - 1,
+           scene=SCENE_FRAMES * FRAME_W, minsh=MIN_SHARED_FRAMES)
