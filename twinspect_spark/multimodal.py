@@ -245,13 +245,30 @@ def phash64_expr(content, backend: str = "fake"):
             "media decode requires PIL/ffmpeg; plug the decoder in here"
             " and keep the 9x8 downscale + gradient identical"
         )
-    digs = [
-        F.sha2(F.concat(content, F.encode(F.lit(str(s)), "UTF-8")), 256)
-        for s in range(PHASH_SALTS)
-    ]
-    hexstr = F.concat(*digs)
+    return phash_pack(phash_grid_hex(content))
+
+
+def phash_grid_hex(content):
+    """Stage 1 of the dHash: the 96-byte pseudo-pixel grid as one hex
+    string (PHASH_SALTS salted sha256 digests). Materialize this as its
+    OWN projection column before packing — phash_pack references the
+    grid 72 times, and feeding it an unmaterialized expression would
+    re-evaluate the digests per pixel."""
+    return F.concat(
+        *[
+            F.sha2(F.concat(content, F.encode(F.lit(str(s)), "UTF-8")), 256)
+            for s in range(PHASH_SALTS)
+        ]
+    )
+
+
+def phash_pack(hexcol):
+    """Stage 2 of the dHash: 72 pixel bytes out of the hex grid,
+    64 horizontal-gradient bits packed into a signed long (bit 63 in
+    the sign position; distinct powers never carry, so the signed value
+    IS the bit pattern)."""
     px = [
-        F.conv(F.substring(hexstr, 2 * j + 1, 2), 16, 10).cast("long")
+        F.conv(F.substring(hexcol, 2 * j + 1, 2), 16, 10).cast("long")
         for j in range(PHASH_GRID_W * 8)
     ]
     code = F.lit(0).cast("long")

@@ -3237,13 +3237,18 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("shared blob "), (F.col("doc_id") % 3).cast("string")
         ),
     ).otherwise(F.col("text"))
+    from twinspect_spark.multimodal import phash_grid_hex, phash_pack
+
     media = docs.select(
         F.col("doc_id").alias("file_id"),
         F.encode(blob, "UTF-8").alias("content"),
     )
-    codes = media.select(
-        "file_id", phash64_expr(F.col("content")).alias("simhash")
+    # grid hex materialized as its own projection so the three digests
+    # compute ONCE per blob, not once per pixel reference
+    grid = media.select(
+        "file_id", phash_grid_hex(F.col("content")).alias("h")
     )
+    codes = grid.select("file_id", phash_pack(F.col("h")).alias("simhash"))
     return simhash_candidates(codes, DedupConfig()).withColumn(
         "hamming", F.col("hamming").cast("long")
     )
@@ -3303,9 +3308,14 @@ def q_video_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("f"),
     )
-    codes = frames.select(
+    from twinspect_spark.multimodal import phash_grid_hex, phash_pack
+
+    grid = frames.select(
         "video_id",
-        phash64_expr(F.encode(F.col("f"), "UTF-8")).alias("code"),
+        phash_grid_hex(F.encode(F.col("f"), "UTF-8")).alias("h"),
+    )
+    codes = grid.select(
+        "video_id", phash_pack(F.col("h")).alias("code")
     ).distinct()
     nf = codes.groupBy("video_id").agg(
         F.count("*").cast("long").alias("n_frames")
