@@ -170,6 +170,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "pii_scrub_stats",
         "code_quality_flags",
         "license_detect",
+        "repo_license_profile",
         "secret_scrub_stats",
         "import_dep_profile",
         "doc_repetition_stats",

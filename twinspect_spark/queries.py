@@ -3254,6 +3254,53 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repo_license_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level license compliance rollup — the table a legal review
+    actually consumes: per repo, file count, permissive / copyleft /
+    proprietary / unknown counts, the dominant license (most files,
+    lexicographic tie-break) and the clean verdict (no copyleft, no
+    proprietary). Composes the per-file classifier (license_detect,
+    same planted headers); scale shape: one map-side-combinable
+    groupBy(repo, license), dominant via a window over that repo-sized
+    rollup, flags from one groupBy(repo) — the per-file relation is
+    aggregated once and never globally sorted."""
+    from pyspark.sql import Window as W
+
+    lic = q_license_detect(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("repo")
+    )
+    j = lic.join(src, "doc_id")
+    per = j.groupBy("repo", "license").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = W.partitionBy("repo").orderBy(F.desc("n"), F.asc("license"))
+    dom = (
+        per.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("repo", F.col("license").alias("dominant_license"))
+    )
+    roll = j.groupBy("repo").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.when(F.col("permissive"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_permissive"),
+        F.sum(F.when(F.col("license") == "GPL-3.0", 1).otherwise(0))
+        .cast("long")
+        .alias("n_copyleft"),
+        F.sum(F.when(F.col("license") == "Proprietary", 1).otherwise(0))
+        .cast("long")
+        .alias("n_proprietary"),
+        F.sum(F.when(F.col("license") == "Unknown", 1).otherwise(0))
+        .cast("long")
+        .alias("n_unknown"),
+    )
+    return roll.join(dom, "repo").withColumn(
+        "clean",
+        (F.col("n_copyleft") == 0) & (F.col("n_proprietary") == 0),
+    )
+
+
 FRAME_W = 64  # bytes per sampled frame window
 SCENE_FRAMES = 4  # planted shared-scene length, in frames
 MIN_SHARED_FRAMES = 2  # report video pairs sharing at least this many
@@ -4574,6 +4621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curated_export_stats": q_curated_export_stats,
     "media_phash_dedup": q_media_phash_dedup,
     "video_frame_overlap": q_video_frame_overlap,
+    "repo_license_profile": q_repo_license_profile,
     "domain_mix_weights": q_domain_mix_weights,
     # text analysis
     "token_stats": q_token_stats,
@@ -8040,3 +8088,78 @@ ORACLE_SQL["video_frame_overlap"] = """
     JOIN nf nb ON nb.video_id = p.b
 """.format(fw=FRAME_W, fw1=FRAME_W - 1,
            scene=SCENE_FRAMES * FRAME_W, minsh=MIN_SHARED_FRAMES)
+
+ORACLE_SQL["repo_license_profile"] = """
+    WITH files AS (
+        SELECT doc_id, source AS repo,
+               (CASE doc_id % 6
+                WHEN 0 THEN '/* SPDX-License-Identifier: Apache-2.0 */'
+                            || chr(10)
+                WHEN 1 THEN '// Permission is hereby granted, free of'
+                            || ' charge, to any person' || chr(10)
+                WHEN 2 THEN '/* Licensed under the Apache License,'
+                            || ' Version 2.0 */' || chr(10)
+                WHEN 3 THEN '// This file is under the GNU General'
+                            || ' Public License' || chr(10)
+                WHEN 4 THEN '// Copyright 2026 Example Corp.'
+                            || ' All Rights Reserved.' || chr(10)
+                ELSE '' END) || text AS content
+        FROM documents
+    ),
+    det AS (
+        SELECT doc_id, repo,
+               regexp_extract(content,
+                   'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1)
+                   AS spdx,
+               content
+        FROM files
+    ),
+    cls AS (
+        SELECT doc_id, repo,
+               CASE
+                 WHEN spdx <> '' THEN spdx
+                 WHEN regexp_matches(content,
+                     'Permission is hereby granted, free of charge')
+                     THEN 'MIT'
+                 WHEN regexp_matches(content,
+                     'Licensed under the Apache License')
+                     THEN 'Apache-2.0'
+                 WHEN regexp_matches(content,
+                     'GNU General Public License') THEN 'GPL-3.0'
+                 WHEN regexp_matches(content, '(?i)all rights reserved')
+                     THEN 'Proprietary'
+                 ELSE 'Unknown'
+               END AS license
+        FROM det
+    ),
+    per AS (
+        SELECT repo, license, cast(count(*) AS bigint) AS n
+        FROM cls GROUP BY 1, 2
+    ),
+    dom AS (
+        SELECT repo, license AS dominant_license FROM (
+            SELECT repo, license,
+                   row_number() OVER (PARTITION BY repo
+                                      ORDER BY n DESC, license) AS rn
+            FROM per
+        ) WHERE rn = 1
+    ),
+    roll AS (
+        SELECT repo,
+               cast(count(*) AS bigint) AS n_files,
+               cast(sum(CASE WHEN license IN ('MIT', 'Apache-2.0',
+                    'BSD-3-Clause', 'ISC', 'Unlicense')
+                    THEN 1 ELSE 0 END) AS bigint) AS n_permissive,
+               cast(sum(CASE WHEN license = 'GPL-3.0' THEN 1 ELSE 0 END)
+                    AS bigint) AS n_copyleft,
+               cast(sum(CASE WHEN license = 'Proprietary' THEN 1 ELSE 0
+                    END) AS bigint) AS n_proprietary,
+               cast(sum(CASE WHEN license = 'Unknown' THEN 1 ELSE 0 END)
+                    AS bigint) AS n_unknown
+        FROM cls GROUP BY 1
+    )
+    SELECT r.repo, r.n_files, r.n_permissive, r.n_copyleft,
+           r.n_proprietary, r.n_unknown, d.dominant_license,
+           (r.n_copyleft = 0 AND r.n_proprietary = 0) AS clean
+    FROM roll r JOIN dom d ON d.repo = r.repo
+"""
