@@ -178,6 +178,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "function_dup_census",
         "media_phash_dedup",
         "video_frame_overlap",
+        "audio_fingerprint_dedup",
         "url_etag_dedup",
         "bloom_seen_filter",
         "eval_ngram_contamination",

@@ -3395,6 +3395,150 @@ def q_video_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AFP_FRAME = 64  # bytes per audio frame window
+AFP_BANDS = 33  # energy bands per frame -> 32 sub-fingerprint bits
+AFP_JINGLE_FRAMES = 5  # planted shared-jingle length, in frames
+AFP_MIN_SHARED = 3  # report audio pairs sharing at least this many codes
+
+
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection via Haitsma-Kalker-style sub-fingerprints
+    — the chromaprint shape behind the reference's Audio-Code benchmark
+    (wrapper twinspect/algos/iscc.py:33-44 code_audio; throughput + F1
+    published in docs/results/audio.md; ffmpeg transform harness
+    transformations/audio.py:105-186). Per frame, a vector of band
+    "energies"; the 32-bit sub-fingerprint at frame n packs the sign of
+    the TEMPORAL difference of the spectral band differences —
+    bit m = (E(n,m)-E(n,m+1)) - (E(n-1,m)-E(n-1,m+1)) > 0 — so every
+    code depends on two consecutive frames and a shared contiguous
+    segment of L frames yields L-1 identical codes wherever it sits in
+    either stream (position-invariant matching on DISTINCT codes).
+    Audio pairs sharing >= AFP_MIN_SHARED codes are dup candidates with
+    an overlap fraction.
+
+    Decode seam: real band energies come from an FFT over decoded PCM
+    (not installed here); the deterministic stand-in derives
+    AFP_BANDS=33 per-frame energies from sha256 of the frame bytes —
+    byte-identical audio segments get identical energies, so the whole
+    matching pipeline downstream of the decoder is real and
+    SQL-replayable. Planted structure: audio blobs (doc_id%3==1,
+    as_media_table's round-robin) with doc_id%19==5 appending one of
+    two shared per-frame-distinct jingles (AFP_JINGLE_FRAMES frames,
+    frame-aligned), yielding exactly AFP_JINGLE_FRAMES-1 shared
+    interior codes per same-jingle pair.
+
+    Scale shape: frames explode from the scan partitioning (_t_par);
+    the lag window shuffles on audio_id only (frames-per-audio is
+    bounded by clip length, never corpus size); the code projection is
+    pure integer codegen (element_at on literal indices — no lambda,
+    no UDF); match-join volume is Σ|code bucket|², never #audios²; the
+    per-pair rollup is map-side combinable."""
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import Window as W
+
+    docs = _t_par(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    jingle = F.concat(
+        *[
+            F.rpad(
+                F.concat(
+                    F.lit("JINGLE-"),
+                    (F.col("doc_id") % 2).cast("string"),
+                    F.lit(f"-{k}"),
+                ),
+                AFP_FRAME,
+                "~",
+            )
+            for k in range(AFP_JINGLE_FRAMES)
+        ]
+    )
+    padded = F.expr(
+        f"rpad(text, cast((length(text) + {AFP_FRAME - 1}) div {AFP_FRAME}"
+        f" * {AFP_FRAME} as int), ' ')"
+    )
+    blob = F.concat(
+        padded,
+        F.when(F.col("doc_id") % 19 == 5, jingle).otherwise(F.lit("")),
+    )
+    auds = docs.select(F.col("doc_id").alias("audio_id"), blob.alias("b"))
+    frames = auds.select(
+        "audio_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(length(b) div {AFP_FRAME} as"
+                f" int) - 1), j -> substring(b, j * {AFP_FRAME} + 1,"
+                f" {AFP_FRAME}))"
+            )
+        ).alias("fidx", "f"),
+    )
+    # 33 band energies need 33 digest bytes: two salted sha256 hex
+    # digests, materialized ONCE per frame (codegen sha2)
+    dig = frames.select(
+        "audio_id",
+        "fidx",
+        F.concat(
+            F.sha2(F.concat(F.col("f"), F.lit("0")), 256),
+            F.sha2(F.concat(F.col("f"), F.lit("1")), 256),
+        ).alias("h"),
+    )
+    dvec = dig.select(
+        "audio_id",
+        "fidx",
+        F.expr(
+            f"transform(sequence(0, {AFP_BANDS - 2}), m ->"
+            " cast(conv(substr(h, 2*m+1, 2), 16, 10) as long)"
+            " - cast(conv(substr(h, 2*m+3, 2), 16, 10) as long))"
+        ).alias("d"),
+    )
+    w = W.partitionBy("audio_id").orderBy("fidx")
+    lagd = dvec.withColumn("dp", F.lag("d").over(w)).where(
+        F.col("dp").isNotNull()
+    )
+    code = reduce(
+        add,
+        [
+            F.shiftleft(
+                (
+                    F.element_at("d", m + 1) > F.element_at("dp", m + 1)
+                ).cast("long"),
+                m,
+            )
+            for m in range(AFP_BANDS - 1)
+        ],
+    )
+    codes = lagd.select("audio_id", code.alias("code")).distinct()
+    nc = codes.groupBy("audio_id").agg(
+        F.count("*").cast("long").alias("n_codes")
+    )
+    pairs = (
+        codes.alias("x")
+        .join(codes.alias("y"), "code")
+        .where(F.col("x.audio_id") < F.col("y.audio_id"))
+        .groupBy(
+            F.col("x.audio_id").alias("a"), F.col("y.audio_id").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= AFP_MIN_SHARED)
+    )
+    na = nc.select(F.col("audio_id").alias("a"), F.col("n_codes").alias("nca"))
+    nb = nc.select(F.col("audio_id").alias("b"), F.col("n_codes").alias("ncb"))
+    return (
+        pairs.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            F.col("nca").alias("n_codes_a"),
+            F.col("ncb").alias("n_codes_b"),
+            F.round(
+                F.col("n_shared") / F.least("nca", "ncb"), 6
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 GATE_MIN_WORDS = 30  # curation gate: drop short docs
 GATE_MAX_DUP_BIGRAM = 0.05  # curation gate: drop internally repetitive docs
 
@@ -4621,6 +4765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curated_export_stats": q_curated_export_stats,
     "media_phash_dedup": q_media_phash_dedup,
     "video_frame_overlap": q_video_frame_overlap,
+    "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "repo_license_profile": q_repo_license_profile,
     "domain_mix_weights": q_domain_mix_weights,
     # text analysis
@@ -8088,6 +8233,77 @@ ORACLE_SQL["video_frame_overlap"] = """
     JOIN nf nb ON nb.video_id = p.b
 """.format(fw=FRAME_W, fw1=FRAME_W - 1,
            scene=SCENE_FRAMES * FRAME_W, minsh=MIN_SHARED_FRAMES)
+
+ORACLE_SQL["audio_fingerprint_dedup"] = """
+    WITH auds AS (
+      SELECT doc_id AS audio_id,
+             rpad(text, cast((length(text) + {fw1}) // {fw} * {fw}
+                             AS int), ' ')
+             || (CASE WHEN doc_id % 19 = 5 THEN {jingle}
+                 ELSE '' END) AS b
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    fr0 AS (
+      SELECT audio_id,
+             unnest([{{'fidx': j, 'f': substr(b, j * {fw} + 1, {fw})}}
+                     FOR j IN range(0, len(b) // {fw})]) AS fr
+      FROM auds
+    ),
+    dig AS (
+      SELECT audio_id, CAST(fr.fidx AS INT) AS fidx,
+             sha256(fr.f || '0') || sha256(fr.f || '1') AS h
+      FROM fr0
+    ),
+    dvec AS (
+      SELECT audio_id, fidx,
+             [('0x' || substr(h, 2*m+1, 2))::BIGINT
+              - ('0x' || substr(h, 2*m+3, 2))::BIGINT
+              FOR m IN range(0, {nbits})] AS d
+      FROM dig
+    ),
+    lagd AS (
+      SELECT audio_id, fidx, d,
+             lag(d) OVER (PARTITION BY audio_id ORDER BY fidx) AS dp
+      FROM dvec
+    ),
+    codes AS (
+      SELECT DISTINCT audio_id, CAST({code_sum} AS BIGINT) AS code
+      FROM lagd WHERE dp IS NOT NULL
+    ),
+    nc AS (
+      SELECT audio_id, cast(count(*) AS bigint) AS n_codes
+      FROM codes GROUP BY 1
+    ),
+    pairs AS (
+      SELECT x.audio_id AS a, y.audio_id AS b,
+             cast(count(*) AS bigint) AS n_shared
+      FROM codes x JOIN codes y
+        ON x.code = y.code AND x.audio_id < y.audio_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {minsh}
+    )
+    SELECT p.a, p.b, p.n_shared,
+           na.n_codes AS n_codes_a, nb.n_codes AS n_codes_b,
+           round(p.n_shared * 1.0 / least(na.n_codes, nb.n_codes), 6)
+               AS overlap_frac
+    FROM pairs p
+    JOIN nc na ON na.audio_id = p.a
+    JOIN nc nb ON nb.audio_id = p.b
+""".format(
+    fw=AFP_FRAME,
+    fw1=AFP_FRAME - 1,
+    nbits=AFP_BANDS - 1,
+    minsh=AFP_MIN_SHARED,
+    jingle=" || ".join(
+        f"rpad('JINGLE-' || CAST(doc_id % 2 AS VARCHAR) || '-{k}',"
+        f" {AFP_FRAME}, '~')"
+        for k in range(AFP_JINGLE_FRAMES)
+    ),
+    code_sum="\n           + ".join(
+        f"(CASE WHEN d[{m + 1}] > dp[{m + 1}] THEN {1 << m} ELSE 0 END)"
+        for m in range(AFP_BANDS - 1)
+    ),
+)
 
 ORACLE_SQL["repo_license_profile"] = """
     WITH files AS (
