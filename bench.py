@@ -157,6 +157,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
     for name in [
         "pricing_summary",
         "shipping_priority",
+        "large_volume_customers",
         "top_revenue_customers",
         "brand_volume",
         "user_sessions",

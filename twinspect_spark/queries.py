@@ -1400,6 +1400,50 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q18_QTY_THRESHOLD = 300  # TPC-H Q18 per-order quantity floor
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity clears a HAVING threshold, joined back to
+    customer, deterministic top-100 by total price. The one classic
+    analytic shape the battery lacked: a threshold SEMI-join derived
+    from a grouped aggregate gating the fact table. Scale shape: the
+    quantity rollup is map-side combinable and its survivors (a tiny
+    fraction — p99 of per-order quantity sits below the floor) drive
+    the orders join, customer broadcasts, and the top-k is TakeOrdered,
+    never a global sort. Quantity summed decimal-exact (double sums
+    are partition-order dependent), cast to double at the edge."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .where(F.col("sum_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
 def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: first row per group via row_number — the reference's
     first-in-cluster original flag (eff.py:179-190) made order-explicit."""
@@ -4781,6 +4825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
+    "large_volume_customers": q_large_volume_customers,
     "top_revenue_customers": q_top_revenue_customers,
     "first_order_per_customer": q_first_order_per_customer,
     "customers_without_orders": q_customers_without_orders,
@@ -8008,6 +8053,20 @@ ORACLE_SQL["shipping_priority"] = f"""
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
     ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
     LIMIT 10
+"""
+
+ORACLE_SQL["large_volume_customers"] = f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum_qty
+    FROM (SELECT l_orderkey,
+                 cast(sum(cast(l_quantity AS decimal(18,4))) AS double)
+                     AS sum_qty
+          FROM lineitem GROUP BY 1) s
+    JOIN orders ON o_orderkey = s.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE sum_qty > {Q18_QTY_THRESHOLD}
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
 """
 
 ORACLE_SQL["media_phash_dedup"] = """
