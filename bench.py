@@ -184,6 +184,10 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "bloom_seen_filter",
         "eval_ngram_contamination",
         "domain_mix_weights",
+        "dsir_importance_weights",
+        "paragraph_dedup_stats",
+        "cms_heavy_hitters",
+        "vendored_dir_detect",
         "gopher_quality_flags",
         "bigram_lm_score",
         "bucket_skew_report",

@@ -1,0 +1,137 @@
+"""Session-16 query-family invariants: DSIR importance weights,
+CCNet paragraph dedup, Count-Min heavy hitters, vendored-dir
+detection. The value-level truth is the DuckDB oracle gate
+(tools/check_oracle.py); these tests pin the SEMANTIC invariants the
+gate can't express — one-sided CMS error, paragraph-count
+conservation, direction of the DSIR separation, flag placement."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from twinspect_spark.queries import (
+    CMS_TOPK,
+    q_cms_heavy_hitters,
+    q_dsir_importance_weights,
+    q_paragraph_dedup_stats,
+    q_vendored_dir_detect,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cms_estimate_is_one_sided(spark):
+    rows = q_cms_heavy_hitters(spark, SF).collect()
+    assert len(rows) == CMS_TOPK
+    # Count-Min's guarantee: never underestimates
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+    assert all(r.overest == r.cms_est - r.exact_cnt for r in rows)
+    # the sketch is deliberately undersized vs the vocabulary, so real
+    # collisions must appear (otherwise the calibration readout is vacuous)
+    assert any(r.overest > 0 for r in rows)
+
+
+def test_paragraph_dedup_conservation_and_planted_branch(spark):
+    out = q_paragraph_dedup_stats(spark, SF)
+    rows = out.collect()
+    assert all(0 <= r.n_dup_paras <= r.n_paras for r in rows)
+    assert all(0.0 <= r.dup_para_frac <= 1.0 for r in rows)
+    assert all(0.0 <= r.dropped_char_frac <= 1.0 for r in rows)
+    # planted intra-doc branch: doc_id % 37 == 3 appends a copy of its
+    # own first paragraph -> the copy is never the first occurrence
+    planted = [r for r in rows if r.doc_id % 37 == 3]
+    assert planted and all(r.n_dup_paras >= 1 for r in planted)
+    # global conservation: kept paragraphs == distinct paragraph hashes
+    # (each hash keeps exactly its first occurrence)
+    tot_paras = sum(r.n_paras for r in rows)
+    tot_dup = sum(r.n_dup_paras for r in rows)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from twinspect_spark.queries import _WRAP_RE
+
+    wrapped = F.regexp_replace("text", _WRAP_RE, "$1\n")
+    line1 = F.substring_index(wrapped, "\n", 1)
+    content = F.concat(
+        wrapped,
+        F.when(
+            F.col("doc_id") % 37 == 3, F.concat(F.lit("\n"), line1)
+        ).otherwise(F.lit("")),
+    )
+    n_distinct = (
+        docs.select(
+            F.explode(F.split(content, "\n")).alias("p")
+        )
+        .select(
+            F.sha2(
+                F.translate(F.lower("p"), "0123456789", ""), 256
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert tot_paras - tot_dup == n_distinct
+
+
+def test_paragraph_dedup_untouched_doc_sha_roundtrip(spark):
+    """A doc with zero dropped paragraphs must emit the sha256 of its
+    wrapped text verbatim (reassembly is byte-exact)."""
+    out = {r.doc_id: r for r in q_paragraph_dedup_stats(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from twinspect_spark.queries import _WRAP_RE
+
+    wrapped = {
+        r.doc_id: r.w
+        for r in docs.select(
+            "doc_id",
+            F.regexp_replace("text", _WRAP_RE, "$1\n").alias("w"),
+        ).collect()
+    }
+    untouched = [
+        d
+        for d, r in out.items()
+        if r.n_dup_paras == 0 and d % 37 != 3
+    ]
+    assert untouched, "corpus has no fully-unique doc?"
+    for d in untouched[:20]:
+        want = hashlib.sha256(wrapped[d].encode()).hexdigest()
+        assert out[d].sha_scrubbed == want
+
+
+def test_dsir_separates_target_from_raw(spark):
+    rows = q_dsir_importance_weights(spark, SF).collect()
+    docs = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    tgt = [r.logw_per_feat for r in rows if docs[r.doc_id] == "src0"]
+    raw = [r.logw_per_feat for r in rows if docs[r.doc_id] != "src0"]
+    assert tgt and raw
+    # importance weights must rank the target slice above the rest on
+    # average (that's the whole point of the estimator); per-doc
+    # overlap is expected, the MEANS must separate
+    assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
+    # keep flag consistent with the reported weight
+    assert all((r.logw > 0) == r.dsir_keep for r in rows)
+
+
+def test_vendored_dirs_flagged_src_clean(spark):
+    rows = q_vendored_dir_detect(spark, SF).collect()
+    by = {(r.repo, r.dir1): r for r in rows}
+    vend = [r for r in rows if r.dir1 in ("vendor", "node_modules")]
+    src = [r for r in rows if r.dir1 == "src"]
+    assert vend and src
+    # every vendored dir shares its payloads across repos (3 payloads
+    # replicated into every repo) -> flagged wherever n_files >= 3
+    for r in vend:
+        assert r.n_shared == r.n_files
+        if r.n_files >= 3:
+            assert r.vendored_flag
+    # src dirs hold (near-)unique content: share fraction far below the
+    # vendored ones, and never flagged at sf0.001
+    for r in src:
+        assert r.shared_frac < 0.5
+        assert not r.vendored_flag
+    assert len(by) == len(rows)  # (repo, dir1) is a key

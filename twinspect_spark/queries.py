@@ -4736,6 +4736,305 @@ def q_token_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_B = 4096  # hashed n-gram feature buckets (Xie et al. use 10k)
+DSIR_TARGET = "src0"  # deterministic target slice for the importance LM
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., arXiv:2302.03169): per-document
+    importance weight log(p_target/p_raw) under two hashed-n-gram bag
+    models — the standard way to skew a raw crawl toward a target
+    domain without training a classifier. Features are word unigrams +
+    bigrams hashed into {DSIR_B} buckets (sha256 window mod B — the
+    bloom_positions idiom, bit-exact in ANSI SQL); the target slice is
+    the '{DSIR_TARGET}' source, the raw model is the full corpus; both
+    are Laplace-smoothed. A doc with logw > 0 looks more target-like
+    than raw — `dsir_keep` is the resampling gate.
+
+    FP determinism across engines: each bucket's log-ratio is computed
+    once in the bucket-sized LM table and scaled to an exact BIGINT
+    (x1e9, the domain_mix_weights idiom) BEFORE the per-doc sum, so the
+    aggregation is exact integer arithmetic and accumulation order
+    cannot diverge; the only float ops are one ln + one division per
+    BUCKET, identical in both engines.
+
+    Scale shape: both LMs are map-side-combinable hash aggs whose
+    results are bounded by B = {DSIR_B} rows no matter the corpus size,
+    so the scoring join BROADCASTS; the per-doc score rides the one
+    feature explode. The feature stream is checkpointed once and feeds
+    the two LMs and the scoring pass."""
+    docs = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("w")
+    )
+    bi = F.expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2),"
+        " i -> concat(w[i], ' ', w[i + 1])) ELSE array() END"
+    )
+    g = docs.select(
+        "doc_id", "source", F.explode(F.concat(F.col("w"), bi)).alias("gram")
+    )
+    feats = g.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.sha2("gram", 256), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % DSIR_B
+        ).alias("b"),
+    ).localCheckpoint()
+    # (measured: pre-aggregating to (doc_id, b, count) vectors before
+    # the checkpoint costs an extra full shuffle of the occurrence
+    # stream and LOSES ~2 s at sf0.1 — the narrow occurrence rows
+    # checkpoint shuffle-free and every consumer is map-side combinable)
+    raw = feats.groupBy("b").agg(F.count("*").cast("long").alias("rc"))
+    tgt = (
+        feats.where(F.col("source") == DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("tc"))
+    )
+    tot = feats.agg(
+        F.count("*").cast("long").alias("rt"),
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tt"),
+    )
+    lr = F.log(
+        (F.col("tc") + 1) / (F.col("tt") + F.lit(DSIR_B))
+    ) - F.log((F.col("rc") + 1) / (F.col("rt") + F.lit(DSIR_B)))
+    lm = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"tc": 0})
+        .crossJoin(F.broadcast(tot))
+        .select("b", F.round(lr * 1e9).cast("long").alias("lri"))
+    )
+    per = (
+        feats.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("lri").alias("lwi"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_feats",
+        F.round(F.col("lwi") / 1e9, 6).alias("logw"),
+        F.round(F.col("lwi") / 1e9 / F.col("n_feats"), 6).alias(
+            "logw_per_feat"
+        ),
+        (F.col("lwi") > 0).alias("dsir_keep"),
+    )
+
+
+PARA_OWNER_SCALE = 1_000_000  # owner key = doc_id * SCALE + para idx
+
+
+def q_paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document paragraph dedup (Wenzek et al.,
+    arXiv:1911.00359 §3.1): hash every normalized paragraph, keep only
+    its globally FIRST occurrence (ordered by doc position), and report
+    per-doc scrub stats + the sha256 of the reassembled scrubbed text.
+    This is the paragraph-granular tier between whole-doc dedup and the
+    fixed-width chunk/CDC span tiers: boilerplate (nav bars, license
+    paragraphs, footers) repeats at NATURAL paragraph boundaries, which
+    a fixed word grid splits and whole-doc Jaccard dilutes. Paragraphs
+    are normalized before hashing as CCNet does (lowercase + digits
+    stripped) so version strings / dates don't defeat the match.
+
+    Input synthesis: text wrapped to {CODE_WRAP_W}-word lines as the
+    paragraph analog; doc_id % 37 == 3 appends a copy of its own first
+    paragraph (the intra-doc branch — CCNet drops those too).
+
+    Scale shape: one explode to the paragraph stream; first-occurrence
+    ownership is a map-side-combinable groupBy(hash).min over a single
+    packed BIGINT key (doc_id * {PARA_OWNER_SCALE} + idx — min of a
+    struct would sort-aggregate); one join back on hash; per-doc
+    reassembly via sort_array over (idx, para) structs, deterministic
+    under any partitioning. At 10^12 docs every stage is a hash agg or
+    an equi-join on the paragraph-hash key."""
+    docs = _t_par(spark, sf_dir, "documents")
+    wrapped = F.regexp_replace("text", _WRAP_RE, "$1\n")
+    line1 = F.substring_index(wrapped, "\n", 1)
+    content = F.concat(
+        wrapped,
+        F.when(
+            F.col("doc_id") % 37 == 3,
+            F.concat(F.lit("\n"), line1),
+        ).otherwise(F.lit("")),
+    )
+    paras = docs.select(
+        "doc_id", F.posexplode(F.split(content, "\n")).alias("i", "para")
+    ).select(
+        "doc_id",
+        (F.col("i") + 1).alias("idx"),
+        "para",
+        F.sha2(
+            F.translate(F.lower("para"), "0123456789", ""), 256
+        ).alias("h"),
+        (F.col("doc_id") * PARA_OWNER_SCALE + F.col("i") + 1).alias("key"),
+    )
+    own = paras.groupBy("h").agg(F.min("key").alias("own_key"))
+    tagged = paras.join(own, "h").withColumn(
+        "keep", F.col("key") == F.col("own_key")
+    )
+    per = tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_dup_paras"),
+        F.sum(F.length("para")).cast("long").alias("chars"),
+        F.sum(F.when(F.col("keep"), F.length("para")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+        F.concat_ws(
+            "\n",
+            F.expr(
+                "transform(sort_array(collect_list(CASE WHEN keep THEN"
+                " struct(idx, para) END)), s -> s.para)"
+            ),
+        ).alias("scrubbed"),
+    )
+    return per.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        F.round(F.col("n_dup_paras") / F.col("n_paras"), 6).alias(
+            "dup_para_frac"
+        ),
+        F.round(
+            (F.col("chars") - F.col("kept_chars")) / F.col("chars"), 6
+        ).alias("dropped_char_frac"),
+        F.sha2("scrubbed", 256).alias("sha_scrubbed"),
+    )
+
+
+CMS_W = 32  # Count-Min sketch width (cells per row; vocab here is 31
+# words, so an undersized sketch shows real one-sided error)
+CMS_D = 4  # Count-Min sketch depth (independent hash rows)
+CMS_TOPK = 20  # heavy hitters reported
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters (Cormode & Muthukrishnan,
+    J.Algorithms'05): corpus-wide top-{CMS_TOPK} words with their exact
+    count, the CMS estimate, and the overestimate — the calibration
+    readout for bounded-memory frequency tracking. The sketch is
+    {CMS_D} rows x {CMS_W} cells whose positions come from disjoint
+    sha256 windows (the bloom_positions idiom, bit-exact in ANSI SQL);
+    deliberately undersized vs the vocabulary so real collisions appear
+    and the one-sided error (est >= exact, pytest-gated) is visible.
+
+    Scale shape: at 10^12 docs the sketch is the aggregation that
+    CANNOT grow — {CMS_D}x{CMS_W} cells regardless of corpus size, each
+    cell a map-side-combinable sum, and sketches from shards/streams
+    merge by cell-wise addition (the same union algebra as the HLL
+    registers / MinHash bin-minima). Cells are built from the exact
+    word-count rollup (weight = count), not the raw token stream, so
+    the {CMS_D}x amplification touches vocabulary-sized data only."""
+    docs = _t_par(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    h = F.sha2("word", 256)
+    pos = F.array(
+        *[
+            F.conv(F.substring(h, 1 + 8 * r, 8), 16, 10).cast("long")
+            % CMS_W
+            for r in range(CMS_D)
+        ]
+    )
+    cells = (
+        wc.select(F.posexplode(pos).alias("r", "pos"), "cnt")
+        .groupBy("r", "pos")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    top = (
+        wc.orderBy(F.desc("cnt"), "word")
+        .limit(CMS_TOPK)
+        .select(
+            "word", "cnt", F.posexplode(pos).alias("r", "pos")
+        )
+    )
+    est = (
+        top.join(F.broadcast(cells), ["r", "pos"])
+        .groupBy("word", "cnt")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "word",
+        F.col("cnt").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("cnt")).cast("long").alias("overest"),
+    )
+
+
+def q_vendored_dir_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendored-directory detection: per (repo, top-level dir) fraction
+    of files whose exact content recurs in ANOTHER repo — the readout a
+    code-lake owner uses to strip vendored/checked-in dependencies
+    before training (the directory, not the file, is the actionable
+    unit: you drop `vendor/` wholesale). Complements fork_candidates
+    (repo-pair overlap from verified near-dup clusters) with the
+    path-granular exact tier: vendoring copies files byte-identically,
+    so sha equality suffices and no signature machinery is needed.
+
+    Input synthesis: the _code_files corpus with vendored paths
+    (doc_id % 11 / % 13) rewritten to one of three shared library
+    payloads (doc_id % 3) — the same file checked into many repos,
+    which is exactly what vendoring looks like.
+
+    Scale shape: sha rollup is a map-side-combinable
+    groupBy(sha).count-distinct over a bounded repo set; the join back
+    is on the 64-hex sha key; the final rollup is directory-sized.
+    Content never crosses the wire — only hashes."""
+    files = _code_files(spark, sf_dir)
+    is_vend = F.col("path").startswith("vendor/") | F.col(
+        "path"
+    ).startswith("node_modules/")
+    content = F.when(
+        is_vend,
+        F.concat(
+            F.lit("vendored library payload v"),
+            (F.col("doc_id") % 3).cast("string"),
+        ),
+    ).otherwise(F.col("content"))
+    f = files.select(
+        "doc_id",
+        "repo",
+        F.substring_index("path", "/", 1).alias("dir1"),
+        F.sha2(content, 256).alias("sha"),
+    )
+    shared = (
+        f.groupBy("sha")
+        .agg(F.count_distinct("repo").cast("long").alias("n_repos"))
+        .where(F.col("n_repos") >= 2)
+        .select("sha")
+    )
+    tagged = f.join(F.broadcast(shared), "sha", "left_semi").select(
+        "repo", "dir1", F.lit(1).alias("s")
+    )
+    base = f.groupBy("repo", "dir1").agg(
+        F.count("*").cast("long").alias("n_files")
+    )
+    sh = tagged.groupBy("repo", "dir1").agg(
+        F.count("*").cast("long").alias("n_shared")
+    )
+    out = base.join(sh, ["repo", "dir1"], "left").na.fill({"n_shared": 0})
+    frac = F.round(F.col("n_shared") / F.col("n_files"), 6)
+    return out.select(
+        "repo",
+        "dir1",
+        "n_files",
+        "n_shared",
+        frac.alias("shared_frac"),
+        ((frac >= 0.5) & (F.col("n_files") >= 3)).alias("vendored_flag"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4744,6 +5043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup family
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "hot_shingles": q_hot_shingles,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "bucket_skew_report": q_bucket_skew_report,
     "lsh_plan_table": q_lsh_plan_table,
     "ngram_containment_pairs": q_ngram_containment_pairs,
@@ -4760,6 +5060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_audit": q_split_leakage_audit,
     "bbit_minhash_estimate": q_bbit_minhash_estimate,
     "dedup_trim_spans": q_dedup_trim_spans,
+    "paragraph_dedup_stats": q_paragraph_dedup_stats,
     "simprint_fields": q_simprint_fields,
     "engine_dup_clusters": q_engine_dup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
@@ -4802,6 +5103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "code_comment_stats": q_code_comment_stats,
     "function_dup_census": q_function_dup_census,
     "fork_candidates": q_fork_candidates,
+    "vendored_dir_detect": q_vendored_dir_detect,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "pq_recall_report": q_pq_recall_report,
@@ -4812,6 +5114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "repo_license_profile": q_repo_license_profile,
     "domain_mix_weights": q_domain_mix_weights,
+    "dsir_importance_weights": q_dsir_importance_weights,
     # text analysis
     "token_stats": q_token_stats,
     "gopher_quality_flags": q_gopher_quality_flags,
@@ -8437,4 +8740,163 @@ ORACLE_SQL["repo_license_profile"] = """
            r.n_proprietary, r.n_unknown, d.dominant_license,
            (r.n_copyleft = 0 AND r.n_proprietary = 0) AS clean
     FROM roll r JOIN dom d ON d.repo = r.repo
+"""
+
+
+ORACLE_SQL["dsir_importance_weights"] = f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, unnest(w) AS gram FROM docs
+      UNION ALL
+      SELECT doc_id, source, w[i] || ' ' || w[i + 1]
+      FROM docs, unnest(range(1, len(w))) AS u(i)
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(sha256(gram), 1, 8)) AS UBIGINT)
+               % {DSIR_B} AS b
+      FROM grams
+    ),
+    raw AS (SELECT b, count(*) AS rc FROM feats GROUP BY 1),
+    tgt AS (SELECT b, count(*) AS tc FROM feats
+            WHERE source = '{DSIR_TARGET}' GROUP BY 1),
+    tot AS (
+      SELECT count(*) AS rt,
+             sum(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS tt
+      FROM feats
+    ),
+    lm AS (
+      SELECT raw.b,
+             CAST(round(
+               (ln((coalesce(tc, 0) + 1) * 1.0 / (tt + {DSIR_B}))
+                - ln((rc + 1) * 1.0 / (rt + {DSIR_B}))) * 1e9
+             ) AS BIGINT) AS lri
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+    ),
+    per AS (
+      SELECT doc_id, cast(count(*) AS bigint) AS n_feats,
+             sum(lri) AS lwi
+      FROM feats JOIN lm ON feats.b = lm.b
+      GROUP BY 1
+    )
+    SELECT doc_id, n_feats,
+           round(lwi / 1e9, 6) AS logw,
+           round(lwi / 1e9 / n_feats, 6) AS logw_per_feat,
+           lwi > 0 AS dsir_keep
+    FROM per
+"""
+
+ORACLE_SQL["paragraph_dedup_stats"] = f"""
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text, '((\\S+ ){{{CODE_WRAP_W - 1}}}\\S+) ',
+                            '\\1' || chr(10), 'g') AS wrapped
+      FROM documents
+    ),
+    files AS (
+      SELECT doc_id,
+             wrapped
+             || (CASE WHEN doc_id % 37 = 3
+                 THEN chr(10) || string_split(wrapped, chr(10))[1]
+                 ELSE '' END) AS content
+      FROM lined
+    ),
+    split_t AS (
+      SELECT doc_id, string_split(content, chr(10)) AS lines FROM files
+    ),
+    paras AS (
+      SELECT doc_id, i AS idx, lines[i] AS para,
+             sha256(translate(lower(lines[i]), '0123456789', '')) AS h,
+             doc_id * {PARA_OWNER_SCALE} + i AS key
+      FROM split_t, unnest(range(1, len(lines) + 1)) AS u(i)
+    ),
+    own AS (SELECT h, min(key) AS own_key FROM paras GROUP BY 1),
+    tagged AS (
+      SELECT p.doc_id, p.idx, p.para, p.key = o.own_key AS keep
+      FROM paras p JOIN own o ON o.h = p.h
+    ),
+    per AS (
+      SELECT doc_id,
+             cast(count(*) AS bigint) AS n_paras,
+             cast(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS bigint)
+               AS n_dup_paras,
+             cast(sum(length(para)) AS bigint) AS chars,
+             cast(sum(CASE WHEN keep THEN length(para) ELSE 0 END)
+               AS bigint) AS kept_chars,
+             coalesce(
+               string_agg(para, chr(10) ORDER BY idx)
+                 FILTER (WHERE keep), '') AS scrubbed
+      FROM tagged GROUP BY 1
+    )
+    SELECT doc_id, n_paras, n_dup_paras,
+           round(n_dup_paras * 1.0 / n_paras, 6) AS dup_para_frac,
+           round((chars - kept_chars) * 1.0 / chars, 6)
+             AS dropped_char_frac,
+           sha256(scrubbed) AS sha_scrubbed
+    FROM per
+"""
+
+ORACLE_SQL["cms_heavy_hitters"] = f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, cast(count(*) AS bigint) AS cnt FROM words GROUP BY 1
+    ),
+    posx AS (
+      SELECT word, cnt, r,
+             CAST(concat('0x', substr(sha256(word), 1 + 8 * r, 8))
+               AS UBIGINT) % {CMS_W} AS pos
+      FROM wc, unnest(range(0, {CMS_D})) AS u(r)
+    ),
+    cells AS (SELECT r, pos, sum(cnt) AS cell FROM posx GROUP BY 1, 2),
+    top AS (
+      SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {CMS_TOPK}
+    ),
+    est AS (
+      SELECT t.word, t.cnt, cast(min(c.cell) AS bigint) AS cms_est
+      FROM top t
+      JOIN posx p ON p.word = t.word
+      JOIN cells c ON c.r = p.r AND c.pos = p.pos
+      GROUP BY 1, 2
+    )
+    SELECT word, cnt AS exact_cnt, cms_est,
+           cast(cms_est - cnt AS bigint) AS overest
+    FROM est
+"""
+
+ORACLE_SQL["vendored_dir_detect"] = f"""
+    WITH {_CODE_FILES_SQL},
+    vf AS (
+      SELECT doc_id, repo,
+             string_split(path, '/')[1] AS dir1,
+             sha256(CASE WHEN path LIKE 'vendor/%'
+                           OR path LIKE 'node_modules/%'
+                    THEN 'vendored library payload v'
+                         || CAST(doc_id % 3 AS VARCHAR)
+                    ELSE content END) AS sha
+      FROM code_files
+    ),
+    shared AS (
+      SELECT sha FROM vf GROUP BY sha HAVING count(DISTINCT repo) >= 2
+    ),
+    dirbase AS (
+      SELECT repo, dir1, cast(count(*) AS bigint) AS n_files
+      FROM vf GROUP BY 1, 2
+    ),
+    sh2 AS (
+      SELECT repo, dir1, cast(count(*) AS bigint) AS n_shared
+      FROM vf WHERE sha IN (SELECT sha FROM shared) GROUP BY 1, 2
+    )
+    SELECT b.repo, b.dir1, b.n_files,
+           cast(coalesce(s.n_shared, 0) AS bigint) AS n_shared,
+           round(coalesce(s.n_shared, 0) * 1.0 / b.n_files, 6)
+             AS shared_frac,
+           (round(coalesce(s.n_shared, 0) * 1.0 / b.n_files, 6) >= 0.5
+            AND b.n_files >= 3) AS vendored_flag
+    FROM dirbase b LEFT JOIN sh2 s
+      ON s.repo = b.repo AND s.dir1 = b.dir1
 """
