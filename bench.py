@@ -235,6 +235,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "top_terms_tfidf",
         "bm25_search",
         "token_length_quantiles",
+        "length_quantile_sketch",
         # NOT dedup_tier_assignment: its near/containment tiers read the
         # brute-force shingle pair matrix (the oracle-tier construct, like
         # ngram_jaccard_pairs) — the engine path for each tier is benched

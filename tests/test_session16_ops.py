@@ -135,3 +135,47 @@ def test_vendored_dirs_flagged_src_clean(spark):
         assert r.shared_frac < 0.5
         assert not r.vendored_flag
     assert len(by) == len(rows)  # (repo, dir1) is a key
+
+
+def test_quantile_sketch_bounds_and_merge_algebra(spark):
+    from twinspect_spark.queries import q_length_quantile_sketch
+
+    rows = q_length_quantile_sketch(spark, SF).collect()
+    assert rows
+    bylang = {}
+    for r in rows:
+        # log-spaced buckets: estimate and truth share a factor-2 octave
+        assert 0.0 <= r.rel_err < 1.0
+        assert r.est_q > 0
+        bylang.setdefault(r.lang, []).append((r.q, r.est_q))
+    # estimates monotone in q within each language
+    for qs in bylang.values():
+        qs.sort()
+        assert all(a[1] <= b[1] for a, b in zip(qs, qs[1:]))
+    # merge algebra: the histogram of a union is the cell-wise sum of
+    # the shard histograms (what makes the sketch a sketch)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n"),
+    )
+    b = F.length(F.bin("n")).cast("long").alias("b")
+    full = {
+        (r.lang, r.b): r.c
+        for r in docs.groupBy("lang", b).agg(F.count("*").alias("c")).collect()
+    }
+    sh = [
+        {
+            (r.lang, r.b): r.c
+            for r in docs.where(F.col("doc_id") % 2 == k)
+            .groupBy("lang", b)
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        for k in (0, 1)
+    ]
+    merged = {}
+    for d in sh:
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == full

@@ -5035,6 +5035,93 @@ def q_vendored_dir_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSKETCH_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch vs exact percentiles: the
+    scale path for token_length_quantiles. Exact `percentile` sorts
+    every group — fine at report granularity, impossible per-shard at
+    10^12 rows. The sketch is a power-of-two histogram (bucket =
+    bit-length of the token count — INTEGER-exact in both engines via
+    length(bin(n)), no float log whose boundary rounding could
+    diverge): bounded at 64 cells per group no matter the corpus,
+    map-side combinable, and shard/stream sketches MERGE by cell-wise
+    addition (the HLL-register / CMS-cell algebra again). Quantiles
+    come from linear interpolation inside the covering bucket; the
+    query emits the estimate NEXT TO the exact percentile and the
+    relative error, so the accuracy cost of the mergeable path is
+    measured, not assumed (log-spaced buckets bound rel_err by the
+    bucket width: est and truth share a factor-2 octave).
+
+    Every float op (2^(b-1) via pow, target = q*n, one interpolation)
+    consumes exact integers, so both engines compute identical doubles
+    — the gate proves the decomposition, not a tolerance."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n"),
+    )
+    hist = docs.groupBy(
+        "lang", F.length(F.bin("n")).cast("long").alias("b")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.partitionBy("lang")
+            .orderBy("b")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    tot = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    cand = (
+        cum.join(tot, "lang")
+        .select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in QSKETCH_QS])
+            ).alias("q"),
+        )
+        .where(F.col("cum") >= F.col("q") * F.col("n_docs"))
+    )
+    hit = cand.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("lang", "q").orderBy("b")),
+    ).where("rn = 1")
+    lo = F.pow(F.lit(2.0), F.col("b") - 1)
+    est = lo + lo * (
+        F.col("q") * F.col("n_docs") - (F.col("cum") - F.col("cnt"))
+    ) / F.col("cnt")
+    sk = hit.select("lang", "q", "n_docs", est.alias("e"))
+    ex = docs.groupBy("lang").agg(
+        *[
+            F.expr(f"percentile(n, {q})").alias(f"e{int(q * 100)}")
+            for q in QSKETCH_QS
+        ]
+    )
+    exl = ex.selectExpr(
+        "lang",
+        "stack(4, "
+        + ", ".join(
+            f"{q}d, e{int(q * 100)}" for q in QSKETCH_QS
+        )
+        + ") AS (q, exact)",
+    )
+    return sk.join(exl, ["lang", "q"]).select(
+        "lang",
+        "q",
+        "n_docs",
+        F.round("e", 6).alias("est_q"),
+        F.round("exact", 6).alias("exact_q"),
+        F.round(
+            F.abs(F.col("e") - F.col("exact")) / F.col("exact"), 6
+        ).alias("rel_err"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5078,6 +5165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingle_cardinality_sketch": q_shingle_cardinality_sketch,
     "top_terms_tfidf": q_top_terms_tfidf,
     "token_length_quantiles": q_token_length_quantiles,
+    "length_quantile_sketch": q_length_quantile_sketch,
     "doc_fingerprint": q_doc_fingerprint,
     "code_normalize_fingerprint": q_code_normalize_fingerprint,
     "decontaminate_vs_eval": q_decontaminate_vs_eval,
@@ -8899,4 +8987,57 @@ ORACLE_SQL["vendored_dir_detect"] = f"""
             AND b.n_files >= 3) AS vendored_flag
     FROM dirbase b LEFT JOIN sh2 s
       ON s.repo = b.repo AND s.dir1 = b.dir1
+"""
+
+
+_QSK_EXACT_UNION = "\n      UNION ALL\n".join(
+    f"""      SELECT lang, CAST({q} AS DOUBLE) AS q,
+             quantile_cont(n, {q}) AS exact
+      FROM d GROUP BY lang"""
+    for q in QSKETCH_QS
+)
+
+ORACLE_SQL["length_quantile_sketch"] = f"""
+    WITH d AS (
+      SELECT lang,
+             cast(len(string_split_regex(trim(text), '\\s+')) AS bigint)
+               AS n
+      FROM documents
+    ),
+    hist AS (
+      SELECT lang, cast(length(bin(n)) AS bigint) AS b,
+             cast(count(*) AS bigint) AS cnt
+      FROM d GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT lang, b, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum
+      FROM hist
+    ),
+    tot AS (
+      SELECT lang, cast(count(*) AS bigint) AS n_docs FROM d GROUP BY 1
+    ),
+    qs AS (SELECT CAST(unnest([{", ".join(str(q) for q in QSKETCH_QS)}])
+                  AS DOUBLE) AS q),
+    hit AS (
+      SELECT lang, q, n_docs, b, cnt, cum,
+             row_number() OVER (PARTITION BY lang, q ORDER BY b) AS rn
+      FROM cum JOIN tot USING (lang), qs
+      WHERE cum >= q * n_docs
+    ),
+    sk AS (
+      SELECT lang, q, n_docs,
+             power(2.0, b - 1)
+               + power(2.0, b - 1) * (q * n_docs - (cum - cnt)) / cnt
+               AS e
+      FROM hit WHERE rn = 1
+    ),
+    ex AS (
+{_QSK_EXACT_UNION}
+    )
+    SELECT sk.lang, sk.q, sk.n_docs,
+           round(e, 6) AS est_q,
+           round(exact, 6) AS exact_q,
+           round(abs(e - exact) / exact, 6) AS rel_err
+    FROM sk JOIN ex ON ex.lang = sk.lang AND ex.q = sk.q
 """
