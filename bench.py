@@ -158,6 +158,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "pricing_summary",
         "shipping_priority",
         "large_volume_customers",
+        "local_supplier_volume",
         "top_revenue_customers",
         "brand_volume",
         "user_sessions",
@@ -236,6 +237,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "bm25_search",
         "token_length_quantiles",
         "length_quantile_sketch",
+        "compaction_plan",
         # NOT dedup_tier_assignment: its near/containment tiers read the
         # brute-force shingle pair matrix (the oracle-tier construct, like
         # ngram_jaccard_pairs) — the engine path for each tier is benched

@@ -179,3 +179,41 @@ def test_quantile_sketch_bounds_and_merge_algebra(spark):
         for k, v in d.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == full
+
+
+def test_compaction_plan_conservation_and_dense_bins(spark):
+    from twinspect_spark.queries import q_compaction_plan
+
+    rows = q_compaction_plan(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tot = docs.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("b")
+    ).collect()[0]
+    # every file lands in exactly one bin; every byte is planned
+    assert sum(r.n_files for r in rows) == tot.n
+    assert sum(r.bin_bytes for r in rows) == tot.b
+    # bin ids dense 0..max within each partition (no empty output files)
+    bins = {}
+    for r in rows:
+        bins.setdefault(r.lang, []).append(r.bin_id)
+    for ids in bins.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_scale_shapes_use_broadcast_joins(spark):
+    """The bounded side of each new query must broadcast — a shuffle
+    there is the 100x-scale regression these ops were shaped to avoid."""
+    from twinspect_spark.queries import (
+        q_compaction_plan,
+        q_local_supplier_volume,
+    )
+
+    for fn in (
+        q_dsir_importance_weights,
+        q_cms_heavy_hitters,
+        q_vendored_dir_detect,
+        q_local_supplier_volume,
+        q_compaction_plan,
+    ):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, fn.__name__

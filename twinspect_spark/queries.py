@@ -1400,6 +1400,63 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01 00:00:00"
+Q5_DATE_HI = "1997-01-01 00:00:00"
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation from
+    orders where the CUSTOMER and the SUPPLIER share the nation — the
+    classic 6-relation join with a cross-dimension correlation
+    (c_nationkey = s_nationkey) that join ORDER decides the cost of.
+    Scale shape: region gates nation (broadcast), the gated nation set
+    gates both customer and supplier (broadcasts — they stay
+    dimension-sized relative to lineitem at any scale factor; past the
+    broadcast threshold AQE falls back to shuffle joins on the same
+    plan), the date filter pushes into the orders scan, and the one
+    real shuffle is lineitem ⋈ orders on orderkey. The nationkey
+    equality is applied as a cheap post-join predicate on two broadcast
+    columns, never as a join explosion. Decimal-exact revenue sum."""
+    region = _t(spark, sf_dir, "region").where(
+        F.col("r_name") == Q5_REGION
+    )
+    nation = _t(spark, sf_dir, "nation")
+    nr = nation.join(
+        F.broadcast(region),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nr.select(F.col("n_nationkey").alias("c_nk"))),
+        F.col("c_nationkey") == F.col("c_nk"),
+    ).select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nr),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_DATE_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q5_DATE_HI).cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
 Q18_QTY_THRESHOLD = 300  # TPC-H Q18 per-order quantity floor
 
 
@@ -5035,6 +5092,84 @@ def q_vendored_dir_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMPACT_TARGET = 16_384  # target output-file size (bytes) for compaction
+COMPACT_BKT_SHIFT = 6  # prefix-sum bucket = doc_id >> shift
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the Iceberg rewriteDataFiles /
+    OPTIMIZE planning step as a query: assign every input file to an
+    output bin of ~{COMPACT_TARGET} bytes, per partition (lang), by its
+    offset in the deterministic (lang, doc_id) order; emit per-bin file
+    count, byte total, and fill fraction. Small-file explosion is THE
+    operational failure mode of a streaming-ingested lake (every
+    micro-batch lays down files), and the planner is pure metadata
+    work — it must never touch content bytes.
+
+    Scale shape: bin id = floor(cumulative_bytes_before / target),
+    computed with the SAME distributed prefix sum as
+    training.token_budget_export (bucket by the high bits of doc_id —
+    monotone in the order — per-bucket totals map-side combined, a
+    bucket-count-sized offset window, within-bucket cumsum), so there
+    is no global single-task sort; the oracle is the naive per-lang
+    global window, proving the decomposition bit-equal (exact integer
+    arithmetic end to end, integer `div` for the bin split). A file
+    straddling a boundary belongs to the bin its START offset lands in
+    (fill_frac may exceed 1 by under one file — standard bin-by-offset
+    packing)."""
+    from pyspark.sql import Window as W
+
+    files = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").alias("bytes")
+    )
+    base = files.withColumn(
+        "_bkt", F.shiftright("doc_id", COMPACT_BKT_SHIFT)
+    )
+    totals = base.groupBy("lang", "_bkt").agg(
+        F.sum("bytes").cast("long").alias("_tot")
+    )
+    offsets = totals.select(
+        "lang",
+        "_bkt",
+        F.coalesce(
+            F.sum("_tot").over(
+                W.partitionBy("lang")
+                .orderBy("_bkt")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    w = (
+        W.partitionBy("lang", "_bkt")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    assigned = (
+        base.join(F.broadcast(offsets), ["lang", "_bkt"])
+        .withColumn(
+            "cb",
+            (
+                F.col("_off")
+                + F.coalesce(F.sum("bytes").over(w), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn("bin_id", F.expr(f"cb div {COMPACT_TARGET}"))
+    )
+    return assigned.groupBy("lang", "bin_id").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("bin_bytes"),
+    ).select(
+        "lang",
+        "bin_id",
+        "n_files",
+        "bin_bytes",
+        F.round(F.col("bin_bytes") / F.lit(COMPACT_TARGET), 6).alias(
+            "fill_frac"
+        ),
+    )
+
+
 QSKETCH_QS = (0.25, 0.5, 0.75, 0.95)
 
 
@@ -5166,6 +5301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms_tfidf": q_top_terms_tfidf,
     "token_length_quantiles": q_token_length_quantiles,
     "length_quantile_sketch": q_length_quantile_sketch,
+    "compaction_plan": q_compaction_plan,
     "doc_fingerprint": q_doc_fingerprint,
     "code_normalize_fingerprint": q_code_normalize_fingerprint,
     "decontaminate_vs_eval": q_decontaminate_vs_eval,
@@ -5217,6 +5353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "large_volume_customers": q_large_volume_customers,
+    "local_supplier_volume": q_local_supplier_volume,
     "top_revenue_customers": q_top_revenue_customers,
     "first_order_per_customer": q_first_order_per_customer,
     "customers_without_orders": q_customers_without_orders,
@@ -9040,4 +9177,46 @@ ORACLE_SQL["length_quantile_sketch"] = f"""
            round(exact, 6) AS exact_q,
            round(abs(e - exact) / exact, 6) AS rel_err
     FROM sk JOIN ex ON ex.lang = sk.lang AND ex.q = sk.q
+"""
+
+
+ORACLE_SQL["local_supplier_volume"] = f"""
+    SELECT n_name,
+           cast(sum(cast(l_extendedprice * (1 - l_discount)
+                         AS decimal(18,4))) AS double) AS revenue,
+           cast(count(*) AS bigint) AS n_lineitems
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q5_REGION}'
+      AND o_orderdate >= timestamp '{Q5_DATE_LO}'
+      AND o_orderdate < timestamp '{Q5_DATE_HI}'
+    GROUP BY n_name
+"""
+
+
+ORACLE_SQL["compaction_plan"] = f"""
+    WITH f AS (SELECT doc_id, lang, n_chars AS bytes FROM documents),
+    cum AS (
+      SELECT doc_id, lang, bytes,
+             coalesce(sum(bytes) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+      FROM f
+    ),
+    a AS (
+      SELECT lang, cast(cb // {COMPACT_TARGET} AS bigint) AS bin_id,
+             bytes
+      FROM cum
+    )
+    SELECT lang, bin_id,
+           cast(count(*) AS bigint) AS n_files,
+           cast(sum(bytes) AS bigint) AS bin_bytes,
+           round(sum(bytes) * 1.0 / {COMPACT_TARGET}, 6) AS fill_frac
+    FROM a GROUP BY 1, 2
 """
