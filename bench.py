@@ -206,6 +206,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "pq_recall_report",
         "ann_recall_report",
         "embedding_srp_lsh_dup",
+        "eval_semantic_contamination",
         "embedding_norms",
         "semdedup_prune",
         "repo_sketch_similarity",

@@ -217,3 +217,26 @@ def test_scale_shapes_use_broadcast_joins(spark):
     ):
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_semantic_contamination_matches_brute_force_pairs(spark):
+    from twinspect_spark.queries import (
+        q_embedding_cosine_dup,
+        q_eval_semantic_contamination,
+    )
+
+    got = {
+        r.vec_id: r.n_eval_matches
+        for r in q_eval_semantic_contamination(spark, SF).collect()
+    }
+    assert all(v % 20 != 0 for v in got), "eval ids leaked into output"
+    # cross-check against the brute-force pair oracle at the same
+    # threshold: the flagged train set == train ids with a cross-split
+    # partner among the (a < b) dup pairs
+    pairs = q_embedding_cosine_dup(spark, SF).collect()
+    want = {}
+    for p in pairs:
+        for t, e in ((p.a, p.b), (p.b, p.a)):
+            if t % 20 != 0 and e % 20 == 0:
+                want[t] = want.get(t, 0) + 1
+    assert got == want

@@ -5092,6 +5092,49 @@ def q_vendored_dir_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_semantic_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic eval decontamination: training vectors whose embedding
+    is cosine-close to ANY held-out eval vector (vec_id % 20 == 0 is
+    eval, matching the text-side split) — the third rung of the
+    decontamination ladder after doc-level LSH (decontaminate_vs_eval)
+    and verbatim 13-grams (eval_ngram_contamination): a paraphrased
+    eval question shares neither shingles nor n-grams, but its
+    embedding stays close. Emits per-training-vector evidence
+    (match count, max cosine).
+
+    Scale shape: the same asymmetry as every eval-side check — the
+    eval set is bounded no matter the corpus, so it BROADCASTS (one
+    nested-loop pass per Arrow batch) and the training stream never
+    shuffles; at larger eval suites the IVF cell join
+    (ann_ivf_kmeans_topk) slots in with cells trained on the eval
+    side. Exact dot products via the same fold both engines replay
+    sequentially."""
+    n = _normed_embeddings(spark, sf_dir)
+    ev = n.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("ev_id"),
+        F.col("embedding").alias("ee"),
+        F.col("nrm").alias("ne"),
+    )
+    tr = n.where(F.col("vec_id") % 20 != 0)
+    cos = F.round(
+        F.expr(_DOT.format(x="embedding", y="ee"))
+        / (F.col("nrm") * F.col("ne")),
+        6,
+    )
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select("vec_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_DUP_T)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_eval_matches"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+
+
 COMPACT_TARGET = 16_384  # target output-file size (bytes) for compaction
 COMPACT_BKT_SHIFT = 6  # prefix-sum bucket = doc_id >> shift
 
@@ -5371,6 +5414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_cosine_dup": q_embedding_cosine_dup,
     "embedding_srp_lsh_dup": q_embedding_srp_lsh_dup,
+    "eval_semantic_contamination": q_eval_semantic_contamination,
     "ann_ivf_topk": q_ann_ivf_topk,
     # TwinSpect scoring metrics
     "eff_sweep_exact": q_eff_sweep_exact,
@@ -9219,4 +9263,29 @@ ORACLE_SQL["compaction_plan"] = f"""
            cast(sum(bytes) AS bigint) AS bin_bytes,
            round(sum(bytes) * 1.0 / {COMPACT_TARGET}, 6) AS fill_frac
     FROM a GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["eval_semantic_contamination"] = f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> cast(x AS double) * cast(x AS double)))) AS nrm
+      FROM embeddings
+    ),
+    hits AS (
+      SELECT t.vec_id,
+             round(list_sum(list_transform(
+                     list_zip(t.embedding, e.embedding),
+                     p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                   / (t.nrm * e.nrm), 6) AS cosine
+      FROM n t JOIN n e
+        ON t.vec_id % 20 != 0 AND e.vec_id % 20 = 0
+    )
+    SELECT vec_id,
+           cast(count(*) AS bigint) AS n_eval_matches,
+           max(cosine) AS max_cosine
+    FROM hits
+    WHERE cosine >= {COSINE_DUP_T}
+    GROUP BY 1
 """
