@@ -1669,6 +1669,51 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct as-of join (operators/asof.py): each event
+    is assigned a deterministic query timestamp spanning the order-date
+    domain (planted-column idiom — events and orders live in disjoint
+    date ranges in the synthetic data) and enriched with the user's most
+    recent order AT OR BEFORE that instant. This is the feature-store /
+    snapshot-attribution lookup every training pipeline needs and Spark
+    has no native operator for. Scale shape: union-tag single-window —
+    ONE shuffle on the key, |left|+|right| intermediate rows, never the
+    inequality-join explosion (a 1k-order × 1k-event user would
+    materialize 10^6 rows under the naive join→argmax plan). Ties are
+    pinned: an order exactly at qts matches; equal order dates resolve
+    to the max orderkey. The oracle replays the semantics with a LATERAL
+    argmax — proving the single-window plan equals the per-row
+    definition."""
+    from twinspect_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestamp'1995-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(event_id % 2405 as int), 0, 0, 0)"
+        ).alias("qts"),
+    )
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="qts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice", "o_orderdate"],
+        right_seq="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("qts").cast("string").alias("qts"),
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.col("asof_o_totalprice").alias("asof_totalprice"),
+        F.col("asof_o_orderdate").cast("string").alias("asof_orderdate"),
+    )
+
+
 def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 dataset checksum, both flavors: the reference's order-
     sensitive secure hash (blake3 over sorted content hashes,
@@ -5405,6 +5450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_customer_stats": q_nation_customer_stats,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
+    "order_asof_lookup": q_order_asof_lookup,
     "corpus_fingerprint": q_corpus_fingerprint,
     # multimodal
     "media_meta": q_media_meta,
@@ -7323,6 +7369,24 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, cast(max(session_id) AS bigint) AS n_sessions,
                count(*) AS n_events
         FROM sess GROUP BY user_id
+    """,
+    "order_asof_lookup": """
+        WITH ev AS (
+          SELECT event_id, user_id,
+                 TIMESTAMP '1995-01-01 00:00:00'
+                   + INTERVAL (event_id % 2405) DAY AS qts
+          FROM events
+        )
+        SELECT e.event_id, e.user_id, cast(e.qts AS varchar) AS qts,
+               o.o_orderkey AS asof_orderkey,
+               o.o_totalprice AS asof_totalprice,
+               cast(o.o_orderdate AS varchar) AS asof_orderdate
+        FROM ev e LEFT JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice, o_orderdate
+          FROM orders
+          WHERE o_custkey = e.user_id AND o_orderdate <= e.qts
+          ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+        ) o ON true
     """,
     "embedding_norms": """
         SELECT vec_id,
