@@ -1714,6 +1714,43 @@ def q_order_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-graph PageRank (operators/pagerank.py): importance
+    scores over the planted import graph — each doc links to the OWNER
+    (min doc_id importer) of every module it imports, dangling docs are
+    closed with self-loops, then 5 rounds of damped rank flow. This is
+    the quality/importance-propagation shape curation pipelines use for
+    link-based sampling weights (host-rank style), and the second
+    iterative graph operator after CC — weighted flow, not label
+    spread. Everything is int64 fixed-point (contribution = rank div
+    outdeg, damping = 85·sum div 100), so the result is independent of
+    partition count and summation order, and the DuckDB oracle replays
+    the 5 rounds as chained CTEs BIT-EXACTLY — the gate catches a
+    single off-by-one in any round's floor division."""
+    from twinspect_spark.operators.pagerank import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    imp = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(doc_id % 4 as int)),"
+                " i -> (doc_id * 7 + i * 13) % 40)"
+            )
+        ).alias("m"),
+    ).distinct()
+    own = imp.groupBy("m").agg(F.min("doc_id").alias("dst"))
+    edges = (
+        imp.join(F.broadcast(own), "m")
+        .where(F.col("doc_id") != F.col("dst"))
+        .select(F.col("doc_id").alias("src"), "dst")
+        .distinct()
+    )
+    return pagerank(edges, iterations=5).select(
+        F.col("node").alias("doc_id"), "rank_scaled"
+    )
+
+
 def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 dataset checksum, both flavors: the reference's order-
     sensitive secure hash (blake3 over sorted content hashes,
@@ -5451,6 +5488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "order_asof_lookup": q_order_asof_lookup,
+    "doc_pagerank": q_doc_pagerank,
     "corpus_fingerprint": q_corpus_fingerprint,
     # multimodal
     "media_meta": q_media_meta,
@@ -7387,6 +7425,60 @@ ORACLE_SQL: dict[str, str] = {
           WHERE o_custkey = e.user_id AND o_orderdate <= e.qts
           ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
         ) o ON true
+    """,
+    "doc_pagerank": """
+        WITH imp AS (
+          SELECT DISTINCT doc_id, (doc_id * 7 + i * 13) % 40 AS m
+          FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+                FROM documents)
+        ),
+        own AS (SELECT m, min(doc_id) AS dst FROM imp GROUP BY m),
+        e_raw AS (
+          SELECT DISTINCT imp.doc_id AS src, own.dst
+          FROM imp JOIN own USING (m) WHERE imp.doc_id != own.dst
+        ),
+        nodes AS (SELECT src AS node FROM e_raw
+                  UNION SELECT dst FROM e_raw),
+        dang AS (SELECT node AS src, node AS dst FROM nodes
+                 WHERE node NOT IN (SELECT src FROM e_raw)),
+        e2 AS (SELECT src, dst FROM e_raw
+               UNION ALL SELECT src, dst FROM dang),
+        deg AS (SELECT src, count(*) AS outdeg FROM e2 GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, 1000000000000 // n AS r,
+                      (15 * (1000000000000 // n)) // 100 AS base
+               FROM nodes, nn),
+        c1 AS (SELECT e2.dst, cast(sum(r0.r // deg.outdeg) AS bigint) AS c
+               FROM r0 JOIN e2 ON e2.src = r0.node
+               JOIN deg ON deg.src = e2.src GROUP BY e2.dst),
+        r1 AS (SELECT r0.node, r0.base + (85 * coalesce(c1.c, 0)) // 100 AS r,
+                      r0.base
+               FROM r0 LEFT JOIN c1 ON c1.dst = r0.node),
+        c2 AS (SELECT e2.dst, cast(sum(r1.r // deg.outdeg) AS bigint) AS c
+               FROM r1 JOIN e2 ON e2.src = r1.node
+               JOIN deg ON deg.src = e2.src GROUP BY e2.dst),
+        r2 AS (SELECT r1.node, r1.base + (85 * coalesce(c2.c, 0)) // 100 AS r,
+                      r1.base
+               FROM r1 LEFT JOIN c2 ON c2.dst = r1.node),
+        c3 AS (SELECT e2.dst, cast(sum(r2.r // deg.outdeg) AS bigint) AS c
+               FROM r2 JOIN e2 ON e2.src = r2.node
+               JOIN deg ON deg.src = e2.src GROUP BY e2.dst),
+        r3 AS (SELECT r2.node, r2.base + (85 * coalesce(c3.c, 0)) // 100 AS r,
+                      r2.base
+               FROM r2 LEFT JOIN c3 ON c3.dst = r2.node),
+        c4 AS (SELECT e2.dst, cast(sum(r3.r // deg.outdeg) AS bigint) AS c
+               FROM r3 JOIN e2 ON e2.src = r3.node
+               JOIN deg ON deg.src = e2.src GROUP BY e2.dst),
+        r4 AS (SELECT r3.node, r3.base + (85 * coalesce(c4.c, 0)) // 100 AS r,
+                      r3.base
+               FROM r3 LEFT JOIN c4 ON c4.dst = r3.node),
+        c5 AS (SELECT e2.dst, cast(sum(r4.r // deg.outdeg) AS bigint) AS c
+               FROM r4 JOIN e2 ON e2.src = r4.node
+               JOIN deg ON deg.src = e2.src GROUP BY e2.dst),
+        r5 AS (SELECT r4.node, r4.base + (85 * coalesce(c5.c, 0)) // 100 AS r,
+                      r4.base
+               FROM r4 LEFT JOIN c5 ON c5.dst = r4.node)
+        SELECT node AS doc_id, r AS rank_scaled FROM r5
     """,
     "embedding_norms": """
         SELECT vec_id,
