@@ -1751,6 +1751,45 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/rangejoin.py): events
+    attributed to every overlapping promo window — 12 deterministic
+    3-day windows advancing 2 days apart over the event-time domain, so
+    adjacent windows overlap and a point legitimately matches twice.
+    Spark has no range-join operator: the raw ``ts BETWEEN start AND
+    end`` predicate plans as a nested-loop/cartesian join, which is
+    fatal when both sides are big. The operator bins time into 1-day
+    buckets (each interval explodes into ≤4 bucket rows), equi-joins on
+    the bucket, and refines with the exact inequality. The oracle runs
+    the NAIVE inequality join — proving binning changes the plan, not
+    the result — and the double sum goes through the decimal-cast idiom
+    so accumulation order can't leak into the gate."""
+    from twinspect_spark.operators.rangejoin import point_in_interval_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    promos = spark.range(12).select(
+        F.col("id").alias("promo_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(id * 2 as int), 0, 0, 0)"
+        ).alias("start_ts"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(id * 2 + 3 as int), 0, 0, 0)"
+        ).alias("end_ts"),
+    )
+    hits = point_in_interval_join(
+        ev, promos, point_ts="ts", start_ts="start_ts", end_ts="end_ts"
+    )
+    return hits.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 dataset checksum, both flavors: the reference's order-
     sensitive secure hash (blake3 over sorted content hashes,
@@ -5489,6 +5528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "order_asof_lookup": q_order_asof_lookup,
     "doc_pagerank": q_doc_pagerank,
+    "promo_event_attribution": q_promo_event_attribution,
     "corpus_fingerprint": q_corpus_fingerprint,
     # multimodal
     "media_meta": q_media_meta,
@@ -7479,6 +7519,22 @@ ORACLE_SQL: dict[str, str] = {
                       r4.base
                FROM r4 LEFT JOIN c5 ON c5.dst = r4.node)
         SELECT node AS doc_id, r AS rank_scaled FROM r5
+    """,
+    "promo_event_attribution": """
+        WITH promos AS (
+          SELECT p AS promo_id,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + INTERVAL (p * 2) DAY AS start_ts,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + INTERVAL (p * 2 + 3) DAY AS end_ts
+          FROM (SELECT unnest(range(12)) AS p)
+        )
+        SELECT promo_id, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        FROM promos JOIN events e
+          ON e.ts >= start_ts AND e.ts < end_ts
+        GROUP BY promo_id
     """,
     "embedding_norms": """
         SELECT vec_id,
