@@ -163,6 +163,12 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "brand_volume",
         "user_sessions",
         "events_hourly",
+        "order_asof_lookup",
+        "promo_event_attribution",
+        "doc_pagerank",
+        "sales_rollup",
+        "event_type_pivot",
+        "rolling_revenue",
         "token_stats",
         "quality_scores",
         "stratified_sample",

@@ -72,7 +72,7 @@ def pagerank(
     )
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
         "node", init.alias("rank_scaled"), base.alias("base")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     for _ in range(iterations):
         contrib = (
@@ -98,6 +98,10 @@ def pagerank(
                 ).alias("rank_scaled"),
                 "base",
             )
-            .localCheckpoint()
+            # lazy checkpoint: truncates lineage without the blocking
+            # per-round job an eager one costs (an eager checkpoint per
+            # round serializes K driver round-trips; ranks are
+            # deterministic ints, so recompute-on-loss is safe)
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", "rank_scaled")

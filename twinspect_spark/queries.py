@@ -1790,6 +1790,91 @@ def q_promo_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS surface (W-family): order revenue by region and
+    nation with ROLLUP subtotals — per (region, nation), per region,
+    and the grand total in ONE aggregation pass. Spark plans rollup as
+    a single Expand + hash aggregate (each input row fans into its 3
+    grouping sets map-side), not 3 scans — the shape that matters when
+    the fact table is 100 TB and re-scanning per subtotal level is the
+    naive alternative. grouping_id disambiguates a NULL group key from
+    a subtotal row; the decimal-cast sum keeps accumulation order out
+    of the gate. Dimensions broadcast; the only shuffle is the
+    final partial→final aggregate exchange."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select("r_name", "n_name", "gid", "n_orders", "revenue")
+    )
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: per-user event counts widened to one column per
+    event type (the feature-vector layout a training pipeline exports).
+    The type list is pinned explicitly — pivot with an inferred value
+    list costs an extra distinct-collect job AND makes the schema
+    data-dependent, which breaks checkpoint/resume schema stability;
+    with the list given, Spark plans ONE map-side-combinable aggregate
+    (pivot_first), no extra pass. Oracle is the portable CASE-WHEN
+    formulation — pivot is sugar, the gate proves it."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window surface: daily order revenue plus the 7-day
+    trailing sum. The frame is RANGE over a day NUMBER (not ROWS):
+    calendar gaps — days with no orders — must still age out of the
+    window, which a row-count frame silently gets wrong. Scale shape:
+    the heavy relation collapses to one row per day FIRST (map-side
+    combinable groupBy), and the window runs over the ~|days| rollup —
+    never over raw orders. Integer day keys + decimal-cast sums keep
+    both engines bit-aligned."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "cast(datediff(cast(o_orderdate as date), date'1995-01-01') as bigint)"
+        ).alias("day_no")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = (
+        W.orderBy("day_no")
+        .rangeBetween(-6, W.currentRow)
+    )
+    return daily.select(
+        "day_no",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("revenue_7d"),
+    )
+
+
 def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 dataset checksum, both flavors: the reference's order-
     sensitive secure hash (blake3 over sorted content hashes,
@@ -5529,6 +5614,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_asof_lookup": q_order_asof_lookup,
     "doc_pagerank": q_doc_pagerank,
     "promo_event_attribution": q_promo_event_attribution,
+    "sales_rollup": q_sales_rollup,
+    "event_type_pivot": q_event_type_pivot,
+    "rolling_revenue": q_rolling_revenue,
     "corpus_fingerprint": q_corpus_fingerprint,
     # multimodal
     "media_meta": q_media_meta,
@@ -7535,6 +7623,40 @@ ORACLE_SQL: dict[str, str] = {
         FROM promos JOIN events e
           ON e.ts >= start_ts AND e.ts < end_ts
         GROUP BY promo_id
+    """,
+    "sales_rollup": """
+        SELECT r_name, n_name,
+               cast(GROUPING(r_name, n_name) AS int) AS gid,
+               count(*) AS n_orders,
+               cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+                 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "event_type_pivot": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'error') AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view') AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "rolling_revenue": """
+        WITH daily AS (
+          SELECT datediff('day', DATE '1995-01-01',
+                          cast(o_orderdate AS date)) AS day_no,
+                 sum(cast(o_totalprice AS decimal(18,2))) AS rev
+          FROM orders GROUP BY 1
+        )
+        SELECT day_no, cast(rev AS double) AS revenue,
+               cast(sum(rev) OVER (ORDER BY day_no
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS double)
+                 AS revenue_7d
+        FROM daily
     """,
     "embedding_norms": """
         SELECT vec_id,
