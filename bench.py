@@ -169,6 +169,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "sales_rollup",
         "event_type_pivot",
         "rolling_revenue",
+        "zorder_layout",
         "token_stats",
         "quality_scores",
         "stratified_sample",

@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from twinspect_spark.plans.layout import zvalue16_sql
+
 from twinspect_spark.config import DedupConfig
 from twinspect_spark.operators.cc import connected_components
 from twinspect_spark.operators.lsh import band_table, lsh_candidates
@@ -1872,6 +1874,36 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_no",
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(w).cast("double").alias("revenue_7d"),
+    )
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout planning (plans/layout.py): events cut into 64
+    equal-row files along the Morton curve of (user_id, day), with
+    per-file min/max of BOTH dimensions — the OPTIMIZE ZORDER readout
+    showing column stats stay tight in two dimensions at once (a
+    single-dim sort leaves the other dimension full-width per file, so
+    min/max pruning dies for two-predicate scans). Scale shape: the
+    global z-rank comes from the distributed prefix sum (64 z-prefix
+    buckets, monotone in z), never a corpus-wide single-task window;
+    the oracle replays the NAIVE global row_number + the identical
+    interleave SQL string, proving the decomposition bit-equal."""
+    from twinspect_spark.plans.layout import zorder_file_plan
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("cast(dayofmonth(ts) as bigint)").alias("d"),
+    )
+    plan = zorder_file_plan(ev, "user_id", "d", "event_id", 64)
+    return plan.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("d").alias("min_day"),
+        F.max("d").alias("max_day"),
+        F.min("zval").alias("min_z"),
+        F.max("zval").alias("max_z"),
     )
 
 
@@ -5617,6 +5649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sales_rollup": q_sales_rollup,
     "event_type_pivot": q_event_type_pivot,
     "rolling_revenue": q_rolling_revenue,
+    "zorder_layout": q_zorder_layout,
     "corpus_fingerprint": q_corpus_fingerprint,
     # multimodal
     "media_meta": q_media_meta,
@@ -7657,6 +7690,24 @@ ORACLE_SQL: dict[str, str] = {
                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS double)
                  AS revenue_7d
         FROM daily
+    """,
+    "zorder_layout": f"""
+        WITH pts AS (
+          SELECT event_id, user_id,
+                 cast(EXTRACT(day FROM ts) AS bigint) AS d
+          FROM events
+        ), z AS (
+          SELECT *, {zvalue16_sql('user_id', 'd')} AS zval FROM pts
+        ), ranked AS (
+          SELECT *, row_number() OVER (ORDER BY zval, event_id) - 1 AS rk,
+                 count(*) OVER () AS n
+          FROM z
+        )
+        SELECT (rk * 64) // n AS file_id, count(*) AS n_rows,
+               min(user_id) AS min_user, max(user_id) AS max_user,
+               min(d) AS min_day, max(d) AS max_day,
+               min(zval) AS min_z, max(zval) AS max_z
+        FROM ranked GROUP BY 1
     """,
     "embedding_norms": """
         SELECT vec_id,
