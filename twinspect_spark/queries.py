@@ -1753,6 +1753,41 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle census (operators/triangles.py) over
+    the undirected planted import graph (same synthesis as
+    doc_pagerank): per-node degree, triangle count, and local
+    clustering coefficient in ppm — the community/link-farm signal of
+    graph-based curation. The naive 3-way self-join explodes as
+    sum(d^2) around hubs; orienting every edge from the (degree, id)
+    smaller endpoint finds each triangle exactly once and bounds wedge
+    work by m^1.5 (Suri & Vassilvitskii WWW'11). All-integer output,
+    so the DuckDB oracle — which DOES run the naive a<b<c 3-join —
+    must match bit-exactly: the gate proves the oriented decomposition
+    equals the textbook definition."""
+    from twinspect_spark.operators.triangles import triangle_census
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    imp = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(doc_id % 4 as int)),"
+                " i -> (doc_id * 7 + i * 13) % 40)"
+            )
+        ).alias("m"),
+    ).distinct()
+    own = imp.groupBy("m").agg(F.min("doc_id").alias("dst"))
+    edges = (
+        imp.join(F.broadcast(own), "m")
+        .where(F.col("doc_id") != F.col("dst"))
+        .select(F.col("doc_id").alias("a"), F.col("dst").alias("b"))
+    )
+    return triangle_census(edges).select(
+        F.col("node").alias("doc_id"), "degree", "n_triangles", "clustering_ppm"
+    )
+
+
 def q_promo_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join (operators/rangejoin.py): events
     attributed to every overlapping promo window — 12 deterministic
@@ -5645,6 +5680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "order_asof_lookup": q_order_asof_lookup,
     "doc_pagerank": q_doc_pagerank,
+    "graph_triangle_census": q_graph_triangle_census,
     "promo_event_attribution": q_promo_event_attribution,
     "sales_rollup": q_sales_rollup,
     "event_type_pivot": q_event_type_pivot,
@@ -7640,6 +7676,44 @@ ORACLE_SQL: dict[str, str] = {
                       r4.base
                FROM r4 LEFT JOIN c5 ON c5.dst = r4.node)
         SELECT node AS doc_id, r AS rank_scaled FROM r5
+    """,
+    "graph_triangle_census": """
+        WITH imp AS (
+          SELECT DISTINCT doc_id, (doc_id * 7 + i * 13) % 40 AS m
+          FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+                FROM documents)
+        ),
+        own AS (SELECT m, min(doc_id) AS dst FROM imp GROUP BY m),
+        e_raw AS (
+          SELECT DISTINCT imp.doc_id AS src, own.dst
+          FROM imp JOIN own USING (m) WHERE imp.doc_id != own.dst
+        ),
+        und AS (SELECT DISTINCT least(src, dst) AS u,
+                       greatest(src, dst) AS v FROM e_raw),
+        deg AS (
+          SELECT node, count(*) AS degree FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v FROM und
+          ) GROUP BY node
+        ),
+        tri AS (
+          SELECT t1.u AS a, t1.v AS b, t2.v AS c
+          FROM und t1
+          JOIN und t2 ON t2.u = t1.v
+          JOIN und t3 ON t3.u = t1.u AND t3.v = t2.v
+        ),
+        mem AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        ),
+        tcnt AS (SELECT node, count(*) AS t FROM mem GROUP BY node)
+        SELECT deg.node AS doc_id, deg.degree,
+               coalesce(tcnt.t, 0) AS n_triangles,
+               CASE WHEN deg.degree >= 2 THEN
+                 CAST(2000000 * coalesce(tcnt.t, 0)
+                      // (deg.degree * (deg.degree - 1)) AS BIGINT)
+               ELSE 0 END AS clustering_ppm
+        FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
     """,
     "promo_event_attribution": """
         WITH promos AS (
