@@ -2901,6 +2901,58 @@ def q_commit_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_file_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build over a (repo, path,
+    commit) file history — the lakehouse dimension-table op that turns
+    an append-only revision log into queryable validity intervals
+    (what did HEAD look like at commit N?). A three-commit history is
+    synthesized from documents: commit 2 edits doc_id%3==0 and TOUCHES
+    doc_id%3!=0 & %7==0 (rewrites identical content — the no-op write
+    SCD2 must collapse), commit 3 edits doc_id%5==0. Semantics: per
+    (repo, path) in commit order, (a) change-detect — drop rows whose
+    content equals the previous row's (lag window); (b) interval-ize —
+    valid_from = own commit, valid_to = next change's commit (lead),
+    NULL = current. Both windows share the (repo, path) partitioning,
+    so the whole build is ONE shuffle; per-key work is bounded by
+    history depth, never corpus size. Content leaves as sha256 only.
+    The DuckDB oracle replays both windows verbatim — the gate pins
+    the no-op-collapse rule (a touch row must not open a version)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def rev(seq: int, content, flt):
+        d = docs.where(flt) if flt is not None else docs
+        return d.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), "doc_id").alias("path"),
+            F.lit(seq).cast("long").alias("commit_seq"),
+            content.alias("content"),
+        )
+
+    hist = (
+        rev(1, F.col("text"), None)
+        .unionByName(rev(2, F.concat("text", F.lit(" rev2")), F.col("doc_id") % 3 == 0))
+        .unionByName(
+            rev(2, F.col("text"), (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 0))
+        )
+        .unionByName(rev(3, F.concat("text", F.lit(" rev3")), F.col("doc_id") % 5 == 0))
+    )
+    w = Window.partitionBy("repo", "path").orderBy("commit_seq")
+    changed = hist.withColumn("prev", F.lag("content").over(w)).where(
+        F.col("prev").isNull() | (F.col("content") != F.col("prev"))
+    )
+    return changed.select(
+        "repo",
+        "path",
+        F.row_number().over(w).alias("version_seq"),
+        F.col("commit_seq").alias("valid_from"),
+        F.lead("commit_seq").over(w).alias("valid_to"),
+        F.lead("commit_seq").over(w).isNull().alias("is_current"),
+        F.sha2("content", 256).alias("sha_content"),
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data export ops (training.py)
 # --------------------------------------------------------------------------
@@ -5627,6 +5679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_seen_filter": q_bloom_seen_filter,
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "commit_latest_snapshot": q_commit_latest_snapshot,
+    "scd2_file_history": q_scd2_file_history,
     "snapshot_diff": q_snapshot_diff,
     # training-data export
     "stratified_sample": q_stratified_sample,
@@ -7182,6 +7235,39 @@ ORACLE_SQL: dict[str, str] = {
                cast(max(commit_seq) AS int) AS latest_commit,
                sha256(max_by(content, commit_seq)) AS sha_latest
         FROM hist GROUP BY repo, path
+    """,
+    "scd2_file_history": """
+        WITH hist AS (
+          SELECT source AS repo, 'doc/' || doc_id AS path,
+                 CAST(1 AS BIGINT) AS commit_seq, text AS content
+          FROM documents
+          UNION ALL
+          SELECT source, 'doc/' || doc_id, 2, text || ' rev2'
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT source, 'doc/' || doc_id, 2, text
+          FROM documents WHERE doc_id % 3 != 0 AND doc_id % 7 = 0
+          UNION ALL
+          SELECT source, 'doc/' || doc_id, 3, text || ' rev3'
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        chg AS (
+          SELECT repo, path, commit_seq, content FROM (
+            SELECT repo, path, commit_seq, content,
+                   lag(content) OVER (
+                     PARTITION BY repo, path ORDER BY commit_seq
+                   ) AS prev
+            FROM hist
+          ) WHERE prev IS NULL OR content != prev
+        )
+        SELECT repo, path,
+               CAST(row_number() OVER w AS INT) AS version_seq,
+               commit_seq AS valid_from,
+               lead(commit_seq) OVER w AS valid_to,
+               lead(commit_seq) OVER w IS NULL AS is_current,
+               sha256(content) AS sha_content
+        FROM chg
+        WINDOW w AS (PARTITION BY repo, path ORDER BY commit_seq)
     """,
     "bigram_lm_score": """
         WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
