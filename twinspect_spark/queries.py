@@ -1617,6 +1617,76 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel signup → view → click → purchase:
+    a user reaches step k only via an event of that type STRICTLY
+    AFTER their step-(k-1) timestamp — the ordered-path semantics
+    (match_recognize / funneling) that a bare per-type count gets
+    wrong (a purchase before signup is not a conversion). Plan: ONE
+    shuffle — groupBy(user) collects per-type timestamp lists (bounded
+    by per-user activity), then the chain s1=min(signups),
+    s2=min(views>s1), … is pure array algebra (array_min ∘ filter:
+    order-insensitive, so collect_list nondeterminism cannot leak),
+    and the funnel table is a one-row global aggregate exploded to 4
+    step rows. Conversion ratios are BIGINT ppm so accumulation order
+    can't diverge; the DuckDB oracle computes the same chain as 4
+    chained join-aggregates — the gate proves the single-pass array
+    form equals the relational definition."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def tslist(t: str):
+        return F.collect_list(
+            F.when(F.col("event_type") == t, F.col("ts"))
+        ).alias(t)
+
+    per_user = ev.groupBy("user_id").agg(
+        tslist("signup"), tslist("view"), tslist("click"), tslist("purchase")
+    )
+    steps = per_user.select(
+        "user_id",
+        F.expr(
+            """
+            named_struct(
+              's1', array_min(signup),
+              's2', array_min(filter(view, x -> x > array_min(signup))),
+              's3', array_min(filter(click, x ->
+                      x > array_min(filter(view, v ->
+                        v > array_min(signup))))),
+              's4', array_min(filter(purchase, x ->
+                      x > array_min(filter(click, c ->
+                        c > array_min(filter(view, v ->
+                          v > array_min(signup)))))))
+            ) as st
+            """
+        ).alias("st"),
+    )
+    counts = steps.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count("st.s1").alias("n1"),
+        F.count("st.s2").alias("n2"),
+        F.count("st.s3").alias("n3"),
+        F.count("st.s4").alias("n4"),
+    )
+    ppm = (
+        "cast(case when {d} = 0 then 0"
+        " else 1000000 * {n} div {d} end as bigint)"
+    )
+    return counts.select(
+        F.expr(
+            "explode(array("
+            f"struct(1 as step_idx, 'signup' as step, n1 as n_users,"
+            f" {ppm.format(n='n1', d='n0')} as conv_ppm),"
+            f"struct(2 as step_idx, 'view' as step, n2 as n_users,"
+            f" {ppm.format(n='n2', d='n1')} as conv_ppm),"
+            f"struct(3 as step_idx, 'click' as step, n3 as n_users,"
+            f" {ppm.format(n='n3', d='n2')} as conv_ppm),"
+            f"struct(4 as step_idx, 'purchase' as step, n4 as n_users,"
+            f" {ppm.format(n='n4', d='n3')} as conv_ppm)"
+            ")) as s"
+        )
+    ).select("s.step_idx", "s.step", "s.n_users", "s.conv_ppm")
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -5731,6 +5801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_customer_stats": q_nation_customer_stats,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
+    "event_funnel": q_event_funnel,
     "order_asof_lookup": q_order_asof_lookup,
     "doc_pagerank": q_doc_pagerank,
     "graph_triangle_census": q_graph_triangle_census,
@@ -7671,6 +7742,54 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events,
                cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "event_funnel": """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        a1 AS (
+          SELECT user_id, min(ts) AS s1 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        a2 AS (
+          SELECT e.user_id, min(e.ts) AS s2
+          FROM events e JOIN a1 ON a1.user_id = e.user_id
+          WHERE e.event_type = 'view' AND e.ts > a1.s1
+          GROUP BY e.user_id
+        ),
+        a3 AS (
+          SELECT e.user_id, min(e.ts) AS s3
+          FROM events e JOIN a2 ON a2.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > a2.s2
+          GROUP BY e.user_id
+        ),
+        a4 AS (
+          SELECT e.user_id, min(e.ts) AS s4
+          FROM events e JOIN a3 ON a3.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > a3.s3
+          GROUP BY e.user_id
+        ),
+        c AS (
+          SELECT (SELECT count(*) FROM u) AS n0,
+                 (SELECT count(*) FROM a1) AS n1,
+                 (SELECT count(*) FROM a2) AS n2,
+                 (SELECT count(*) FROM a3) AS n3,
+                 (SELECT count(*) FROM a4) AS n4
+        )
+        SELECT 1 AS step_idx, 'signup' AS step, n1 AS n_users,
+               CAST(CASE WHEN n0 = 0 THEN 0
+                    ELSE 1000000 * n1 // n0 END AS BIGINT) AS conv_ppm
+        FROM c
+        UNION ALL
+        SELECT 2, 'view', n2,
+               CAST(CASE WHEN n1 = 0 THEN 0
+                    ELSE 1000000 * n2 // n1 END AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, 'click', n3,
+               CAST(CASE WHEN n2 = 0 THEN 0
+                    ELSE 1000000 * n3 // n2 END AS BIGINT) FROM c
+        UNION ALL
+        SELECT 4, 'purchase', n4,
+               CAST(CASE WHEN n3 = 0 THEN 0
+                    ELSE 1000000 * n4 // n3 END AS BIGINT) FROM c
     """,
     "user_sessions": """
         WITH flagged AS (
