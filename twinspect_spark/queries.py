@@ -1687,6 +1687,51 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s.step_idx", "s.step", "s.n_users", "s.conv_ppm")
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: per-user DAILY activity on a gapless
+    calendar with forward fill — the standard regularization step
+    before any per-entity time-series feature (rolling averages,
+    churn windows) that raw event logs can't feed directly because
+    inactive days are simply absent. Plan: per-(user, day) aggregate
+    (map-side combinable), per-user [min_day, max_day] span, calendar
+    densification via sequence()+explode (rows generated in-plan, no
+    driver loop — each user's fan-out is bounded by their own span),
+    left join back, and last(ignorenulls) over a rows frame for the
+    carry-forward. The day aggregate and both windows share the
+    user_id partitioning. Sums go through the decimal idiom so
+    accumulation order can't leak into the gate; the DuckDB oracle
+    replays generate_series + last_value IGNORE NULLS verbatim."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("day_value"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return joined.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("day_value", ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("filled_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -5802,6 +5847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "event_funnel": q_event_funnel,
+    "events_gapfill": q_events_gapfill,
     "order_asof_lookup": q_order_asof_lookup,
     "doc_pagerank": q_doc_pagerank,
     "graph_triangle_census": q_graph_triangle_census,
@@ -7742,6 +7788,30 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events,
                cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "events_gapfill": """
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 count(*) AS n_events,
+                 sum(CAST(value AS DECIMAL(18,2))) AS day_value
+          FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        span AS (
+          SELECT user_id, min(day) AS d0, max(day) AS d1
+          FROM daily GROUP BY user_id
+        ),
+        cal AS (
+          SELECT user_id, CAST(g AS DATE) AS day
+          FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(g)
+        )
+        SELECT cal.user_id, CAST(cal.day AS VARCHAR) AS day,
+               coalesce(daily.n_events, 0) AS n_events,
+               CAST(last_value(daily.day_value IGNORE NULLS) OVER (
+                 PARTITION BY cal.user_id ORDER BY cal.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS filled_value
+        FROM cal LEFT JOIN daily
+          ON daily.user_id = cal.user_id AND daily.day = cal.day
     """,
     "event_funnel": """
         WITH u AS (SELECT DISTINCT user_id FROM events),
