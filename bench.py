@@ -166,6 +166,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "order_asof_lookup",
         "promo_event_attribution",
         "doc_pagerank",
+        "graph_triangle_census",
+        "event_funnel",
+        "events_gapfill",
         "sales_rollup",
         "event_type_pivot",
         "rolling_revenue",
@@ -201,6 +204,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "bucket_skew_report",
         "char_entropy",
         "commit_latest_snapshot",
+        "scd2_file_history",
         "repeated_span_stats",
         "intra_doc_repetition",
         "lang_profile",
