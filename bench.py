@@ -205,6 +205,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "char_entropy",
         "commit_latest_snapshot",
         "scd2_file_history",
+        "merge_upsert_stats",
+        "lang_length_ols",
         "repeated_span_stats",
         "intra_doc_repetition",
         "lang_profile",

@@ -1184,6 +1184,48 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_length_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS: regress document length (chars) on
+    token count per language — slope, intercept, and r² from the five
+    classic sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²). The
+    statistics are EXACT BIGINT sums (map-side combinable, one shuffle
+    on lang, constant state per group — the streaming-mergeable shape:
+    two corpora's sums just add), so unlike F.corr/covar_samp — whose
+    float accumulation order varies with partitioning — the aggregate
+    is a pure data function; floats appear only in the FINAL closed-
+    form expressions, evaluated in the same operation order in both
+    engines and rounded to 6 places. The r² numerator squares
+    (nΣxy − ΣxΣy), which overflows BIGINT at corpus scale, so the
+    final formulas run in double on the exact integer inputs."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("x"),
+        F.length("text").cast("long").alias("y"),
+    )
+    s = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = "(cast(n as double) * sxy - cast(sx as double) * sy)"
+    varx = "(cast(n as double) * sxx - cast(sx as double) * sx)"
+    vary = "(cast(n as double) * syy - cast(sy as double) * sy)"
+    return s.select(
+        "lang",
+        "n",
+        F.expr(f"round({cov} / {varx}, 6)").alias("slope"),
+        F.expr(
+            f"round((cast(sy as double) * sxx - cast(sx as double) * sxy)"
+            f" / {varx}, 6)"
+        ).alias("intercept"),
+        F.expr(f"round({cov} * {cov} / ({varx} * {vary}), 6)").alias("r2"),
+    )
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: stopword / digit / punct ratios and a
     composite score — the length/punct/stopword profile a training-data
@@ -2970,6 +3012,58 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         F.coalesce("sha_v1", F.lit("")).alias("sha_v1"),
         F.coalesce("sha_v2", F.lit("")).alias("sha_v2"),
+    )
+
+
+def q_merge_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) as a query: a change batch applied to a base
+    table with full action classification — the Iceberg/Delta MERGE
+    semantics expressed as ONE full-outer join + CASE, the plan a
+    lakehouse engine itself executes under the statement. Base = orders
+    with o_orderkey % 4 != 0; the change batch carries one op per key
+    (priority D > U > I): deletes for %5==0, updates (+1.00 price) for
+    %3==0, inserts for %4==0 (keys absent from base). Classification:
+    matched+D → deleted, matched+U → updated, matched+I → a conflict
+    the statement ignores, unmatched+I → inserted, unmatched+U/D →
+    no-op; untouched base rows are kept. The output is the per-action
+    audit (row count + decimal-summed price mass of the POST-merge
+    state, removed mass for deletes) a MERGE commit log records. One
+    shuffle on the key; at 10^12 rows the change batch is the small
+    side and broadcast-joins against base file scan — no base rewrite
+    is modeled here, only the classification (the write side is
+    compaction_plan / dynamic-partition territory). The DuckDB oracle
+    replays join + CASE + rollup verbatim."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    base = orders.where(F.col("o_orderkey") % 4 != 0)
+    changes = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, "D")
+        .when(F.col("o_orderkey") % 3 == 0, "U")
+        .when(F.col("o_orderkey") % 4 == 0, "I")
+        .alias("op"),
+        (F.col("price") + F.lit(1.00).cast("decimal(18,2)")).alias("new_price"),
+    ).where(F.col("op").isNotNull())
+    j = base.join(changes, "o_orderkey", "full_outer")
+    classified = j.select(
+        "o_orderkey",
+        F.when(F.col("op").isNull(), "kept")
+        .when(F.col("price").isNotNull() & (F.col("op") == "D"), "deleted")
+        .when(F.col("price").isNotNull() & (F.col("op") == "U"), "updated")
+        .when(F.col("price").isNotNull() & (F.col("op") == "I"), "insert_conflict")
+        .when(F.col("op") == "I", "inserted")
+        .otherwise("unmatched_noop")
+        .alias("action"),
+        F.col("price"),
+        F.col("new_price"),
+    )
+    post = F.when(F.col("action").isin("kept", "insert_conflict"), F.col("price")) \
+        .when(F.col("action").isin("updated", "inserted"), F.col("new_price")) \
+        .when(F.col("action") == "deleted", F.col("price"))
+    return classified.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(post).cast("double").alias("price_mass"),
     )
 
 
@@ -5794,6 +5888,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_seen_filter": q_bloom_seen_filter,
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "commit_latest_snapshot": q_commit_latest_snapshot,
+    "merge_upsert_stats": q_merge_upsert_stats,
+    "lang_length_ols": q_lang_length_ols,
     "scd2_file_history": q_scd2_file_history,
     "snapshot_diff": q_snapshot_diff,
     # training-data export
@@ -7352,6 +7448,80 @@ ORACLE_SQL: dict[str, str] = {
                cast(max(commit_seq) AS int) AS latest_commit,
                sha256(max_by(content, commit_seq)) AS sha_latest
         FROM hist GROUP BY repo, path
+    """,
+    "lang_length_ols": """
+        WITH base AS (
+          SELECT lang,
+                 CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                      AS BIGINT) AS x,
+                 CAST(length(text) AS BIGINT) AS y
+          FROM documents
+        ),
+        s AS (
+          SELECT lang, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM base GROUP BY lang
+        )
+        SELECT lang, n,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                     6) AS slope,
+               round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                     6) AS intercept,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)),
+                     6) AS r2
+        FROM s
+    """,
+    "merge_upsert_stats": """
+        WITH base AS (
+          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          FROM orders WHERE o_orderkey % 4 != 0
+        ),
+        changes AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+                      WHEN o_orderkey % 3 = 0 THEN 'U'
+                      WHEN o_orderkey % 4 = 0 THEN 'I' END AS op,
+                 CAST(o_totalprice AS DECIMAL(18,2))
+                   + CAST(1.00 AS DECIMAL(18,2)) AS new_price
+          FROM orders
+          WHERE o_orderkey % 5 = 0 OR o_orderkey % 3 = 0
+             OR o_orderkey % 4 = 0
+        ),
+        j AS (
+          SELECT b.price, c.op, c.new_price
+          FROM base b FULL OUTER JOIN changes c
+            ON c.o_orderkey = b.o_orderkey
+        ),
+        cls AS (
+          SELECT CASE
+                   WHEN op IS NULL THEN 'kept'
+                   WHEN price IS NOT NULL AND op = 'D' THEN 'deleted'
+                   WHEN price IS NOT NULL AND op = 'U' THEN 'updated'
+                   WHEN price IS NOT NULL AND op = 'I'
+                     THEN 'insert_conflict'
+                   WHEN op = 'I' THEN 'inserted'
+                   ELSE 'unmatched_noop'
+                 END AS action,
+                 price, new_price
+          FROM j
+        )
+        SELECT action, count(*) AS n_rows,
+               CAST(sum(CASE
+                 WHEN action IN ('kept', 'insert_conflict') THEN price
+                 WHEN action IN ('updated', 'inserted') THEN new_price
+                 WHEN action = 'deleted' THEN price
+               END) AS DOUBLE) AS price_mass
+        FROM cls GROUP BY action
     """,
     "scd2_file_history": """
         WITH hist AS (
