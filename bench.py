@@ -166,6 +166,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "order_asof_lookup",
         "promo_event_attribution",
         "doc_pagerank",
+        "doc_communities",
         "graph_triangle_census",
         "event_funnel",
         "events_gapfill",

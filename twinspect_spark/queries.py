@@ -1945,6 +1945,44 @@ def q_graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (operators/labelprop.py) over the
+    planted import graph: 3 synchronous majority-vote rounds with the
+    (votes DESC, label ASC) deterministic tie-break — the community
+    granularity BETWEEN connected components (too coarse: one shared
+    boilerplate edge chains unrelated repos into one CC) and pairwise
+    similarity (too fine). Per round: one adjacency⋈labels join, one
+    map-side-combinable vote count, one node-partitioned argmax window.
+    The DuckDB oracle replays all 3 rounds as chained CTEs bit-exactly
+    — any nondeterminism in tie-breaking or round synchronization
+    fails the gate."""
+    from twinspect_spark.operators.labelprop import label_propagation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    imp = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(doc_id % 4 as int)),"
+                " i -> (doc_id * 7 + i * 13) % 40)"
+            )
+        ).alias("m"),
+    ).distinct()
+    own = imp.groupBy("m").agg(F.min("doc_id").alias("dst"))
+    edges = (
+        imp.join(F.broadcast(own), "m")
+        .where(F.col("doc_id") != F.col("dst"))
+        .select(F.col("doc_id").alias("a"), F.col("dst").alias("b"))
+    )
+    labels = label_propagation(edges, rounds=3)
+    sizes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "community").select(
+        F.col("node").alias("doc_id"), "community", "community_size"
+    )
+
+
 def q_promo_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join (operators/rangejoin.py): events
     attributed to every overlapping promo window — 12 deterministic
@@ -5947,6 +5985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_asof_lookup": q_order_asof_lookup,
     "doc_pagerank": q_doc_pagerank,
     "graph_triangle_census": q_graph_triangle_census,
+    "doc_communities": q_doc_communities,
     "promo_event_attribution": q_promo_event_attribution,
     "sales_rollup": q_sales_rollup,
     "event_type_pivot": q_event_type_pivot,
@@ -8121,6 +8160,66 @@ ORACLE_SQL: dict[str, str] = {
                       r4.base
                FROM r4 LEFT JOIN c5 ON c5.dst = r4.node)
         SELECT node AS doc_id, r AS rank_scaled FROM r5
+    """,
+    "doc_communities": """
+        WITH imp AS (
+          SELECT DISTINCT doc_id, (doc_id * 7 + i * 13) % 40 AS m
+          FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+                FROM documents)
+        ),
+        own AS (SELECT m, min(doc_id) AS dst FROM imp GROUP BY m),
+        e_raw AS (
+          SELECT DISTINCT imp.doc_id AS src, own.dst
+          FROM imp JOIN own USING (m) WHERE imp.doc_id != own.dst
+        ),
+        adj AS (
+          SELECT src, dst FROM e_raw
+          UNION
+          SELECT dst, src FROM e_raw
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS community FROM adj),
+        v1 AS (
+          SELECT adj.src, l0.community, count(*) AS votes
+          FROM adj JOIN l0 ON l0.node = adj.dst
+          GROUP BY adj.src, l0.community
+        ),
+        l1 AS (
+          SELECT src AS node, community FROM (
+            SELECT src, community, row_number() OVER (
+              PARTITION BY src ORDER BY votes DESC, community ASC
+            ) AS rn FROM v1
+          ) WHERE rn = 1
+        ),
+        v2 AS (
+          SELECT adj.src, l1.community, count(*) AS votes
+          FROM adj JOIN l1 ON l1.node = adj.dst
+          GROUP BY adj.src, l1.community
+        ),
+        l2 AS (
+          SELECT src AS node, community FROM (
+            SELECT src, community, row_number() OVER (
+              PARTITION BY src ORDER BY votes DESC, community ASC
+            ) AS rn FROM v2
+          ) WHERE rn = 1
+        ),
+        v3 AS (
+          SELECT adj.src, l2.community, count(*) AS votes
+          FROM adj JOIN l2 ON l2.node = adj.dst
+          GROUP BY adj.src, l2.community
+        ),
+        l3 AS (
+          SELECT src AS node, community FROM (
+            SELECT src, community, row_number() OVER (
+              PARTITION BY src ORDER BY votes DESC, community ASC
+            ) AS rn FROM v3
+          ) WHERE rn = 1
+        ),
+        sz AS (
+          SELECT community, count(*) AS community_size
+          FROM l3 GROUP BY community
+        )
+        SELECT l3.node AS doc_id, l3.community, sz.community_size
+        FROM l3 JOIN sz USING (community)
     """,
     "graph_triangle_census": """
         WITH imp AS (
