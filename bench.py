@@ -208,6 +208,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "scd2_file_history",
         "merge_upsert_stats",
         "lang_length_ols",
+        "orders_profile",
+        "data_quality_checks",
         "repeated_span_stats",
         "intra_doc_repetition",
         "lang_profile",
@@ -270,7 +272,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         # not a scale path (the scale path gates pairs on packed 8-bit
         # prefixes inside the join; benched via e2e_dedup_pipeline)
         # NOT eff_sweep_exact / distance_histogram / simhash_effectiveness
-        # / ngram_jaccard_pairs / embedding_cosine_dup: brute-force
+        # / ngram_jaccard_pairs / weighted_jaccard_pairs /
+        # embedding_cosine_dup: brute-force
         # all-pairs oracle constructs (or metrics whose ground truth is
         # one), O(n²) by design — they exist for the sf0.01 correctness
         # gate; the scale paths benched here are the LSH/SimHash pipeline

@@ -227,6 +227,66 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard Σmin(cₐ,c_b)/Σmax(cₐ,c_b) over
+    shingle OCCURRENCE COUNTS, emitted next to the set Jaccard for the
+    verified near-dup pairs — the repetition-sensitive similarity: two
+    docs sharing one license paragraph repeated 10× look far more
+    similar to the set measure than to the weighted one, and the gap
+    between the two columns is the boilerplate signal. Σmax needs no
+    second join: Σmax = |A|+|B|−Σmin with multiset totals. Plan: the
+    per-doc (shingle, count) rollup is map-side combinable; the count
+    join is restricted to docs appearing in some qualifying pair
+    (broadcast semi-join pushed INTO the self-join, the
+    _exact_jaccard_pairs idiom); at scale the pair list comes from the
+    LSH engine instead — the measure composes with any candidate
+    source. The DuckDB oracle replays multiset counts + least() sums
+    verbatim."""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    docs = _t_par(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    shm = docs.selectExpr(
+        "doc_id",
+        f"explode(transform("
+        f"  sequence(1, greatest(length(t) - {SHINGLE_K - 1}, 1)),"
+        f"  i -> substring(t, i, {SHINGLE_K}))) AS sh",
+    )
+    ids = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    cnt = (
+        shm.join(F.broadcast(ids), "doc_id", "left_semi")
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("tc"))
+    msum = (
+        cnt.alias("x")
+        .join(cnt.alias("y"), "sh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.sum(F.least("x.c", "y.c")).alias("m"))
+    )
+    ta = tot.select(F.col("doc_id").alias("a"), F.col("tc").alias("ta"))
+    tb = tot.select(F.col("doc_id").alias("b"), F.col("tc").alias("tb"))
+    return (
+        pairs.join(msum, ["a", "b"])
+        .join(ta, "a")
+        .join(tb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("m") / (F.col("ta") + F.col("tb") - F.col("m")), 6
+            ).alias("w_jaccard"),
+            "jaccard",
+        )
+    )
+
+
 def q_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter shingles: top 25 k-grams by DOCUMENT frequency
     (distinct-per-doc shingles, so a shingle repeated inside one doc
@@ -2020,6 +2080,122 @@ def q_promo_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler (Deequ/dbt-docs analog): per-column null count,
+    exact distinct count, and min/max over the orders table in ONE
+    scan — the schema-drift / data-quality readout a lake ingestion
+    job emits next to every snapshot. All stats per column compute in
+    a single global aggregate (Spark plans the multi-countDistinct via
+    one Expand — still one pass over the data, partials map-side), and
+    the wide one-row result unpivots to per-column rows in-plan via
+    explode. min/max leave as strings; doubles go through the
+    decimal(18,2) cast first because Java 17's Double.toString is not
+    shortest-round-trip, so a raw double→string min would gate-fail on
+    repr, not value. The DuckDB oracle computes the same stats
+    column-by-column and UNION ALLs them."""
+    orders = _t(spark, sf_dir, "orders")
+    # min/max run on the NATIVE type (a string-cast first would compare
+    # lexicographically: '9999' > '14999'); only the result is stringified
+    cols = [
+        ("o_orderkey", F.col("o_orderkey")),
+        ("o_custkey", F.col("o_custkey")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")),
+        ("o_orderdate", F.col("o_orderdate")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]
+    aggs = []
+    for name, expr in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{name}__n"),
+            F.sum(F.col(name).isNull().cast("long")).alias(f"{name}__nulls"),
+            F.countDistinct(name).alias(f"{name}__distinct"),
+            F.min(expr).cast("string").alias(f"{name}__min"),
+            F.max(expr).cast("string").alias(f"{name}__max"),
+        ]
+    one = orders.agg(*aggs)
+    structs = ", ".join(
+        f"struct('{n}' as col, {n}__n as n_rows, {n}__nulls as n_nulls,"
+        f" {n}__distinct as n_distinct, {n}__min as min_val,"
+        f" {n}__max as max_val)"
+        for n, _ in cols
+    )
+    return one.select(F.expr(f"explode(array({structs})) as s")).select(
+        "s.col", "s.n_rows", "s.n_nulls", "s.n_distinct", "s.min_val", "s.max_val"
+    )
+
+
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation suite (Deequ check analog): uniqueness,
+    referential integrity, range, and positivity rules over the
+    orders/customer/lineitem triangle, each reported as (rule,
+    n_violations, passed). Every rule is one aggregate or one
+    anti-join pass — uniqueness is count − countDistinct (no window),
+    FK checks are left_anti counts (broadcast when the dimension is
+    small, shuffle-hash otherwise; never a full outer materialize).
+    The six one-row results union in-plan; nothing collects driver-
+    side. This is the gate a pipeline runs BEFORE publishing a
+    snapshot — the batch analog of the streaming stores' commit-record
+    guards. Oracle replays each rule as a scalar subquery."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    def rule(name: str, viol):
+        return viol.select(
+            F.lit(name).alias("rule"),
+            F.col("v").cast("long").alias("n_violations"),
+            (F.col("v") == 0).alias("passed"),
+        )
+
+    checks = [
+        rule(
+            "orderkey_unique",
+            orders.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")
+            ),
+        ),
+        rule(
+            "orders_custkey_fk",
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ).agg(F.count(F.lit(1)).alias("v")),
+        ),
+        rule(
+            "lineitem_orderkey_fk",
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+            ).agg(F.count(F.lit(1)).alias("v")),
+        ),
+        rule(
+            "totalprice_positive",
+            orders.agg(
+                F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("v")
+            ),
+        ),
+        rule(
+            "linenumber_positive",
+            lineitem.agg(
+                F.sum((F.col("l_linenumber") < 1).cast("long")).alias("v")
+            ),
+        ),
+        rule(
+            "quantity_range",
+            lineitem.agg(
+                F.sum(
+                    (
+                        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+                    ).cast("long")
+                ).alias("v")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
 
 
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5879,6 +6055,7 @@ def q_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup family
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
     "hot_shingles": q_hot_shingles,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bucket_skew_report": q_bucket_skew_report,
@@ -5928,6 +6105,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "commit_latest_snapshot": q_commit_latest_snapshot,
     "merge_upsert_stats": q_merge_upsert_stats,
     "lang_length_ols": q_lang_length_ols,
+    "orders_profile": q_orders_profile,
+    "data_quality_checks": q_data_quality_checks,
     "scd2_file_history": q_scd2_file_history,
     "snapshot_diff": q_snapshot_diff,
     # training-data export
@@ -6643,6 +6822,47 @@ _ANN_KM_SQL = _ann_km_sql()
 
 ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": _PAIRS_SQL,
+    "weighted_jaccard_pairs": f"""
+        WITH {_SH_SQL},
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        jac AS (
+          SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+        ),
+        p AS (SELECT a, b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}),
+        shm AS (
+          SELECT doc_id,
+                 unnest([substr(t, i, {SHINGLE_K})
+                         for i in range(1, greatest(length(t) - {SHINGLE_K - 2}, 2))]) AS sh
+          FROM docs
+        ),
+        cnt AS (
+          SELECT doc_id, sh, count(*) AS c FROM shm GROUP BY doc_id, sh
+        ),
+        tot AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS tc
+          FROM cnt GROUP BY doc_id
+        ),
+        msum AS (
+          SELECT x.doc_id AS a, y.doc_id AS b,
+                 CAST(sum(least(x.c, y.c)) AS BIGINT) AS m
+          FROM cnt x JOIN cnt y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT p.a, p.b,
+               round(m * 1.0 / (ta.tc + tb.tc - m), 6) AS w_jaccard,
+               p.jaccard
+        FROM p
+        JOIN msum ON msum.a = p.a AND msum.b = p.b
+        JOIN tot ta ON ta.doc_id = p.a
+        JOIN tot tb ON tb.doc_id = p.b
+    """,
     "hot_shingles": f"""
         WITH {_SH_SQL}
         SELECT sh, count(*) AS doc_freq
@@ -7487,6 +7707,81 @@ ORACLE_SQL: dict[str, str] = {
                cast(max(commit_seq) AS int) AS latest_commit,
                sha256(max_by(content, commit_seq)) AS sha_latest
         FROM hist GROUP BY repo, path
+    """,
+    "orders_profile": """
+        SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+               CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate),
+               CAST(min(o_orderdate) AS VARCHAR),
+               CAST(max(o_orderdate) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+    """,
+    "data_quality_checks": """
+        WITH c AS (
+          SELECT
+            (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+              AS v_unique,
+            (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+              AS v_cust_fk,
+            (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+              AS v_li_fk,
+            (SELECT count(*) FILTER (o_totalprice <= 0) FROM orders)
+              AS v_price,
+            (SELECT count(*) FILTER (l_linenumber < 1) FROM lineitem)
+              AS v_linenum,
+            (SELECT count(*) FILTER (l_quantity < 1 OR l_quantity > 50)
+              FROM lineitem) AS v_qty
+        )
+        SELECT 'orderkey_unique' AS rule,
+               CAST(v_unique AS BIGINT) AS n_violations,
+               v_unique = 0 AS passed FROM c
+        UNION ALL
+        SELECT 'orders_custkey_fk', CAST(v_cust_fk AS BIGINT),
+               v_cust_fk = 0 FROM c
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk', CAST(v_li_fk AS BIGINT),
+               v_li_fk = 0 FROM c
+        UNION ALL
+        SELECT 'totalprice_positive', CAST(v_price AS BIGINT),
+               v_price = 0 FROM c
+        UNION ALL
+        SELECT 'linenumber_positive', CAST(v_linenum AS BIGINT),
+               v_linenum = 0 FROM c
+        UNION ALL
+        SELECT 'quantity_range', CAST(v_qty AS BIGINT), v_qty = 0 FROM c
     """,
     "lang_length_ols": """
         WITH base AS (
