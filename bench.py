@@ -210,6 +210,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "lang_length_ols",
         "orders_profile",
         "data_quality_checks",
+        "user_retention_cohorts",
+        "quality_pareto_frontier",
+        "hybrid_rank_fusion",
         "repeated_span_stats",
         "intra_doc_repetition",
         "lang_profile",

@@ -1888,6 +1888,181 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) per language over (token count,
+    quality score), both maximized — the non-dominated document set a
+    budgeted curation pass picks from when length and quality trade
+    off (every dominated doc has a strictly better alternative at no
+    cost). The naive skyline is an O(n²) anti-join against the
+    dominance predicate; for 2 dimensions ONE sort-free window pass
+    suffices: a doc survives iff its quality beats the running max
+    over all STRICTLY-longer docs (RANGE frame ending at 1 PRECEDING
+    on the descending token order — value-based, so token ties stay
+    OUT of the frame) and it tops its own equal-token group. Identical
+    (tokens, quality) twins are mutually non-dominating and both
+    survive. Quality is the round-6 composite from quality_scores, so
+    comparisons are engine-stable; the DuckDB oracle replays the same
+    two windows."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower("text").alias("t"), F.length("text").alias("len")
+    )
+    toks = F.expr("split(t, ' ')")
+    stop = F.expr(f"size(filter(split(t, ' '), w -> w in {_STOPWORDS}))")
+    digits = F.regexp_count("t", F.lit("[0-9]"))
+    punct = F.regexp_count("t", F.lit("[.,;:!?]"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0)
+            - (stop / F.size(toks)) * 0.5
+            - digits / F.col("len")
+            - punct / F.col("len"),
+            6,
+        ).alias("quality"),
+    )
+    w_longer = (
+        W.partitionBy("lang")
+        .orderBy(F.col("n_tokens").desc())
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_same = W.partitionBy("lang", "n_tokens")
+    return (
+        scored.withColumn("best_longer", F.max("quality").over(w_longer))
+        .withColumn("best_same", F.max("quality").over(w_same))
+        .where(
+            (
+                F.col("best_longer").isNull()
+                | (F.col("quality") > F.col("best_longer"))
+            )
+            & (F.col("quality") == F.col("best_same"))
+        )
+        .select("lang", "doc_id", "n_tokens", "quality")
+    )
+
+
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    tracked by distinct-active count at each week offset — the
+    engagement decay readout behind every product dashboard and, for a
+    corpus, the contributor-churn profile. All calendar math is
+    INTEGER (days-since-epoch div 7), so cohort and offset are exact
+    in both engines; retention is BIGINT ppm of the cohort size. Plan:
+    distinct (user, week) pairs (map-side combinable), per-user min
+    week, one join back, one (cohort, offset) count — after the
+    distinct, each user contributes one row per active week, so the
+    final count is count(*), not a second countDistinct. Offset-0 row
+    equals cohort size by construction (pytest-gated)."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr(
+            "cast(datediff(cast(ts as date), date'2024-01-01') div 7"
+            " as bigint)"
+        ).alias("week"),
+    ).distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        uw.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return active.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.expr(
+            "cast(1000000 * n_active div cohort_size as bigint)"
+        ).alias("retention_ppm"),
+    )
+
+
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke SIGIR'09): two
+    retrieval modalities — cosine similarity and exact integer L2 over
+    floor-quantized embeddings (they disagree exactly where vector
+    norms vary) — fused per query as Σ SCALE div (60 + rankₘ), the
+    parameter-free hybrid-search combiner every modern retrieval stack
+    ships (BM25 ⊕ dense, sparse ⊕ ANN). The RRF score is BIGINT
+    integer division, so ranks→score is exact in both engines and ties
+    break on neighbor id. Scale shape: each modality's ranks come from
+    its own index shortlist (here brute force over the audit panel —
+    oracle tier; in production IVF/PQ produce the per-modality top-R
+    and RRF fuses R-sized lists per query, never full rankings); the
+    rank windows partition by query, so fusion adds one window + one
+    projection, no extra shuffle beyond the per-query partitioning."""
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.expr(
+        "aggregate(transform(embedding, x -> cast(x as double)),"
+        " cast(0.0 as double), (acc, x) -> acc + x * x)"
+    )
+    qz = F.expr(
+        "transform(embedding,"
+        " x -> cast(floor(cast(x as double) * 10000) as bigint))"
+    )
+    n = emb.select(
+        "vec_id", "embedding", F.sqrt(sq).alias("nrm"), qz.alias("qv")
+    )
+    q = n.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("qv").alias("q_qv"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, embedding,"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(q_qv, qv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("q_nrm") * F.col("nrm")), 6).alias("cosine"),
+            l2.alias("l2q"),
+        )
+    )
+    wc = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    wl = W.partitionBy("q_id").orderBy(F.asc("l2q"), F.asc("neighbor_id"))
+    ranked = pairs.select(
+        "q_id",
+        "neighbor_id",
+        F.row_number().over(wc).alias("rank_cos"),
+        F.row_number().over(wl).alias("rank_l2"),
+    )
+    rrf = F.expr(
+        "cast(1000000000000 as bigint) div (60 + rank_cos)"
+        " + cast(1000000000000 as bigint) div (60 + rank_l2)"
+    )
+    wf = W.partitionBy("q_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        ranked.withColumn("rrf_score", rrf)
+        .withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "neighbor_id", "rrf_score", "rank_cos", "rank_l2")
+    )
+
+
 def q_order_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time-correct as-of join (operators/asof.py): each event
     is assigned a deterministic query timestamp spanning the order-date
@@ -6177,6 +6352,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # embeddings
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "hybrid_rank_fusion": q_hybrid_rank_fusion,
+    "user_retention_cohorts": q_user_retention_cohorts,
+    "quality_pareto_frontier": q_quality_pareto_frontier,
     "embedding_cosine_dup": q_embedding_cosine_dup,
     "embedding_srp_lsh_dup": q_embedding_srp_lsh_dup,
     "eval_semantic_contamination": q_eval_semantic_contamination,
@@ -8630,6 +8808,104 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings
     """,
     "ann_cosine_topk": _ANN_BF_SQL,
+    "quality_pareto_frontier": f"""
+        WITH t AS (
+          SELECT doc_id, lang, lower(text) AS t, length(text) AS len
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+                 round(1.0
+                   - (len(list_filter(string_split(t, ' '),
+                          w -> w in {_STOPWORDS})) * 1.0
+                      / len(string_split(t, ' '))) * 0.5
+                   - len(regexp_extract_all(t, '[0-9]')) * 1.0 / len
+                   - len(regexp_extract_all(t, '[.,;:!?]')) * 1.0 / len,
+                   6) AS quality
+          FROM t
+        ),
+        w AS (
+          SELECT lang, doc_id, n_tokens, quality,
+                 max(quality) OVER (PARTITION BY lang
+                   ORDER BY n_tokens DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_longer,
+                 max(quality) OVER (PARTITION BY lang, n_tokens)
+                   AS best_same
+          FROM m
+        )
+        SELECT lang, doc_id, n_tokens, quality FROM w
+        WHERE (best_longer IS NULL OR quality > best_longer)
+          AND quality = best_same
+    """,
+    "user_retention_cohorts": """
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                   AS week
+          FROM events
+        ),
+        firsts AS (
+          SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT cohort_week, count(*) AS cohort_size
+          FROM firsts GROUP BY cohort_week
+        ),
+        active AS (
+          SELECT f.cohort_week, uw.week - f.cohort_week AS week_offset,
+                 count(*) AS n_active
+          FROM uw JOIN firsts f ON f.user_id = uw.user_id
+          GROUP BY 1, 2
+        )
+        SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+               CAST(1000000 * a.n_active // s.cohort_size AS BIGINT)
+                 AS retention_ppm
+        FROM active a JOIN sizes s ON s.cohort_week = a.cohort_week
+    """,
+    "hybrid_rank_fusion": """
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> cast(x AS double) * cast(x AS double)))) AS nrm,
+                 list_transform(embedding,
+                      x -> cast(floor(cast(x AS double) * 10000)
+                                AS bigint)) AS qv
+          FROM embeddings
+        ),
+        q AS (SELECT * FROM n WHERE vec_id < 10),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                       p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                       / (q.nrm * c.nrm), 6) AS cosine,
+                 cast(list_sum(list_transform(list_zip(q.qv, c.qv),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS bigint) AS l2q
+          FROM q JOIN n c ON c.vec_id != q.vec_id
+        ),
+        ranked AS (
+          SELECT q_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank_cos,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY l2q ASC, neighbor_id) AS INT) AS rank_l2
+          FROM pairs
+        ),
+        scored AS (
+          SELECT q_id, neighbor_id,
+                 CAST(1000000000000 // (60 + rank_cos)
+                      + 1000000000000 // (60 + rank_l2) AS BIGINT)
+                   AS rrf_score,
+                 rank_cos, rank_l2
+          FROM ranked
+        )
+        SELECT q_id, neighbor_id, rrf_score, rank_cos, rank_l2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY rrf_score DESC, neighbor_id) AS rn
+          FROM scored
+        ) WHERE rn <= 5
+    """,
     "corpus_fingerprint": """
         WITH h AS (SELECT sha256(text) AS h FROM documents)
         SELECT count(*) AS n_rows,
