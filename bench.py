@@ -213,6 +213,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "user_retention_cohorts",
         "quality_pareto_frontier",
         "hybrid_rank_fusion",
+        "events_props_stats",
+        "phrase_search",
         "repeated_span_stats",
         "intra_doc_repetition",
         "lang_profile",

@@ -85,3 +85,50 @@ def test_pareto_frontier_hand_computed(spark, tmp_path):
     docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     out = {r["doc_id"] for r in q_quality_pareto_frontier(spark, str(tmp_path)).collect()}
     assert out == {0, 2}
+
+
+def test_props_stats_json_parsing(spark, tmp_path):
+    rows = [
+        (0, dt.datetime(2024, 1, 1), 1, "view", 1.0, '{"k": 5}'),
+        (1, dt.datetime(2024, 1, 1), 1, "view", 1.0, '{"k": 7}'),
+        (2, dt.datetime(2024, 1, 1), 2, "view", 1.0, '{"other": 1}'),
+        (3, dt.datetime(2024, 1, 1), 2, "click", 1.0, "not json"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from twinspect_spark.queries import q_events_props_stats
+
+    out = {r["event_type"]: r for r in q_events_props_stats(spark, str(tmp_path)).collect()}
+    assert out["view"]["n_events"] == 3
+    assert out["view"]["n_missing_k"] == 1  # {"other": 1}
+    assert out["view"]["sum_k"] == 12
+    assert out["view"]["avg_k"] == 6.0
+    assert out["click"]["n_missing_k"] == 1  # malformed json -> null
+
+
+def test_phrase_search_adjacency(spark, tmp_path):
+    # "table value" twice in doc 0 (incl. wrap-around NOT counted across
+    # the repeated word boundary), absent in doc 1 despite both words
+    rows = [
+        (0, "table value x table value", "en"),
+        (1, "value table x value y table", "en"),
+        (2, "fast sort", "en"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, "s", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from twinspect_spark.queries import q_phrase_search
+
+    out = {
+        (r["phrase"], r["doc_id"]): r["n_occurrences"]
+        for r in q_phrase_search(spark, str(tmp_path)).collect()
+    }
+    assert out[("table value", 0)] == 2
+    assert ("table value", 1) not in out
+    assert out[("fast sort", 2)] == 1

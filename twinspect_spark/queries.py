@@ -1987,6 +1987,82 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events.props JSON payload
+    parsed IN-PLAN (get_json_object path extraction — no UDF, no
+    pre-flattening job) and aggregated per event type. This is the
+    lakehouse reality check: event streams land with a schemaless
+    JSON tail, and the engine must project typed fields out of it at
+    scan speed — extraction fuses into the scan projection, so at
+    10^12 events the JSON never materializes as a second table.
+    Missing/null keys are counted, not dropped. The DuckDB oracle
+    replays extraction with json_extract_string — two independent
+    JSON parsers agreeing on every row is the gate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_missing_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+_PHRASE_PANEL = [
+    "table value",
+    "fast sort",
+    "query key",
+    "agg row",
+    "batch window",
+]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: exact 2-word phrase occurrence
+    counts per document via token-adjacency join — the inverted-index
+    query shape (posting lists joined on position+1) that substring
+    LIKE scans cannot serve at scale. The token stream is restricted
+    to the query phrases' words BEFORE the self-join (broadcast
+    semi-join on the bounded query vocabulary — the posting-list
+    fetch), so the adjacency join touches Σ|posting| rows, never the
+    corpus token stream squared; the phrase panel is a fixed literal
+    list, the bounded side of every join. The DuckDB oracle replays
+    tokenization with 1-based list indexing and the same adjacency
+    predicate."""
+    docs = _t_par(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        [(p,) for p in _PHRASE_PANEL], "phrase string"
+    ).select(
+        "phrase",
+        F.split("phrase", " ")[0].alias("w1"),
+        F.split("phrase", " ")[1].alias("w2"),
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("i", "w"),
+    )
+    qwords = (
+        phrases.select(F.col("w1").alias("w"))
+        .unionByName(phrases.select(F.col("w2").alias("w")))
+        .distinct()
+    )
+    post = tok.join(F.broadcast(qwords), "w", "left_semi")
+    a = post.select("doc_id", F.col("i").alias("ia"), F.col("w").alias("wa"))
+    b = post.select("doc_id", F.col("i").alias("ib"), F.col("w").alias("wb"))
+    adj = a.join(b, "doc_id").where(F.col("ib") == F.col("ia") + 1)
+    hits = adj.join(
+        F.broadcast(phrases),
+        (F.col("wa") == F.col("w1")) & (F.col("wb") == F.col("w2")),
+    )
+    return hits.groupBy("phrase", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+
+
 def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (Cormack & Clarke SIGIR'09): two
     retrieval modalities — cosine similarity and exact integer L2 over
@@ -6354,6 +6430,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "hybrid_rank_fusion": q_hybrid_rank_fusion,
     "user_retention_cohorts": q_user_retention_cohorts,
+    "events_props_stats": q_events_props_stats,
+    "phrase_search": q_phrase_search,
     "quality_pareto_frontier": q_quality_pareto_frontier,
     "embedding_cosine_dup": q_embedding_cosine_dup,
     "embedding_srp_lsh_dup": q_embedding_srp_lsh_dup,
@@ -8808,6 +8886,39 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings
     """,
     "ann_cosine_topk": _ANN_BF_SQL,
+    "events_props_stats": """
+        SELECT event_type, count(*) AS n_events,
+               CAST(count(*) - count(json_extract_string(props, '$.k'))
+                    AS BIGINT) AS n_missing_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+                     6) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+    "phrase_search": f"""
+        WITH phrases AS (
+          SELECT p AS phrase, string_split(p, ' ')[1] AS w1,
+                 string_split(p, ' ')[2] AS w2
+          FROM (SELECT unnest({_PHRASE_PANEL!r}) AS p)
+        ),
+        t AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, i, ws[i] AS w
+          FROM t, unnest(range(1, len(ws) + 1)) AS u(i)
+        ),
+        adj AS (
+          SELECT a.doc_id, a.w AS wa, b.w AS wb
+          FROM tok a JOIN tok b
+            ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        )
+        SELECT p.phrase, adj.doc_id, count(*) AS n_occurrences
+        FROM adj JOIN phrases p ON adj.wa = p.w1 AND adj.wb = p.w2
+        GROUP BY p.phrase, adj.doc_id
+    """,
     "quality_pareto_frontier": f"""
         WITH t AS (
           SELECT doc_id, lang, lower(text) AS t, length(text) AS len
