@@ -10974,3 +10974,212 @@ ORACLE_SQL["eval_semantic_contamination"] = f"""
     WHERE cosine >= {COSINE_DUP_T}
     GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 additions: prefix-filter join, drift, sharding, co-occurrence
+# --------------------------------------------------------------------------
+
+PPJOIN_T_NUM, PPJOIN_T_DEN = 7, 10  # shingle-Jaccard threshold = JACCARD_T
+COOCCUR_MIN_SUP_PCT = 1             # pair support floor: 1% of files
+KS_BUCKET_WIDTH = 10_000            # monotone bucketing of o_totalprice
+
+
+def q_ppjoin_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-Jaccard >= 0.7 similarity join via prefix
+    filtering (AllPairs/PPJoin, Bayardo WWW'07) — the lossless
+    counterpart to MinHash-LSH over the SAME shingle space and
+    threshold as ngram_jaccard_pairs: candidates are pairs sharing a
+    shingle inside each set's rarest-first prefix of length
+    n - ceil(t*n) + 1, verified exactly. The oracle is the NAIVE
+    all-pairs join (the ngram_jaccard_pairs oracle verbatim), so the
+    gate proves the prefix filter drops ZERO true pairs while the
+    Spark plan joins only ~(1-t) of each set's tokens — and only the
+    RARE ones, so the candidate join cannot hot-bucket on boilerplate
+    shingles. No global token rank is ever materialized (the order
+    lives only inside per-doc windows)."""
+    from twinspect_spark.operators.ppjoin import ppjoin_pairs
+
+    tok = _doc_shingles(spark, sf_dir).withColumnRenamed("sh", "tok")
+    return ppjoin_pairs(tok, "doc_id", PPJOIN_T_NUM, PPJOIN_T_DEN)
+
+
+def q_orders_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift between the o_totalprice
+    distributions of URGENT vs LOW priority orders — the exact
+    distribution-shift monitor (reference analog: the distance
+    distribution metric, distribution.py:42-66). The merged-CDF cumsum
+    runs as the DISTRIBUTED two-level prefix sum (monotone price
+    buckets -> per-bucket offsets -> within-bucket windows), never a
+    corpus-wide single-task sort; the D readout stays in exact BIGINT
+    (max |cum_a*n_b - cum_b*n_a|, ppm by integer division) so the
+    naive-global-window oracle matches bit-for-bit."""
+    from twinspect_spark.operators.drift import ks_two_sample
+
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    return ks_two_sample(
+        orders,
+        "o_totalprice",
+        F.col("o_orderpriority") == "1-URGENT",
+        F.expr(f"cast(floor(o_totalprice / {KS_BUCKET_WIDTH}) as bigint)"),
+    )
+
+
+def q_doc_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard placement readout: per-shard doc count,
+    byte mass, and — the property the operator exists for — how many
+    of the shard's rows MOVE when the fleet grows 8 -> 9 (HRW moves
+    only ~1/9, vs ~8/9 for hash-mod resharding). The argmax over
+    shards is a pure column expression (packed 56-bit sha weights,
+    array_max) — zero shuffles before the final 8-group rollup."""
+    from twinspect_spark.plans.sharding import rendezvous_shard
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = rendezvous_shard(docs, "doc_id", 8)
+    return sharded.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("shard_next") != F.col("shard"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+    )
+
+
+def q_import_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent import-pair census (market-basket over the planted
+    ``import libN`` headers — same synthesis as import_dep_profile):
+    pairs co-imported by >= 1% of files, with exact support and
+    integer-ppm lift. Apriori-pruned pair join (edges semi-joined to
+    frequent modules BEFORE the per-file self-join); corpus size and
+    the support floor are in-plan one-row aggregates, not driver
+    actions."""
+    from twinspect_spark.codelake import dep_cooccurrence, import_deps
+
+    docs = _t(spark, sf_dir, "documents")
+    imports = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int")),
+        lambda i: F.concat(
+            F.lit("import lib"),
+            F.pmod(F.col("doc_id") * 7 + i * 13, F.lit(40)).cast("string"),
+        ),
+    )
+    files = docs.select(
+        "doc_id",
+        F.col("source").alias("repo"),
+        F.concat(
+            F.concat_ws("\n", imports), F.lit("\n"), F.col("text")
+        ).alias("content"),
+    )
+    edges = import_deps(files, "repo", "doc_id", "content")
+    return dep_cooccurrence(edges, "doc_id", COOCCUR_MIN_SUP_PCT)
+
+
+QUERIES["ppjoin_similar_pairs"] = q_ppjoin_similar_pairs
+QUERIES["orders_drift_ks"] = q_orders_drift_ks
+QUERIES["doc_shard_rendezvous"] = q_doc_shard_rendezvous
+QUERIES["import_cooccurrence"] = q_import_cooccurrence
+
+
+# the naive all-pairs oracle — identical to ngram_jaccard_pairs: the gate
+# proves the prefix-filter plan returns EXACTLY the brute-force result
+ORACLE_SQL["ppjoin_similar_pairs"] = _PAIRS_SQL
+
+ORACLE_SQL["orders_drift_ks"] = """
+    WITH v AS (
+      SELECT o_totalprice AS val, o_orderpriority = '1-URGENT' AS isa
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    g AS (
+      SELECT val,
+             cast(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS bigint) AS ca,
+             cast(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS bigint) AS cb
+      FROM v GROUP BY 1
+    ),
+    t AS (
+      SELECT cast(sum(ca) AS bigint) AS n_a,
+             cast(sum(cb) AS bigint) AS n_b
+      FROM g
+    ),
+    c AS (
+      SELECT val,
+             sum(ca) OVER (ORDER BY val) AS cum_a,
+             sum(cb) OVER (ORDER BY val) AS cum_b
+      FROM g
+    ),
+    nrel AS (
+      SELECT val,
+             cast(abs(cum_a * t.n_b - cum_b * t.n_a) AS bigint) AS num
+      FROM c, t
+    ),
+    m AS (SELECT max(num) AS mx FROM nrel)
+    SELECT t.n_a, t.n_b,
+           cast((m.mx * 1000000) // (t.n_a * t.n_b) AS bigint) AS ks_d_ppm,
+           (SELECT min(val) FROM nrel WHERE num = m.mx) AS ks_at_value
+    FROM t, m
+"""
+
+ORACLE_SQL["doc_shard_rendezvous"] = """
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             [CAST(concat('0x', substr(sha256(
+                    CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)),
+                    1, 14)) AS UBIGINT) * 16 + s
+              for s in range(0, 9)] AS arr
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, n_chars,
+             CAST(list_max(list_filter(arr, x -> x % 16 < 8)) % 16 AS INT)
+                 AS shard,
+             CAST(list_max(arr) % 16 AS INT) AS shard_next
+      FROM w
+    )
+    SELECT shard,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS total_chars,
+           cast(sum(CASE WHEN shard_next != shard THEN 1 ELSE 0 END)
+                AS bigint) AS n_moved
+    FROM a GROUP BY 1
+"""
+
+ORACLE_SQL["import_cooccurrence"] = """
+    WITH files AS (
+        SELECT doc_id, source AS repo,
+               array_to_string(
+                   ['import lib' || CAST((doc_id * 7 + i * 13) % 40
+                                         AS VARCHAR)
+                    for i in range(0, doc_id % 4 + 1)], chr(10))
+               || chr(10) || text AS content
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_extract_all(content,
+                   'import ([a-z_][a-z0-9_]*)', 1))) AS dep
+        FROM files
+    ),
+    ts AS (
+      SELECT cast(count(DISTINCT doc_id) AS bigint) AS n_files,
+             cast((1 * count(DISTINCT doc_id)) // 100 AS bigint) AS min_sup
+      FROM e
+    ),
+    counts AS (
+      SELECT dep, cast(count(*) AS bigint) AS c FROM e GROUP BY 1
+    ),
+    freq AS (SELECT dep, c FROM counts, ts WHERE c >= ts.min_sup),
+    pe AS (SELECT e.doc_id, e.dep FROM e JOIN freq f ON e.dep = f.dep),
+    pairs AS (
+      SELECT x.dep AS m1, y.dep AS m2, cast(count(*) AS bigint) AS support
+      FROM pe x JOIN pe y ON x.doc_id = y.doc_id AND x.dep < y.dep
+      GROUP BY 1, 2
+    )
+    SELECT m1, m2, support, f1.c AS n_m1, f2.c AS n_m2,
+           cast((support * ts.n_files * 1000000) // (f1.c * f2.c)
+                AS bigint) AS lift_ppm
+    FROM pairs
+    JOIN freq f1 ON f1.dep = m1
+    JOIN freq f2 ON f2.dep = m2, ts
+    WHERE support >= ts.min_sup
+"""
