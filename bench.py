@@ -285,6 +285,24 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         # and the IVF-bucketed ANN
         "media_meta",
         "media_frame_sample",
+        # NOT ppjoin_similar_pairs: the prefix filter's selectivity is
+        # token rarity, and this corpus's shingle vocab is tiny (985 at
+        # k=4 / 13k at k=8 — operators/containment.py documents the same
+        # density regime), so candidates ≈ all pairs (measured 11.0M /
+        # 6.5M of 12.5M) and the query degenerates to the brute-force
+        # oracle tier. Gate-proven lossless at sf0.01; the scale path on
+        # a real high-vocabulary lake is exactly this plan.
+        "orders_drift_ks",
+        "doc_shard_rendezvous",
+        "import_cooccurrence",
+        "min_cost_supplier",
+        "supplier_part_variety",
+        "customer_rfm_segments",
+        "session_transition_matrix",
+        "price_outliers_mad",
+        "events_debounce",
+        "repo_dep_entropy",
+        "idle_rich_customers",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

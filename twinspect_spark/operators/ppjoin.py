@@ -30,13 +30,26 @@ Scale shape (100 TB lens):
   per-document windows — no global rank materialization, no
   vocabulary-wide sort in the data path;
 - per-doc position/size: ONE window shuffle on doc id;
-- candidate join: equi-join on the token value restricted to prefixes.
-  Rarest-first ordering puts LOW-frequency tokens in prefixes, so
-  bucket sizes are anti-correlated with token popularity — a
-  stopword/boilerplate shingle can never be a prefix token of a
-  large set, bounding join skew by construction;
+- candidate join: equi-join on the token value restricted to prefixes,
+  with the standard length filter fused into the join condition
+  (J >= t forces t·max(|x|,|y|) <= min(|x|,|y|) — an integer
+  predicate, no extra pass). Rarest-first ordering puts LOW-frequency
+  tokens in prefixes, so bucket sizes are anti-correlated with token
+  popularity — a stopword/boilerplate shingle can never be a prefix
+  token of a large set, bounding join skew by construction;
 - verify: exact intersection counting semi-joined down to candidate
   pairs (same restriction idiom as queries._exact_jaccard_pairs).
+
+Applicability domain — HIGH-entropy vocabularies. The selectivity of
+the prefix filter is the rarity of prefix tokens; on a low-entropy
+corpus it degenerates (measured on this synthetic corpus at sf0.1:
+4-gram vocab 985 → 11.0M of 12.5M possible pairs survive; even 8-gram
+vocab 13k → 6.5M), which is precisely the regime
+operators/containment.py documents and routes to its dense packed-
+bitmap tier instead. ppjoin_similar_pairs therefore sits in the
+ORACLE-tier of the battery on this corpus (gate-proves losslessness);
+on a real code/text lake with ~2^30+ distinct shingles the same plan
+is the scale path.
 """
 
 from __future__ import annotations
@@ -78,11 +91,19 @@ def ppjoin_pairs(
     set relation, via prefix-filter candidates + exact verify.
     Returns (a, b, jaccard) with a < b, jaccard rounded to 6 dp (the
     cross-engine comparison convention)."""
-    pref = prefix_tokens(tok, id_col, t_num, t_den)
+    sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
+    pref = prefix_tokens(tok, id_col, t_num, t_den).join(sizes, id_col)
     cands = (
         pref.alias("x")
         .join(pref.alias("y"), "tok")
-        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .where(
+            (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            # length filter: J >= t ⇒ t·max(|x|,|y|) <= min(|x|,|y|)
+            & (
+                F.lit(t_num) * F.greatest("x.n", "y.n")
+                <= F.lit(t_den) * F.least("x.n", "y.n")
+            )
+        )
         .select(
             F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
         )
@@ -93,7 +114,6 @@ def ppjoin_pairs(
         .unionByName(cands.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
     vtok = tok.join(F.broadcast(ids), id_col, "left_semi")
     inter = (
         vtok.alias("x")

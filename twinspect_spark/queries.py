@@ -11183,3 +11183,515 @@ ORACLE_SQL["import_cooccurrence"] = """
     JOIN freq f2 ON f2.dep = m2, ts
     WHERE support >= ts.min_sup
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 2: Q2/Q16 shapes, RFM, event transition matrix
+# --------------------------------------------------------------------------
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part) over the lineitem
+    fact: per (part, supplier) the min observed unit price, then the
+    argmin supplier per part — the correlated-subquery classic
+    expressed as ONE partial-aggregable groupBy plus a per-part window
+    (partition cardinality = suppliers-per-part, bounded), never a
+    corpus-wide sort. Ranking orders by the ROUNDED cost with a suppkey
+    tie-break (the repo's float-ranking convention) so top-1 sets
+    cannot diverge on 1-ulp noise. Dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    from pyspark.sql import Window
+
+    cost = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min("unit"), 6).alias("min_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("min_cost", "l_suppkey")
+    best = (
+        cost.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey", "p_brand",
+            F.col("l_suppkey").alias("s_suppkey"), "s_name", "min_cost",
+        )
+    )
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier variety per (brand, type,
+    size) bucket, EXCLUDING suppliers flagged bad (negative account
+    balance) via a broadcast anti-join — the distinct-agg + exclusion
+    pattern. count(DISTINCT supplier) runs as the standard two-level
+    expansion (dedup on the full key, then count) — map-side combining
+    on both levels."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    customers from the orders fact — the standard CRM cohorting op.
+    Recency = days between the customer's last order and the corpus
+    max date (an IN-PLAN one-row aggregate broadcast in, no driver
+    action); monetary goes through DECIMAL then one cast (exact under
+    any partitioning). Quartile scores avoid NTILE's tie
+    nondeterminism: rank = row_number with an explicit custkey
+    tie-break, score = 1 + (4*(rank-1)) div n — a pure integer
+    function of the deterministic rank, replayed verbatim by the
+    oracle. The three ranking windows run over the CUSTOMER ROLLUP
+    (dimension-sized, the dep_profile precedent), never the fact."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("m_dec"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff("mxd", "last_order").cast("long").alias("recency_days"),
+            "frequency",
+            F.round(F.col("m_dec").cast("double"), 2).alias("monetary"),
+        )
+    )
+    n = rfm.groupBy().agg(F.count("*").cast("long").alias("n_cust"))
+    wr = Window.orderBy("recency_days", "c_custkey")
+    wf = Window.orderBy(F.desc("frequency"), F.asc("c_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("c_custkey"))
+    scored = (
+        rfm.withColumn("rr", F.row_number().over(wr))
+        .withColumn("rf", F.row_number().over(wf))
+        .withColumn("rm", F.row_number().over(wm))
+        .crossJoin(F.broadcast(n))
+    )
+    def sc(rank: str) -> F.Column:
+        return (F.lit(1) + F.expr(f"(4 * ({rank} - 1)) div n_cust")).cast(
+            "int"
+        )
+    return scored.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        sc("rr").alias("r_score"),
+        sc("rf").alias("f_score"),
+        sc("rm").alias("m_score"),
+        F.concat(sc("rr"), sc("rf"), sc("rm")).alias("segment"),
+    )
+
+
+def q_session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    census): count prev_type -> event_type steps via ONE lag window
+    partitioned by user (explicit (ts, event_id) tie-break — ordering
+    is a contract, not an accident), then transition probability in
+    integer ppm against the per-prev row total. One shuffle on
+    user_id; the matrix rollup is |types|² rows."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = counts.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.expr("(n * 1000000) div row_total").cast("long").alias("p_ppm"),
+        )
+    )
+
+
+QUERIES["min_cost_supplier"] = q_min_cost_supplier
+QUERIES["supplier_part_variety"] = q_supplier_part_variety
+QUERIES["customer_rfm_segments"] = q_customer_rfm_segments
+QUERIES["session_transition_matrix"] = q_session_transition_matrix
+
+
+ORACLE_SQL["min_cost_supplier"] = """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 6) AS min_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, min_cost,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY min_cost, l_suppkey) AS rn
+      FROM cost
+    )
+    SELECT p.p_partkey, p.p_brand,
+           b.l_suppkey AS s_suppkey, s.s_name, b.min_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.rn = 1
+"""
+
+ORACLE_SQL["supplier_part_variety"] = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           cast(count(DISTINCT l.l_suppkey) AS bigint) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["customer_rfm_segments"] = """
+    WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    rfm AS (
+      SELECT o_custkey AS c_custkey,
+             cast(date_diff('day', cast(max(o_orderdate) AS DATE),
+                            cast((SELECT mxd FROM mx) AS DATE)) AS bigint)
+                 AS recency_days,
+             cast(count(*) AS bigint) AS frequency,
+             round(cast(sum(cast(o_totalprice AS decimal(38,2)))
+                        AS double), 2) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    n AS (SELECT cast(count(*) AS bigint) AS n_cust FROM rfm),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY recency_days, c_custkey) AS rr,
+             row_number() OVER (ORDER BY frequency DESC, c_custkey) AS rf,
+             row_number() OVER (ORDER BY monetary DESC, c_custkey) AS rm
+      FROM rfm
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           cast(1 + (4 * (rr - 1)) // n.n_cust AS int) AS r_score,
+           cast(1 + (4 * (rf - 1)) // n.n_cust AS int) AS f_score,
+           cast(1 + (4 * (rm - 1)) // n.n_cust AS int) AS m_score,
+           cast(1 + (4 * (rr - 1)) // n.n_cust AS varchar)
+             || cast(1 + (4 * (rf - 1)) // n.n_cust AS varchar)
+             || cast(1 + (4 * (rm - 1)) // n.n_cust AS varchar) AS segment
+    FROM ranked, n
+"""
+
+ORACLE_SQL["session_transition_matrix"] = """
+    WITH steps AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, event_type, cast(count(*) AS bigint) AS n
+      FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT prev_type, sum(n) AS row_total FROM counts GROUP BY 1
+    )
+    SELECT c.prev_type, c.event_type, c.n,
+           cast((c.n * 1000000) // t.row_total AS bigint) AS p_ppm
+    FROM counts c JOIN tot t ON t.prev_type = c.prev_type
+"""
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 3: robust outliers, debounce, entropy, Q22 shape
+# --------------------------------------------------------------------------
+
+MAD_K = 10          # robust outlier cut: |x - median| > K * MAD
+DEBOUNCE_SEC = 60   # same-(user,type) events within 60s are throttled
+
+
+def q_price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-brand price-outlier census via median absolute
+    deviation — the data-quality rule that survives the skewed/fat-
+    tailed distributions that break z-scores (one corrupt row moves a
+    mean, not a median). Per brand: exact median unit price, exact MAD,
+    and how many lineitems sit beyond K·MAD. Exact `percentile` /
+    `quantile_cont` implement the same interpolation (the
+    token_length_quantiles precedent, gate-proven); brand-level
+    aggregates broadcast back, so the fact is never sorted globally —
+    at 10^12 rows the same shape runs with approx_percentile."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand", "unit"
+    )
+    med = x.groupBy("p_brand").agg(
+        F.round(F.expr("percentile(unit, 0.5)"), 6).alias("median_unit")
+    )
+    dev = x.join(F.broadcast(med), "p_brand").select(
+        "p_brand",
+        "unit",
+        "median_unit",
+        F.abs(F.col("unit") - F.col("median_unit")).alias("adev"),
+    )
+    mad = dev.groupBy("p_brand").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad_unit")
+    )
+    return (
+        dev.join(F.broadcast(mad), "p_brand")
+        .groupBy("p_brand", "median_unit", "mad_unit")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(MAD_K) * F.col("mad_unit"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream throttling census: an event is DROPPED if the
+    previous event of the same (user, type) — kept or not — arrived
+    within DEBOUNCE_SEC (the raw-predecessor rule, deliberately
+    non-iterative so it is a pure ONE-window function of the input;
+    true trailing-edge debounce depends on kept-state and belongs to
+    the streaming store). One lag window partitioned by (user, type)
+    with the explicit (ts, event_id) tie-break; per-type rollup of
+    kept/dropped."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    # ntz difference yields a day-time interval (the user_sessions
+    # idiom) — TIMESTAMP_NTZ has no direct integer cast in Spark 4
+    gap = F.col("ts") - F.lag("ts").over(w)
+    flagged = ev.select(
+        "event_type",
+        (
+            gap.isNotNull()
+            & (gap <= F.expr(f"INTERVAL {DEBOUNCE_SEC} SECONDS"))
+        ).alias("dropped"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+def q_repo_dep_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo dependency-diversity score: Shannon entropy of the
+    repo's import distribution (same planted headers as
+    import_dep_profile) via the single-pass identity
+    H = log2(n) − Σ c·log2(c)/n — identical FP op order in both
+    engines (the char_entropy idiom). Low entropy = monoculture repo
+    (one dep dominates); high = diverse. Two map-side-combinable
+    aggregations, no window, no sort."""
+    from twinspect_spark.codelake import import_deps
+
+    docs = _t(spark, sf_dir, "documents")
+    imports = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int")),
+        lambda i: F.concat(
+            F.lit("import lib"),
+            F.pmod(F.col("doc_id") * 7 + i * 13, F.lit(40)).cast("string"),
+        ),
+    )
+    files = docs.select(
+        "doc_id",
+        F.col("source").alias("repo"),
+        F.concat(
+            F.concat_ws("\n", imports), F.lit("\n"), F.col("text")
+        ).alias("content"),
+    )
+    edges = import_deps(files, "repo", "doc_id", "content")
+    c = edges.groupBy("repo", "dep").agg(F.count("*").alias("c"))
+    s = F.sum("c")
+    s2 = F.sum(F.col("c") * F.log2("c"))
+    return c.groupBy("repo").agg(
+        s.cast("long").alias("n_imports"),
+        F.count("*").cast("long").alias("n_distinct_deps"),
+        F.round(F.log2(s) - s2 / s, 6).alias("entropy_bits"),
+    )
+
+
+IDLE_DAYS = 90  # "idle" = no order within 90 days of the corpus max date
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape, recency variant: customers with above-average
+    account balance (scalar threshold = an IN-PLAN one-row aggregate
+    over POSITIVE balances, broadcast in — identical op order to the
+    oracle: decimal sum, ONE cast to double, double division) whose
+    LAST order is > IDLE_DAYS before the corpus max date (this
+    generator gives every customer orders, so the textbook NOT-EXISTS
+    arm is vacuous; the churn-risk recency arm keeps the
+    scalar-subquery + correlated-activity + aggregate composition
+    non-degenerate), rolled up per market segment with decimal-exact
+    balance mass."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    last_o = (
+        orders.groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_o"))
+        .crossJoin(F.broadcast(mx))
+        .where(F.datediff("mxd", "last_o") > IDLE_DAYS)
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(last_o, cust.c_custkey == last_o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_bal"),
+        )
+    )
+
+
+QUERIES["price_outliers_mad"] = q_price_outliers_mad
+QUERIES["events_debounce"] = q_events_debounce
+QUERIES["repo_dep_entropy"] = q_repo_dep_entropy
+QUERIES["idle_rich_customers"] = q_idle_rich_customers
+
+
+ORACLE_SQL["price_outliers_mad"] = f"""
+    WITH x AS (
+      SELECT p.p_brand, l.l_extendedprice / l.l_quantity AS unit
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    med AS (
+      SELECT p_brand, round(quantile_cont(unit, 0.5), 6) AS median_unit
+      FROM x GROUP BY 1
+    ),
+    dev AS (
+      SELECT x.p_brand, x.unit, m.median_unit,
+             abs(x.unit - m.median_unit) AS adev
+      FROM x JOIN med m ON m.p_brand = x.p_brand
+    ),
+    mad AS (
+      SELECT p_brand, round(quantile_cont(adev, 0.5), 6) AS mad_unit
+      FROM dev GROUP BY 1
+    )
+    SELECT d.p_brand, d.median_unit, md.mad_unit,
+           cast(count(*) AS bigint) AS n_items,
+           cast(sum(CASE WHEN d.adev > {MAD_K} * md.mad_unit
+                         THEN 1 ELSE 0 END) AS bigint) AS n_outliers
+    FROM dev d JOIN mad md ON md.p_brand = d.p_brand
+    GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["events_debounce"] = f"""
+    WITH flagged AS (
+      SELECT event_type,
+             ts - lag(ts) OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT event_type,
+           cast(count(*) AS bigint) AS n_total,
+           cast(sum(CASE WHEN gap IS NOT NULL
+                          AND gap <= INTERVAL {DEBOUNCE_SEC} SECOND
+                         THEN 1 ELSE 0 END) AS bigint) AS n_dropped
+    FROM flagged GROUP BY 1
+"""
+
+ORACLE_SQL["repo_dep_entropy"] = """
+    WITH files AS (
+        SELECT doc_id, source AS repo,
+               array_to_string(
+                   ['import lib' || CAST((doc_id * 7 + i * 13) % 40
+                                         AS VARCHAR)
+                    for i in range(0, doc_id % 4 + 1)], chr(10))
+               || chr(10) || text AS content
+        FROM documents
+    ),
+    e AS (
+        SELECT repo, doc_id,
+               unnest(list_distinct(regexp_extract_all(content,
+                   'import ([a-z_][a-z0-9_]*)', 1))) AS dep
+        FROM files
+    ),
+    c AS (
+      SELECT repo, dep, count(*) AS c FROM e GROUP BY 1, 2
+    )
+    SELECT repo,
+           cast(sum(c) AS bigint) AS n_imports,
+           cast(count(*) AS bigint) AS n_distinct_deps,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+               AS entropy_bits
+    FROM c GROUP BY 1
+"""
+
+ORACLE_SQL["idle_rich_customers"] = f"""
+    WITH ab AS (
+      SELECT cast(sum(cast(c_acctbal AS decimal(38,2))) AS double)
+             / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    ),
+    mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    idle AS (
+      SELECT o_custkey
+      FROM orders, mx GROUP BY o_custkey, mxd
+      HAVING date_diff('day', cast(max(o_orderdate) AS date),
+                       cast(mxd AS date)) > {IDLE_DAYS}
+    )
+    SELECT c.c_mktsegment,
+           cast(count(*) AS bigint) AS n_cust,
+           round(cast(sum(cast(c_acctbal AS decimal(38,2))) AS double), 2)
+               AS total_bal
+    FROM customer c, ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND EXISTS (SELECT 1 FROM idle i WHERE i.o_custkey = c.c_custkey)
+    GROUP BY 1
+"""
