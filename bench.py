@@ -303,6 +303,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "events_debounce",
         "repo_dep_entropy",
         "idle_rich_customers",
+        "graph_kcore",
+        "normalization_impact",
+        "repo_shared_dep_projection",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

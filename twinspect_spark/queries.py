@@ -11695,3 +11695,232 @@ ORACLE_SQL["idle_rich_customers"] = f"""
       AND EXISTS (SELECT 1 FROM idle i WHERE i.o_custkey = c.c_custkey)
     GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 4: k-core, normalization impact, bipartite projection
+# --------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def _import_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted import-ownership graph (the doc_pagerank synthesis):
+    each doc links to the min-doc_id owner of every module it
+    imports."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    imp = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(doc_id % 4 as int)),"
+                " i -> (doc_id * 7 + i * 13) % 40)"
+            )
+        ).alias("m"),
+    ).distinct()
+    own = imp.groupBy("m").agg(F.min("doc_id").alias("dst"))
+    return (
+        imp.join(F.broadcast(own), "m")
+        .where(F.col("doc_id") != F.col("dst"))
+        .select(F.col("doc_id").alias("src"), "dst")
+        .distinct()
+    )
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core density filter (operators/kcore.py) over the planted
+    import graph — KCORE_ROUNDS synchronous peel rounds at k=KCORE_K,
+    emitting surviving nodes with their induced degree. Fixed-round
+    synchronous semantics make the iterative peel a pure function of
+    the graph, so the oracle replays every round as chained CTEs and
+    the gate catches a single node dropped one round early. With CC /
+    PageRank / label propagation / triangles this completes the graph
+    operator family: reachability, weighted flow, label spread, local
+    density, and now structural embeddedness."""
+    from twinspect_spark.operators.kcore import kcore_peel
+
+    return kcore_peel(
+        _import_graph_edges(spark, sf_dir), KCORE_K, KCORE_ROUNDS
+    )
+
+
+def q_normalization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-impact audit: per language, how many docs change
+    under whitespace canonicalization (collapse runs, trim) and the
+    exact char mass before/after — the ingest-gate readout that tells
+    you whether a normalization pass is worth a rewrite of the corpus
+    (reference analog: the html_to_plaintext normalize chain,
+    newsedits.py:251-283, whose regex steps this mirrors in the
+    Java-regex ∩ RE2 subset both engines share). Pure column
+    expressions, zero shuffles before the |langs| rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    return docs.select(
+        "lang",
+        F.length("text").cast("long").alias("len_before"),
+        F.length(norm).cast("long").alias("len_after"),
+        (norm != F.col("text")).alias("changed"),
+    ).groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("changed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_changed"),
+        F.sum("len_before").cast("long").alias("chars_before"),
+        F.sum("len_after").cast("long").alias("chars_after"),
+    )
+
+
+def q_repo_shared_dep_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bipartite projection of the (repo, dependency) incidence onto
+    repo-repo similarity: for every repo pair sharing >= 1 dependency,
+    the shared count and squared-cosine over binary dep vectors in
+    integer ppm (shared² · 1e6 div (deg1 · deg2) — exact, no sqrt).
+    The ecosystem-similarity readout that feeds corpus mixing. Scale
+    shape: the self-join runs on the DEPENDENCY key (vocabulary-sized
+    hub set, bounded by the apriori argument of dep_cooccurrence), the
+    per-repo degrees broadcast back."""
+    from twinspect_spark.codelake import import_deps
+
+    docs = _t(spark, sf_dir, "documents")
+    imports = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int")),
+        lambda i: F.concat(
+            F.lit("import lib"),
+            F.pmod(F.col("doc_id") * 7 + i * 13, F.lit(40)).cast("string"),
+        ),
+    )
+    files = docs.select(
+        "doc_id",
+        F.col("source").alias("repo"),
+        F.concat(
+            F.concat_ws("\n", imports), F.lit("\n"), F.col("text")
+        ).alias("content"),
+    )
+    rd = (
+        import_deps(files, "repo", "doc_id", "content")
+        .select("repo", "dep")
+        .distinct()
+    )
+    deg = rd.groupBy("repo").agg(F.count("*").cast("long").alias("n_deps"))
+    shared = (
+        rd.alias("x")
+        .join(rd.alias("y"), "dep")
+        .where(F.col("x.repo") < F.col("y.repo"))
+        .groupBy(
+            F.col("x.repo").alias("r1"), F.col("y.repo").alias("r2")
+        )
+        .agg(F.count("*").cast("long").alias("shared_deps"))
+    )
+    d1 = deg.select(F.col("repo").alias("r1"), F.col("n_deps").alias("n_deps_1"))
+    d2 = deg.select(F.col("repo").alias("r2"), F.col("n_deps").alias("n_deps_2"))
+    return (
+        shared.join(F.broadcast(d1), "r1")
+        .join(F.broadcast(d2), "r2")
+        .select(
+            "r1",
+            "r2",
+            "shared_deps",
+            "n_deps_1",
+            "n_deps_2",
+            F.expr(
+                "(shared_deps * shared_deps * 1000000)"
+                " div (n_deps_1 * n_deps_2)"
+            )
+            .cast("long")
+            .alias("cos2_ppm"),
+        )
+    )
+
+
+QUERIES["graph_kcore"] = q_graph_kcore
+QUERIES["normalization_impact"] = q_normalization_impact
+QUERIES["repo_shared_dep_projection"] = q_repo_shared_dep_projection
+
+_KCORE_GRAPH_CTE = """
+    imp AS (
+      SELECT doc_id,
+             unnest(list_distinct([(doc_id * 7 + i * 13) % 40
+                                   for i in range(0, doc_id % 4 + 1)]))
+                 AS m
+      FROM documents
+    ),
+    own AS (SELECT m, min(doc_id) AS dst FROM imp GROUP BY 1),
+    e0 AS (
+      SELECT DISTINCT imp.doc_id AS src, own.dst
+      FROM imp JOIN own ON imp.m = own.m
+      WHERE imp.doc_id != own.dst
+    ),
+    sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)
+"""
+
+
+def _kcore_round_sql(i: int, k: int) -> str:
+    prev = "sym" if i == 1 else f"e{i - 1}"
+    return f"""
+    d{i} AS (SELECT src, count(*) AS c FROM {prev} GROUP BY 1),
+    a{i} AS (SELECT src FROM d{i} WHERE c >= {k}),
+    e{i} AS (
+      SELECT s.src, s.dst FROM {prev} s
+      JOIN a{i} x ON s.src = x.src
+      JOIN a{i} y ON s.dst = y.src
+    )"""
+
+
+ORACLE_SQL["graph_kcore"] = (
+    "WITH "
+    + _KCORE_GRAPH_CTE
+    + ","
+    + ",".join(_kcore_round_sql(i, KCORE_K) for i in range(1, KCORE_ROUNDS + 1))
+    + f"""
+    SELECT src AS node, cast(count(*) AS bigint) AS degree
+    FROM e{KCORE_ROUNDS} GROUP BY 1
+"""
+)
+
+ORACLE_SQL["normalization_impact"] = r"""
+    SELECT lang,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g'))
+                              != text THEN 1 ELSE 0 END) AS bigint)
+               AS n_changed,
+           cast(sum(length(text)) AS bigint) AS chars_before,
+           cast(sum(length(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS bigint) AS chars_after
+    FROM documents GROUP BY 1
+"""
+
+ORACLE_SQL["repo_shared_dep_projection"] = """
+    WITH files AS (
+        SELECT doc_id, source AS repo,
+               array_to_string(
+                   ['import lib' || CAST((doc_id * 7 + i * 13) % 40
+                                         AS VARCHAR)
+                    for i in range(0, doc_id % 4 + 1)], chr(10))
+               || chr(10) || text AS content
+        FROM documents
+    ),
+    rd0 AS (
+        SELECT repo,
+               unnest(list_distinct(regexp_extract_all(content,
+                   'import ([a-z_][a-z0-9_]*)', 1))) AS dep
+        FROM files
+    ),
+    rd AS (SELECT DISTINCT repo, dep FROM rd0),
+    deg AS (SELECT repo, cast(count(*) AS bigint) AS n FROM rd GROUP BY 1),
+    shared AS (
+      SELECT x.repo AS r1, y.repo AS r2, cast(count(*) AS bigint)
+                 AS shared_deps
+      FROM rd x JOIN rd y ON x.dep = y.dep AND x.repo < y.repo
+      GROUP BY 1, 2
+    )
+    SELECT s.r1, s.r2, s.shared_deps,
+           d1.n AS n_deps_1, d2.n AS n_deps_2,
+           cast((s.shared_deps * s.shared_deps * 1000000)
+                // (d1.n * d2.n) AS bigint) AS cos2_ppm
+    FROM shared s
+    JOIN deg d1 ON d1.repo = s.r1
+    JOIN deg d2 ON d2.repo = s.r2
+"""
