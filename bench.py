@@ -306,6 +306,10 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "graph_kcore",
         "normalization_impact",
         "repo_shared_dep_projection",
+        "order_percentile_ranks",
+        "salted_agg_orders",
+        "monthly_revenue_growth",
+        "embedding_int8_quant_error",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -158,3 +158,72 @@ def test_idle_rich_customers_thresholds(spark):
     cust = spark.read.parquet(f"{SF}/customer.parquet")
     n_above = cust.where("c_acctbal > 0").count()
     assert sum(r["n_cust"] for r in rows) <= n_above
+
+
+def test_percentile_ranks_boundaries(spark):
+    from twinspect_spark.queries import q_order_percentile_ranks
+
+    rows = q_order_percentile_ranks(spark, SF).collect()
+    by_p: dict[str, list] = {}
+    for r in rows:
+        by_p.setdefault(r["o_orderpriority"], []).append(r)
+    for p, rs in by_p.items():
+        n = len(rs)
+        ranks = sorted(r["rn"] for r in rs)
+        assert ranks == list(range(1, n + 1))
+        ppms = {r["rn"]: r["pr_ppm"] for r in rs}
+        assert ppms[1] == 0
+        assert ppms[n] == 1_000_000
+
+
+def test_salted_agg_equals_direct(spark):
+    from twinspect_spark.queries import q_salted_agg_orders
+
+    got = {
+        r["o_custkey"]: (r["n_orders"], r["total_price"])
+        for r in q_salted_agg_orders(spark, SF).collect()
+    }
+    direct = {
+        r["o_custkey"]: (r["n"], r["t"])
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("t"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+def test_monthly_growth_recomputation(spark):
+    from twinspect_spark.queries import q_monthly_revenue_growth
+
+    rows = sorted(
+        q_monthly_revenue_growth(spark, SF).collect(),
+        key=lambda r: r["month"],
+    )
+    assert rows[0]["growth_ppm"] is None
+    prev = None
+    for r in rows:
+        cents = round(r["revenue"] * 100)
+        if prev is not None:
+            assert r["growth_ppm"] == (cents * 1_000_000) // prev - 1_000_000
+        prev = cents
+
+
+def test_int8_quant_error_bounds(spark):
+    from twinspect_spark.queries import q_embedding_int8_quant_error
+
+    rows = q_embedding_int8_quant_error(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["v_min"] <= r["v_max"]
+        # per-element error is < one quantization step
+        step = (r["v_max"] - r["v_min"]) / 255
+        assert 0 <= r["mean_abs_err"] <= step + 1e-9

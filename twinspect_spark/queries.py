@@ -11924,3 +11924,220 @@ ORACLE_SQL["repo_shared_dep_projection"] = """
     JOIN deg d1 ON d1.repo = s.r1
     JOIN deg d2 ON d2.repo = s.r2
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 5: percentile ranks, salted agg, MoM growth, int8 quant
+# --------------------------------------------------------------------------
+
+SALT_BUCKETS = 16
+
+
+def q_order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-priority percentile rank of every order's value — the
+    window-family staple, but in integer ppm from an explicitly
+    tie-broken row_number (((rn−1)·1e6) div (n−1)) instead of
+    percent_rank(), whose FP division and tie handling the repo's
+    ranking convention avoids. Windows partition by priority (5
+    groups), so per-partition sort is bounded by the group, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        # row_number is INT32 — widen BEFORE the ppm multiply (ANSI
+        # overflow at rank > 2147)
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "rn",
+        F.expr("((rn - 1) * 1000000) div (n - 1)")
+        .cast("long")
+        .alias("pr_ppm"),
+    )
+
+
+def q_salted_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-level (salted) aggregation, gate-proven equal to
+    the direct groupBy: partial sums per (custkey, salt=orderkey%16)
+    combine map-side within each salt bucket, then a second exact
+    combine per custkey — the standard hot-key defusal for a key whose
+    row count dwarfs a task (one customer = 16 parallel partials
+    instead of one straggler). DECIMAL partials make the two-level
+    reassociation EXACT, which is why the oracle (the direct one-level
+    aggregation) can demand bit equality — the gate certifies that
+    salting changes the plan, never the answer."""
+    orders = _t(spark, sf_dir, "orders")
+    partial = (
+        orders.withColumn(
+            "salt", F.pmod("o_orderkey", F.lit(SALT_BUCKETS))
+        )
+        .groupBy("o_custkey", "salt")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("ps"),
+            F.count("*").alias("pn"),
+        )
+    )
+    return partial.groupBy("o_custkey").agg(
+        F.sum("pn").cast("long").alias("n_orders"),
+        F.round(F.sum("ps").cast("double"), 2).alias("total_price"),
+    )
+
+
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: per-month decimal-exact revenue
+    rollup, then ONE lag window over the ~|months| relation
+    (dimension-sized — the fact is never sorted). Growth stays in
+    integer ppm computed from exact CENTS ((cur·1e6) div prev − 1e6 —
+    positive operands only, so Spark's truncating div and DuckDB's
+    flooring // agree); the first month is NULL growth."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("rev")
+        )
+        .select(
+            "month",
+            (F.col("rev") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.lag("cents").over(w).alias("prev_cents"),
+        "cents",
+    ).select(
+        "month",
+        "revenue",
+        F.expr(
+            "CASE WHEN prev_cents IS NULL THEN NULL"
+            " ELSE (cents * 1000000) div prev_cents - 1000000 END"
+        )
+        .cast("long")
+        .alias("growth_ppm"),
+    )
+
+
+def q_embedding_int8_quant_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-vector int8 min-max quantization audit — the vector-store
+    compression every embedding index applies (4× smaller than f32),
+    with the reconstruction cost measured: quantize
+    q = floor((x−mn)·255/(mx−mn)), dequantize mn + q·(mx−mn)/255, and
+    emit mean |x − x̂| (round 6). Every FP op is written in the same
+    order in Spark and the oracle (sequential left-to-right fold), so
+    the gate pins the arithmetic bit-for-bit. Pure higher-order column
+    expressions — zero shuffles, codegen end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(embedding, x -> cast(x as double)),"
+            " cast('Infinity' as double), (a, x) -> least(a, x))"
+        ).alias("mn"),
+        F.expr(
+            "aggregate(transform(embedding, x -> cast(x as double)),"
+            " cast('-Infinity' as double), (a, x) -> greatest(a, x))"
+        ).alias("mx"),
+        "embedding",
+    )
+    err = F.expr(
+        "aggregate(transform(embedding, x -> cast(x as double)),"
+        " cast(0.0 as double),"
+        " (acc, x) -> acc + abs(x - (mn + floor((x - mn) * 255"
+        " / (mx - mn)) * (mx - mn) / 255)))"
+    )
+    return d.select(
+        "vec_id",
+        F.round("mn", 6).alias("v_min"),
+        F.round("mx", 6).alias("v_max"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+        .otherwise(F.round(err / F.size("embedding"), 6))
+        .alias("mean_abs_err"),
+    )
+
+
+QUERIES["order_percentile_ranks"] = q_order_percentile_ranks
+QUERIES["salted_agg_orders"] = q_salted_agg_orders
+QUERIES["monthly_revenue_growth"] = q_monthly_revenue_growth
+QUERIES["embedding_int8_quant_error"] = q_embedding_int8_quant_error
+
+
+ORACLE_SQL["order_percentile_ranks"] = """
+    WITH r AS (
+      SELECT o_orderkey, o_orderpriority,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           cast(rn AS bigint) AS rn,
+           cast(((rn - 1) * 1000000) // (n - 1) AS bigint) AS pr_ppm
+    FROM r
+"""
+
+ORACLE_SQL["salted_agg_orders"] = """
+    SELECT o_custkey,
+           cast(count(*) AS bigint) AS n_orders,
+           round(cast(sum(cast(o_totalprice AS decimal(38,2)))
+                      AS double), 2) AS total_price
+    FROM orders GROUP BY 1
+"""
+
+ORACLE_SQL["monthly_revenue_growth"] = """
+    WITH monthly AS (
+      SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+             cast(sum(cast(o_totalprice AS decimal(38,2))) * 100
+                  AS bigint) AS cents
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT month, cents,
+             lag(cents) OVER (ORDER BY month) AS prev_cents
+      FROM monthly
+    )
+    SELECT month,
+           round(cents / 100.0, 2) AS revenue,
+           cast(CASE WHEN prev_cents IS NULL THEN NULL
+                     ELSE (cents * 1000000) // prev_cents - 1000000 END
+                AS bigint) AS growth_ppm
+    FROM lagged
+"""
+
+ORACLE_SQL["embedding_int8_quant_error"] = """
+    WITH d AS (
+      SELECT vec_id,
+             list_min(list_transform(embedding,
+                 x -> cast(x AS double))) AS mn,
+             list_max(list_transform(embedding,
+                 x -> cast(x AS double))) AS mx,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(mn, 6) AS v_min,
+           round(mx, 6) AS v_max,
+           CASE WHEN mx = mn THEN 0.0
+                ELSE round(list_sum(list_transform(embedding,
+                     x -> abs(cast(x AS double) - (mn
+                          + floor((cast(x AS double) - mn) * 255
+                                  / (mx - mn)) * (mx - mn) / 255))))
+                     / len(embedding), 6) END AS mean_abs_err
+    FROM d
+"""
