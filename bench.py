@@ -310,6 +310,10 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "salted_agg_orders",
         "monthly_revenue_growth",
         "embedding_int8_quant_error",
+        "rag_chunking_stats",
+        "prefix_dup_groups",
+        "lang_id_confusion",
+        "padding_waste_report",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

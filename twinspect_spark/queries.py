@@ -12141,3 +12141,248 @@ ORACLE_SQL["embedding_int8_quant_error"] = """
                      / len(embedding), 6) END AS mean_abs_err
     FROM d
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 6: RAG chunking, prefix dup gate, lang confusion, padding
+# --------------------------------------------------------------------------
+
+CHUNK_LEN = 256
+CHUNK_STRIDE = 192   # 64-char overlap between consecutive chunks
+PREFIX_DUP_K = 64
+PAD_SEQ_LENS = (128, 512, 2048)
+
+
+def q_rag_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking audit (the RAG/context-window prep op):
+    per doc, how many CHUNK_LEN-char windows at CHUNK_STRIDE stride
+    cover it, the total chunk char mass (overlap included — the
+    storage amplification the stride buys), and the sha256 of the
+    first and last chunks. n_chunks and every boundary are CLOSED-FORM
+    integer arithmetic (1 + ceil((len−CHUNK)/STRIDE) via (x+S−1) div
+    S) — no explode, no shuffle, the whole audit is one codegen
+    projection; the chunk BODIES only materialize downstream where the
+    retriever actually embeds them."""
+    docs = _t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    n_chunks = F.when(ln <= CHUNK_LEN, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(
+            f"(length(text) - {CHUNK_LEN} + {CHUNK_STRIDE} - 1)"
+            f" div {CHUNK_STRIDE}"
+        )
+    )
+    d = docs.select(
+        "doc_id", "text", ln.alias("len"), n_chunks.cast("long").alias("n_chunks")
+    )
+    last_start = (F.col("n_chunks") - 1) * CHUNK_STRIDE + 1
+    last_len = F.least(
+        F.lit(CHUNK_LEN), F.col("len") - (F.col("n_chunks") - 1) * CHUNK_STRIDE
+    )
+    return d.select(
+        "doc_id",
+        "n_chunks",
+        ((F.col("n_chunks") - 1) * CHUNK_LEN + last_len)
+        .cast("long")
+        .alias("chunk_chars"),
+        F.sha2(F.expr(f"substring(text, 1, {CHUNK_LEN})"), 256).alias(
+            "first_chunk_sha"
+        ),
+        F.sha2(
+            F.substring("text", last_start, F.lit(CHUNK_LEN)), 256
+        ).alias("last_chunk_sha"),
+    )
+
+
+def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-collision dedup gate: groups of docs sharing an identical
+    lowercased PREFIX_DUP_K-char opening — the O(1)-per-row pre-dedup
+    screen (boilerplate headers, template openings) a pipeline runs
+    BEFORE any shingling; groups whose members differ in full-content
+    sha are flagged near-not-exact (they escape the exact-dup collapse
+    and are exactly the rows worth sending to the expensive near-dup
+    path). One map-side-combinable groupBy on the prefix."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.length("text") >= PREFIX_DUP_K
+    )
+    pre = docs.select(
+        "doc_id",
+        F.sha2(F.expr(f"substring(lower(text), 1, {PREFIX_DUP_K})"), 256)
+        .alias("prefix_sha"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )
+    return (
+        pre.groupBy("prefix_sha")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+            F.countDistinct("content_sha").cast("long").alias("n_variants"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "prefix_sha",
+            "n_docs",
+            "canonical_id",
+            "n_variants",
+            (F.col("n_variants") > 1).alias("near_not_exact"),
+        )
+    )
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang × predicted lang
+    (the q_lang_id character-class heuristic) with per-actual-class
+    row fraction in integer ppm — the classifier-eval rollup
+    (per-class recall sits on the diagonal). Composes the identical
+    prediction expression, so the oracle replays the same CASE chain;
+    the matrix is |langs|² rows off one map-side-combinable groupBy."""
+    pred = q_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    counts = pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = counts.groupBy("lang").agg(F.sum("n").alias("row_total"))
+    return counts.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.expr("(n * 1000000) div row_total").cast("long").alias("frac_ppm"),
+    )
+
+
+def q_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-vs-pack waste curve: for each candidate sequence length L,
+    the token mass a pad-to-L batching strategy wastes versus packed
+    concatenation (training_pack_sequences) — the readout that
+    justifies packing and picks L. Tokens = whitespace token count;
+    per doc the padded cost is ceil(tokens/L)·L; waste_ppm =
+    (padded − tokens)·1e6 div padded, all exact BIGINT. The L grid
+    is a literal array explode (3 rows per doc before the 3-row
+    rollup — map-side combined)."""
+    docs = _t_par(spark, sf_dir, "documents").select(
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("tok")
+    )
+    grid = docs.select(
+        "tok",
+        F.explode(
+            F.array(*[F.lit(l) for l in PAD_SEQ_LENS])
+        ).alias("seq_len"),
+    )
+    return (
+        grid.select(
+            "seq_len",
+            "tok",
+            (
+                F.expr("((tok + seq_len - 1) div seq_len)") * F.col("seq_len")
+            ).alias("padded"),
+        )
+        .groupBy("seq_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.sum("padded").cast("long").alias("padded_tokens"),
+        )
+        .select(
+            F.col("seq_len").cast("int").alias("seq_len"),
+            "n_docs",
+            "total_tokens",
+            "padded_tokens",
+            F.expr(
+                "((padded_tokens - total_tokens) * 1000000)"
+                " div padded_tokens"
+            )
+            .cast("long")
+            .alias("waste_ppm"),
+        )
+    )
+
+
+QUERIES["rag_chunking_stats"] = q_rag_chunking_stats
+QUERIES["prefix_dup_groups"] = q_prefix_dup_groups
+QUERIES["lang_id_confusion"] = q_lang_id_confusion
+QUERIES["padding_waste_report"] = q_padding_waste_report
+
+
+ORACLE_SQL["rag_chunking_stats"] = f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS len,
+             CASE WHEN length(text) <= {CHUNK_LEN} THEN 1
+                  ELSE 1 + (length(text) - {CHUNK_LEN}
+                            + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+             END AS n_chunks
+      FROM documents
+    )
+    SELECT doc_id,
+           cast(n_chunks AS bigint) AS n_chunks,
+           cast((n_chunks - 1) * {CHUNK_LEN}
+                + least({CHUNK_LEN},
+                        len - (n_chunks - 1) * {CHUNK_STRIDE})
+                AS bigint) AS chunk_chars,
+           sha256(substr(text, 1, {CHUNK_LEN})) AS first_chunk_sha,
+           sha256(substr(text,
+                         cast((n_chunks - 1) * {CHUNK_STRIDE} + 1 AS int),
+                         {CHUNK_LEN})) AS last_chunk_sha
+    FROM d
+"""
+
+ORACLE_SQL["prefix_dup_groups"] = f"""
+    WITH pre AS (
+      SELECT doc_id,
+             sha256(substr(lower(text), 1, {PREFIX_DUP_K})) AS prefix_sha,
+             sha256(text) AS content_sha
+      FROM documents WHERE length(text) >= {PREFIX_DUP_K}
+    ),
+    g AS (
+      SELECT prefix_sha,
+             cast(count(*) AS bigint) AS n_docs,
+             min(doc_id) AS canonical_id,
+             cast(count(DISTINCT content_sha) AS bigint) AS n_variants
+      FROM pre GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT prefix_sha, n_docs, canonical_id, n_variants,
+           n_variants > 1 AS near_not_exact
+    FROM g
+"""
+
+ORACLE_SQL["lang_id_confusion"] = """
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                  WHEN regexp_matches(text, '[áéíóúñ¡¿]') THEN 'es'
+                  WHEN regexp_matches(text, '[àâçèêëîïôûùœ]') THEN 'fr'
+                  WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+                  ELSE 'en' END AS pred_lang
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, pred_lang, cast(count(*) AS bigint) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, sum(n) AS row_total FROM counts GROUP BY 1)
+    SELECT c.lang, c.pred_lang, c.n,
+           cast((c.n * 1000000) // t.row_total AS bigint) AS frac_ppm
+    FROM counts c JOIN tot t ON t.lang = c.lang
+"""
+
+ORACLE_SQL["padding_waste_report"] = f"""
+    WITH toks AS (
+      SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    grid AS (
+      SELECT cast(tok AS bigint) AS tok, seq_len
+      FROM toks, unnest([{", ".join(str(l) for l in PAD_SEQ_LENS)}])
+               AS u(seq_len)
+    ),
+    padded AS (
+      SELECT seq_len, tok,
+             ((tok + seq_len - 1) // seq_len) * seq_len AS padded
+      FROM grid
+    )
+    SELECT cast(seq_len AS int) AS seq_len,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(tok) AS bigint) AS total_tokens,
+           cast(sum(padded) AS bigint) AS padded_tokens,
+           cast(((sum(padded) - sum(tok)) * 1000000) // sum(padded)
+                AS bigint) AS waste_ppm
+    FROM padded GROUP BY 1
+"""
