@@ -314,6 +314,10 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "prefix_dup_groups",
         "lang_id_confusion",
         "padding_waste_report",
+        "nation_trade_matrix",
+        "revenue_decile_lift",
+        "lineitem_corr_matrix",
+        "top_parts_per_brand",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -12386,3 +12386,309 @@ ORACLE_SQL["padding_waste_report"] = f"""
                 AS bigint) AS waste_ppm
     FROM padded GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 7: star-schema trade matrix, decile lift, corr, top-k
+# --------------------------------------------------------------------------
+
+TOPK_PER_BRAND = 3
+
+
+def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape star join: revenue flow between supplier nation
+    and customer nation — the same dimension table (nation) enters the
+    plan TWICE under different roles, the classic alias-the-dim
+    pattern. All four dims broadcast (nation² rows out); the only
+    shuffle is the final |nations|² rollup; revenue is decimal-exact
+    with ONE cast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(38,4)"
+        )
+    )
+    # orders is a FACT: fact-fact shuffle join on the order key;
+    # only the true dims (supplier/customer/nation) broadcast
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(rev.cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_revenue_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue decile lift table (the marketing/Gini readout):
+    customers ranked by exact-cents monetary value, cut into deciles by
+    integer rank math (no NTILE ties), each decile's share of total
+    revenue and the cumulative share in ppm — 'the top 10% of
+    customers carry X% of revenue'. Windows run over the customer
+    ROLLUP; totals are in-plan one-row aggregates; every share is
+    BIGINT-exact cents scaled by integer division."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    tot = per_cust.agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    ranked = per_cust.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).crossJoin(F.broadcast(tot))
+    deciles = ranked.select(
+        F.expr("(10 * (rn - 1)) div n_cust").cast("int").alias("decile"),
+        "cents",
+        "total_cents",
+    ).groupBy("decile", "total_cents").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # cumulative share via INTEGER div in both engines — a double
+    # division would hit Spark's truncating vs DuckDB's rounding
+    # double->bigint cast on the boundary
+    return (
+        deciles.withColumn(
+            "cum_cents", F.sum("decile_cents").over(wcum).cast("long")
+        )
+        .select(
+            "decile",
+            "n_cust",
+            F.expr("(decile_cents * 1000000) div total_cents")
+            .cast("long")
+            .alias("share_ppm"),
+            F.expr("(cum_cents * 1000000) div total_cents")
+            .cast("long")
+            .alias("cum_share_ppm"),
+        )
+    )
+
+
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between lineitem measures from
+    EXACT decimal sufficient statistics (the lang_length_ols design,
+    widened to a matrix): F.corr's float accumulation order varies
+    with partitioning, so instead one map-side-combinable pass
+    collects Σx, Σy, Σxy, Σx², Σy² as decimals (quantities/prices
+    scaled to ints by their parquet precision) and the closed form
+    runs in double ONCE, identically in both engines. Three measure
+    pairs emitted as rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") * 100).cast("decimal(38,0)").alias("q"),
+        (F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("p"),
+        (F.col("l_discount") * 100).cast("decimal(38,0)").alias("d"),
+    )
+    agg = li.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(c).cast("decimal(38,0)").alias(f"s_{c}")
+            for c in ("q", "p", "d")
+        ],
+        *[
+            F.sum(F.col(a) * F.col(b)).cast("decimal(38,0)").alias(f"s_{a}{b}")
+            for a, b in (("q", "q"), ("p", "p"), ("d", "d"),
+                         ("q", "p"), ("q", "d"), ("p", "d"))
+        ],
+    )
+    def corr(a: str, b: str) -> F.Column:
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sab = F.col(f"s_{a}{b}").cast("double")
+        saa, sbb = (
+            F.col(f"s_{a}{a}").cast("double"),
+            F.col(f"s_{b}{b}").cast("double"),
+        )
+        return F.round(
+            (n * sab - sa * sb)
+            / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+            6,
+        )
+    pairs = [("q", "p", "quantity_price"), ("q", "d", "quantity_discount"),
+             ("p", "d", "price_discount")]
+    out = None
+    for a, b, label in pairs:
+        row = agg.select(
+            F.lit(label).alias("pair"),
+            F.col("n"),
+            corr(a, b).alias("pearson_r"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per group, the canonical 'best sellers per
+    brand' shape: per-part revenue rollup, rank within brand by the
+    ROUNDED revenue with a partkey tie-break (the repo's FP-ranking
+    convention), keep the top 3. The window partitions by brand over
+    the part-level ROLLUP (|parts| rows), never the fact table."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(38,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("revenue"), F.asc("p_partkey")
+    )
+    return (
+        per_part.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOPK_PER_BRAND)
+    )
+
+
+QUERIES["nation_trade_matrix"] = q_nation_trade_matrix
+QUERIES["revenue_decile_lift"] = q_revenue_decile_lift
+QUERIES["lineitem_corr_matrix"] = q_lineitem_corr_matrix
+QUERIES["top_parts_per_brand"] = q_top_parts_per_brand
+
+
+ORACLE_SQL["nation_trade_matrix"] = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           cast(count(*) AS bigint) AS n_items,
+           round(cast(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                               AS decimal(38,4))) AS double), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["revenue_decile_lift"] = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             cast(sum(cast(o_totalprice AS decimal(38,2))) * 100
+                  AS bigint) AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT cast(count(*) AS bigint) AS n_cust,
+             cast(sum(cents) AS bigint) AS total_cents
+      FROM per_cust
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn
+      FROM per_cust
+    ),
+    deciles AS (
+      SELECT cast((10 * (rn - 1)) // t.n_cust AS int) AS decile,
+             t.total_cents,
+             cast(count(*) AS bigint) AS n_cust,
+             cast(sum(cents) AS bigint) AS decile_cents
+      FROM ranked, tot t GROUP BY 1, 2
+    )
+    SELECT decile, n_cust,
+           cast((decile_cents * 1000000) // total_cents AS bigint)
+               AS share_ppm,
+           cast((sum(decile_cents) OVER (ORDER BY decile
+                     ROWS UNBOUNDED PRECEDING) * 1000000)
+                // total_cents AS bigint) AS cum_share_ppm
+    FROM deciles
+"""
+
+ORACLE_SQL["lineitem_corr_matrix"] = """
+    WITH s AS (
+      SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(q) AS decimal(38,0)) AS s_q,
+             cast(sum(p) AS decimal(38,0)) AS s_p,
+             cast(sum(d) AS decimal(38,0)) AS s_d,
+             cast(sum(q * q) AS decimal(38,0)) AS s_qq,
+             cast(sum(p * p) AS decimal(38,0)) AS s_pp,
+             cast(sum(d * d) AS decimal(38,0)) AS s_dd,
+             cast(sum(q * p) AS decimal(38,0)) AS s_qp,
+             cast(sum(q * d) AS decimal(38,0)) AS s_qd,
+             cast(sum(p * d) AS decimal(38,0)) AS s_pd
+      FROM (
+        SELECT cast(l_quantity * 100 AS decimal(38,0)) AS q,
+               cast(l_extendedprice * 100 AS decimal(38,0)) AS p,
+               cast(l_discount * 100 AS decimal(38,0)) AS d
+        FROM lineitem
+      )
+    )
+    SELECT 'quantity_price' AS pair, n,
+           round((cast(n AS double) * cast(s_qp AS double)
+                  - cast(s_q AS double) * cast(s_p AS double))
+                 / sqrt((cast(n AS double) * cast(s_qq AS double)
+                         - cast(s_q AS double) * cast(s_q AS double))
+                        * (cast(n AS double) * cast(s_pp AS double)
+                           - cast(s_p AS double) * cast(s_p AS double))), 6)
+               AS pearson_r
+    FROM s
+    UNION ALL
+    SELECT 'quantity_discount', n,
+           round((cast(n AS double) * cast(s_qd AS double)
+                  - cast(s_q AS double) * cast(s_d AS double))
+                 / sqrt((cast(n AS double) * cast(s_qq AS double)
+                         - cast(s_q AS double) * cast(s_q AS double))
+                        * (cast(n AS double) * cast(s_dd AS double)
+                           - cast(s_d AS double) * cast(s_d AS double))), 6)
+    FROM s
+    UNION ALL
+    SELECT 'price_discount', n,
+           round((cast(n AS double) * cast(s_pd AS double)
+                  - cast(s_p AS double) * cast(s_d AS double))
+                 / sqrt((cast(n AS double) * cast(s_pp AS double)
+                         - cast(s_p AS double) * cast(s_p AS double))
+                        * (cast(n AS double) * cast(s_dd AS double)
+                           - cast(s_d AS double) * cast(s_d AS double))), 6)
+    FROM s
+"""
+
+ORACLE_SQL["top_parts_per_brand"] = f"""
+    WITH per_part AS (
+      SELECT p.p_brand, p.p_partkey,
+             round(cast(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                                 AS decimal(38,4))) AS double), 2)
+                 AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, p_partkey, revenue,
+           cast(rank AS bigint) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY p_brand
+                  ORDER BY revenue DESC, p_partkey) AS rank
+      FROM per_part
+    )
+    WHERE rank <= {TOPK_PER_BRAND}
+"""
