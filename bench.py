@@ -318,6 +318,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "revenue_decile_lift",
         "lineitem_corr_matrix",
         "top_parts_per_brand",
+        "part_name_typo_pairs",
+        "events_winsorized_stats",
+        "date_dim_build",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

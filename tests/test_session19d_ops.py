@@ -81,3 +81,57 @@ def test_top_parts_rank_contract(spark):
         ordered = sorted(rs, key=lambda r: r["rank"])
         revs = [r["revenue"] for r in ordered]
         assert revs == sorted(revs, reverse=True)
+
+
+def test_typo_pairs_blocked_and_bounded(spark):
+    from twinspect_spark.queries import q_part_name_typo_pairs
+
+    rows = q_part_name_typo_pairs(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"].split(" ")[-1] == r["block"]
+        assert r["name_b"].split(" ")[-1] == r["block"]
+        assert 1 <= r["edit_dist"] <= 3  # distinct names: dist >= 1
+    # python-side levenshtein spot check
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    for r in rows[:10]:
+        assert lev(r["name_a"], r["name_b"]) == r["edit_dist"]
+
+
+def test_winsorized_mean_inside_clip_range(spark):
+    from twinspect_spark.queries import q_events_winsorized_stats
+
+    rows = q_events_winsorized_stats(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["p05"] <= r["winsorized_mean"] <= r["p95"]
+        # ~5% clipped on each side at n/20 granularity
+        assert r["n_clipped_low"] <= r["n"] * 0.06 + 2
+        assert r["n_clipped_high"] <= r["n"] * 0.06 + 2
+
+
+def test_date_dim_contiguous_calendar(spark):
+    import datetime as dt
+
+    from twinspect_spark.queries import q_date_dim_build
+
+    rows = sorted(q_date_dim_build(spark, SF).collect(), key=lambda r: r["d"])
+    days = [r["d"] for r in rows]
+    assert (days[-1] - days[0]).days + 1 == len(days)  # no gaps
+    for r in rows[:400]:
+        d: dt.date = r["d"]
+        assert r["isodow"] == d.isoweekday()
+        assert r["is_weekend"] == (d.isoweekday() >= 6)
+        assert r["is_month_start"] == (d.day == 1)
+        nxt = d + dt.timedelta(days=1)
+        assert r["is_month_end"] == (nxt.month != d.month)

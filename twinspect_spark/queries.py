@@ -12692,3 +12692,181 @@ ORACLE_SQL["top_parts_per_brand"] = f"""
     )
     WHERE rank <= {TOPK_PER_BRAND}
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 8: edit-distance blocking, winsorized stats, date dim
+# --------------------------------------------------------------------------
+
+TYPO_MAX_DIST = 3
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking + edit-distance match: distinct part
+    names within the same block (last word — the 'noun' of the name)
+    whose Levenshtein distance is <= 3, the fuzzy-join shape of
+    catalog/vendor reconciliation. Blocking makes the quadratic
+    comparison group-local (block sizes are vocabulary-bounded), and
+    the self-join runs on the DISTINCT-name rollup, never the part
+    table; levenshtein() is unit-cost in both engines."""
+    part = _t(spark, sf_dir, "part")
+    names = (
+        part.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("block", F.element_at(F.split("name", " "), -1))
+    )
+    return (
+        names.alias("x")
+        .join(names.alias("y"), "block")
+        .where(F.col("x.name") < F.col("y.name"))
+        .select(
+            "block",
+            F.col("x.name").alias("name_a"),
+            F.col("y.name").alias("name_b"),
+            F.levenshtein("x.name", "y.name").cast("long").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= TYPO_MAX_DIST)
+    )
+
+
+def q_events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per event type — the MAD family's
+    companion: clip values at the exact p05/p95 (percentile /
+    quantile_cont, the gate-proven same estimator) and average the
+    clipped mass. The clipped double goes through ONE deterministic
+    cast to decimal(38,6) before summing, so the mean is exact under
+    any partitioning (a raw double sum would drift with partition
+    order); clip counts make the tail mass visible."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    pct = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("p05"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.least(F.greatest("value", F.col("p05")), F.col("p95")).alias("c"),
+        (F.col("value") < F.col("p05")).alias("lo"),
+        (F.col("value") > F.col("p95")).alias("hi"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.first("p05"), 6).alias("p05"),
+        F.round(F.first("p95"), 6).alias("p95"),
+        F.round(
+            F.sum(F.col("c").cast("decimal(38,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("winsorized_mean"),
+        F.sum(F.when(F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+    )
+
+
+def q_date_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension build over the fact's observed date range —
+    the lakehouse dim-table generator (every star schema carries one):
+    one row per day from min to max order date with year / quarter /
+    month / day / ISO weekday / weekend and month-boundary flags. The
+    range comes from an IN-PLAN one-row aggregate; the day stream is
+    sequence()+explode (generate_series in the oracle). ISO weekday is
+    computed as weekday()+1 on the Spark side precisely because
+    dayofweek()'s numbering differs between engines — the dim build
+    pins ONE convention (1=Monday..7=Sunday)."""
+    orders = _t(spark, sf_dir, "orders")
+    rng = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    days = rng.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    return days.select(
+        "d",
+        F.year("d").cast("int").alias("year"),
+        F.quarter("d").cast("int").alias("quarter"),
+        F.month("d").cast("int").alias("month"),
+        F.dayofmonth("d").cast("int").alias("day"),
+        (F.weekday("d") + 1).cast("int").alias("isodow"),
+        (F.weekday("d") >= 5).alias("is_weekend"),
+        (F.dayofmonth("d") == 1).alias("is_month_start"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+    )
+
+
+QUERIES["part_name_typo_pairs"] = q_part_name_typo_pairs
+QUERIES["events_winsorized_stats"] = q_events_winsorized_stats
+QUERIES["date_dim_build"] = q_date_dim_build
+
+
+ORACLE_SQL["part_name_typo_pairs"] = f"""
+    WITH names AS (
+      SELECT DISTINCT p_name AS name FROM part
+    ),
+    blocked AS (
+      SELECT name,
+             list_extract(string_split(name, ' '),
+                          len(string_split(name, ' '))) AS block
+      FROM names
+    )
+    SELECT x.block, x.name AS name_a, y.name AS name_b,
+           cast(levenshtein(x.name, y.name) AS bigint) AS edit_dist
+    FROM blocked x JOIN blocked y
+      ON x.block = y.block AND x.name < y.name
+    WHERE levenshtein(x.name, y.name) <= {TYPO_MAX_DIST}
+"""
+
+ORACLE_SQL["events_winsorized_stats"] = f"""
+    WITH pct AS (
+      SELECT event_type,
+             quantile_cont(value, {WINSOR_LO}) AS p05,
+             quantile_cont(value, {WINSOR_HI}) AS p95
+      FROM events GROUP BY 1
+    ),
+    clipped AS (
+      SELECT e.event_type, p.p05, p.p95,
+             least(greatest(e.value, p.p05), p.p95) AS c,
+             e.value < p.p05 AS lo,
+             e.value > p.p95 AS hi
+      FROM events e JOIN pct p ON p.event_type = e.event_type
+    )
+    SELECT event_type,
+           cast(count(*) AS bigint) AS n,
+           round(first(p05), 6) AS p05,
+           round(first(p95), 6) AS p95,
+           round(cast(sum(cast(c AS decimal(38,6))) AS double)
+                 / count(*), 6) AS winsorized_mean,
+           cast(sum(CASE WHEN lo THEN 1 ELSE 0 END) AS bigint)
+               AS n_clipped_low,
+           cast(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS bigint)
+               AS n_clipped_high
+    FROM clipped GROUP BY 1
+"""
+
+ORACLE_SQL["date_dim_build"] = """
+    WITH rng AS (
+      SELECT cast(min(o_orderdate) AS date) AS d0,
+             cast(max(o_orderdate) AS date) AS d1
+      FROM orders
+    ),
+    days AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS d
+      FROM rng
+    )
+    SELECT d,
+           cast(year(d) AS int) AS year,
+           cast(quarter(d) AS int) AS quarter,
+           cast(month(d) AS int) AS month,
+           cast(day(d) AS int) AS day,
+           cast(isodow(d) AS int) AS isodow,
+           isodow(d) >= 6 AS is_weekend,
+           day(d) = 1 AS is_month_start,
+           d = last_day(d) AS is_month_end
+    FROM days
+"""
