@@ -321,6 +321,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "part_name_typo_pairs",
         "events_winsorized_stats",
         "date_dim_build",
+        "order_fulfilment_latency",
+        "supplier_balance_outliers",
+        "events_dau_wau",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -135,3 +135,57 @@ def test_date_dim_contiguous_calendar(spark):
         assert r["is_month_start"] == (d.day == 1)
         nxt = d + dt.timedelta(days=1)
         assert r["is_month_end"] == (nxt.month != d.month)
+
+
+def test_fulfilment_latency_bounds(spark):
+    from twinspect_spark.queries import q_order_fulfilment_latency
+
+    rows = q_order_fulfilment_latency(spark, SF).collect()
+    li_n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert sum(r["n_items"] for r in rows) == li_n
+    for r in rows:
+        assert r["p50_days"] <= r["p95_days"]
+        assert r["n_late_90d"] <= r["n_items"]
+
+
+def test_balance_outlier_rate_sane(spark):
+    from twinspect_spark.queries import q_supplier_balance_outliers
+
+    rows = q_supplier_balance_outliers(spark, SF).collect()
+    assert rows
+    supp_n = spark.read.parquet(f"{SF}/supplier.parquet").count()
+    assert sum(r["n_suppliers"] for r in rows) == supp_n
+    # |z|>2 on roughly-uniform balances: a small minority per nation
+    for r in rows:
+        assert r["n_outliers"] <= max(2, r["n_suppliers"] // 3)
+
+
+def test_dau_wau_invariants(spark):
+    from twinspect_spark.queries import q_events_dau_wau
+
+    rows = sorted(q_events_dau_wau(spark, SF).collect(), key=lambda r: r["day"])
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    import datetime as dt
+
+    by_day = {}
+    for r in ev.select(
+        F.col("user_id"), F.col("ts").cast("date").alias("day")
+    ).distinct().collect():
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    days = sorted(by_day)
+    # first emitted day covers a full trailing week
+    assert rows[0]["day"] == days[0] + dt.timedelta(days=6)
+    for r in rows:
+        assert r["dau"] <= r["wau"]  # DAU is a subset of the window
+        want_wau = len(
+            set().union(
+                *(
+                    by_day.get(r["day"] - dt.timedelta(days=k), set())
+                    for k in range(7)
+                )
+            )
+        )
+        assert r["wau"] == want_wau
+        assert r["dau"] == len(by_day[r["day"]])
+        assert r["stickiness_ppm"] == (r["dau"] * 1_000_000) // r["wau"]

@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "dsir_importance_weights",
     "bigram_lm_score",
     "bm25_search",
+    "events_dau_wau",           # one-row (d0, d1) range probe
     # --- fenced brute-force / oracle-tier constructs (broadcast small
     # side with non-equi condition by design)
     "eval_ngram_contamination",

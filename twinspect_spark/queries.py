@@ -12870,3 +12870,221 @@ ORACLE_SQL["date_dim_build"] = """
            d = last_day(d) AS is_month_end
     FROM days
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 9: fulfilment latency, z-outliers, DAU/WAU
+# --------------------------------------------------------------------------
+
+ZSCORE_CUT = 2  # |z| > 2 flags a balance outlier
+WAU_DAYS = 7
+
+
+def q_order_fulfilment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency profile per priority: exact integer day
+    diffs (lineitem shipdate − order date) rolled up to mean (exact
+    BIGINT sum / count in double, ONE division), exact p50/p95, and
+    the late-tail count beyond 90 days — the SLA readout. One
+    fact-fact shuffle join on the order key, then a 5-row rollup."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum("days").cast("double") / F.count("*"), 6).alias(
+            "mean_days"
+        ),
+        F.round(F.expr("percentile(days, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.95)"), 6).alias("p95_days"),
+        F.sum(F.when(F.col("days") > 90, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late_90d"),
+    )
+
+
+def q_supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier balance z-score outliers from EXACT
+    sufficient statistics (the lang_length_ols design): Σx and Σx² as
+    decimal cents — map-side combinable, partition-order-proof — with
+    mean/std entering doubles only in the final closed form, written
+    in the identical op order as the oracle. Emits nations with their
+    spread and the |z| > 2 outlier count."""
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        (F.col("s_acctbal") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+    stats = supp.groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    joined = supp.join(F.broadcast(stats), "s_nationkey")
+    z_num = F.col("cents").cast("double") * F.col("n").cast("double") - F.col(
+        "s1"
+    ).cast("double")
+    z_den = F.sqrt(
+        F.col("n").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    return (
+        joined.select(
+            "s_nationkey",
+            "n",
+            "s1",
+            "s2",
+            (F.abs(z_num) > ZSCORE_CUT * z_den).alias("is_outlier"),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.first("n").alias("n_suppliers"),
+            F.round(
+                F.first(F.col("s1").cast("double"))
+                / F.first(F.col("n").cast("double"))
+                / 100.0,
+                6,
+            ).alias("mean_bal"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product-
+    analytics staple whose hard part is that rolling DISTINCT does not
+    compose (a window sum of daily distincts double-counts returning
+    users). Exact plan: the (day, user) DISTINCT relation joins a
+    7-day offset grid (explode of sequence 0..6 — each user-day lands
+    in exactly 7 windows), then one countDistinct per window day.
+    Stickiness = DAU·1e6 div WAU in exact integers. Windows whose
+    trailing range starts before the corpus are trimmed (the first 6
+    days), so every emitted row covers a full 7-day span."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("user_id"), F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = du.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    spread = du.select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(0, {WAU_DAYS - 1})")
+        ).alias("off"),
+        "day",
+    ).select(
+        "user_id", F.date_add(F.col("day"), F.col("off")).alias("wday")
+    )
+    rng = du.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    wau = (
+        spread.groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .crossJoin(F.broadcast(rng))
+        .where(
+            (F.col("wday") >= F.date_add(F.col("d0"), WAU_DAYS - 1))
+            & (F.col("wday") <= F.col("d1"))
+        )
+        .select(F.col("wday").alias("day"), "wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("(dau * 1000000) div wau").cast("long").alias("stickiness_ppm"),
+    )
+
+
+QUERIES["order_fulfilment_latency"] = q_order_fulfilment_latency
+QUERIES["supplier_balance_outliers"] = q_supplier_balance_outliers
+QUERIES["events_dau_wau"] = q_events_dau_wau
+
+
+ORACLE_SQL["order_fulfilment_latency"] = """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             cast(date_diff('day', cast(o.o_orderdate AS date),
+                            cast(l.l_shipdate AS date)) AS bigint) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           cast(count(*) AS bigint) AS n_items,
+           round(cast(sum(days) AS double) / count(*), 6) AS mean_days,
+           round(quantile_cont(days, 0.5), 6) AS p50_days,
+           round(quantile_cont(days, 0.95), 6) AS p95_days,
+           cast(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS bigint)
+               AS n_late_90d
+    FROM lat GROUP BY 1
+"""
+
+ORACLE_SQL["supplier_balance_outliers"] = f"""
+    WITH supp AS (
+      SELECT s_nationkey,
+             cast(s_acctbal * 100 AS decimal(38,0)) AS cents
+      FROM supplier
+    ),
+    stats AS (
+      SELECT s_nationkey,
+             cast(count(*) AS bigint) AS n,
+             cast(sum(cents) AS decimal(38,0)) AS s1,
+             cast(sum(cents * cents) AS decimal(38,0)) AS s2
+      FROM supp GROUP BY 1
+    ),
+    j AS (
+      SELECT s.s_nationkey, t.n, t.s1, t.s2,
+             abs(cast(s.cents AS double) * cast(t.n AS double)
+                 - cast(t.s1 AS double))
+             > {ZSCORE_CUT} * sqrt(cast(t.n AS double)
+                                   * cast(t.s2 AS double)
+                                   - cast(t.s1 AS double)
+                                     * cast(t.s1 AS double))
+                 AS is_outlier
+      FROM supp s JOIN stats t ON t.s_nationkey = s.s_nationkey
+    )
+    SELECT s_nationkey,
+           first(n) AS n_suppliers,
+           round(first(cast(s1 AS double)) / first(cast(n AS double))
+                 / 100.0, 6) AS mean_bal,
+           cast(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS bigint)
+               AS n_outliers
+    FROM j GROUP BY 1
+"""
+
+ORACLE_SQL["events_dau_wau"] = f"""
+    WITH du AS (
+      SELECT DISTINCT user_id, cast(ts AS date) AS day FROM events
+    ),
+    dau AS (
+      SELECT day, cast(count(DISTINCT user_id) AS bigint) AS dau
+      FROM du GROUP BY 1
+    ),
+    rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
+    spread AS (
+      SELECT du.user_id, du.day + off AS wday
+      FROM du, unnest([{", ".join(str(i) for i in range(WAU_DAYS))}])
+             AS u(off)
+    ),
+    wau AS (
+      SELECT wday AS day, cast(count(DISTINCT user_id) AS bigint) AS wau
+      FROM spread, rng
+      WHERE wday >= rng.d0 + {WAU_DAYS - 1} AND wday <= rng.d1
+      GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau,
+           cast((d.dau * 1000000) // w.wau AS bigint) AS stickiness_ppm
+    FROM dau d JOIN wau w ON w.day = d.day
+"""
