@@ -324,6 +324,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "order_fulfilment_latency",
         "supplier_balance_outliers",
         "events_dau_wau",
+        "promo_revenue_share",
+        "top_supplier_by_period",
+        "disjunctive_filter_revenue",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -189,3 +189,44 @@ def test_dau_wau_invariants(spark):
         assert r["wau"] == want_wau
         assert r["dau"] == len(by_day[r["day"]])
         assert r["stickiness_ppm"] == (r["dau"] * 1_000_000) // r["wau"]
+
+
+def test_promo_share_bounds(spark):
+    from twinspect_spark.queries import q_promo_revenue_share
+
+    rows = q_promo_revenue_share(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["promo_share_ppm"] <= 1_000_000
+        assert r["promo_revenue"] <= r["total_revenue"]
+
+
+def test_top_supplier_unique_per_period(spark):
+    from twinspect_spark.queries import q_top_supplier_by_period
+
+    rows = q_top_supplier_by_period(spark, SF).collect()
+    periods = [r["period"] for r in rows]
+    assert len(periods) == len(set(periods))
+    # the winner's revenue really is the period max
+    per = spark.read.parquet(f"{SF}/lineitem.parquet").selectExpr(
+        "concat(year(l_shipdate), '-Q', quarter(l_shipdate)) AS period",
+        "l_suppkey",
+        "cast(l_extendedprice * (1 - l_discount) AS decimal(38,4)) AS rev",
+    ).groupBy("period", "l_suppkey").agg(
+        F.round(F.sum("rev").cast("double"), 2).alias("revenue")
+    )
+    mx = {
+        r["period"]: r["m"]
+        for r in per.groupBy("period").agg(F.max("revenue").alias("m")).collect()
+    }
+    for r in rows:
+        assert r["revenue"] == mx[r["period"]]
+
+
+def test_disjunctive_arm_accounting(spark):
+    from twinspect_spark.queries import q_disjunctive_filter_revenue
+
+    r = q_disjunctive_filter_revenue(spark, SF).collect()[0]
+    # arms are brand-disjoint, so their counts partition the total
+    assert r["n_arm1"] + r["n_arm2"] + r["n_arm3"] == r["n_items"]
+    assert r["n_items"] > 0

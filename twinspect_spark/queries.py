@@ -13088,3 +13088,199 @@ ORACLE_SQL["events_dau_wau"] = f"""
            cast((d.dau * 1000000) // w.wau AS bigint) AS stickiness_ppm
     FROM dau d JOIN wau w ON w.day = d.day
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 10: TPC-H Q14 / Q15 / Q19 shapes
+# --------------------------------------------------------------------------
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue coming from PROMO
+    parts — the conditional-aggregate-over-join pattern (one pass, the
+    CASE inside the sum; never two scans). Revenue is decimal-exact;
+    the share is exact cents via integer ppm so the single-division
+    float never enters the gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        rev.alias("rev"),
+        (F.col("p_type") == "PROMO").alias("is_promo"),
+    )
+    return (
+        j.groupBy("month")
+        .agg(
+            (F.sum(F.when(F.col("is_promo"), F.col("rev"))) * 10000)
+            .cast("long")
+            .alias("promo_e4"),
+            (F.sum("rev") * 10000).cast("long").alias("total_e4"),
+        )
+        .select(
+            "month",
+            F.round(F.col("promo_e4") / 10000.0, 2).alias("promo_revenue"),
+            F.round(F.col("total_e4") / 10000.0, 2).alias("total_revenue"),
+            F.expr("(promo_e4 * 1000000) div total_e4")
+            .cast("long")
+            .alias("promo_share_ppm"),
+        )
+    )
+
+
+def q_top_supplier_by_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the max-revenue supplier per quarter — the
+    'view + scalar-max + equality join back' classic, expressed as a
+    per-quarter window rank over the (quarter, supplier) rollup with
+    the rounded-value/id tie-break. TPC-H keeps ALL ties for the max;
+    the deterministic-rank formulation keeps exactly one winner, which
+    is the contract a gate can pin."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    per = (
+        li.select(
+            F.concat(
+                F.year("l_shipdate"),
+                F.lit("-Q"),
+                F.quarter("l_shipdate"),
+            ).alias("period"),
+            F.col("l_suppkey"),
+            rev.alias("rev"),
+        )
+        .groupBy("period", "l_suppkey")
+        .agg(F.round(F.sum("rev").cast("double"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("period").orderBy(
+        F.desc("revenue"), F.asc("l_suppkey")
+    )
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "period",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "revenue",
+        )
+    )
+
+
+def q_disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+    predicate arms — the disjunctive-pushdown stress shape (Catalyst
+    must push the OR-of-ANDs into the scan and plan ONE pass; a naive
+    engine unions three scans). One broadcast dim join, one row out,
+    with per-arm match counts so the gate pins each arm's
+    selectivity, not just the total."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    return j.where(arm1 | arm2 | arm3).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.when(arm1, 1).otherwise(0)).cast("long").alias("n_arm1"),
+        F.sum(F.when(arm2, 1).otherwise(0)).cast("long").alias("n_arm2"),
+        F.sum(F.when(arm3, 1).otherwise(0)).cast("long").alias("n_arm3"),
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+    )
+
+
+QUERIES["promo_revenue_share"] = q_promo_revenue_share
+QUERIES["top_supplier_by_period"] = q_top_supplier_by_period
+QUERIES["disjunctive_filter_revenue"] = q_disjunctive_filter_revenue
+
+
+ORACLE_SQL["promo_revenue_share"] = """
+    WITH j AS (
+      SELECT cast(date_trunc('month', l.l_shipdate) AS date) AS month,
+             cast(l.l_extendedprice * (1 - l.l_discount)
+                  AS decimal(38,4)) AS rev,
+             p.p_type = 'PROMO' AS is_promo
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    g AS (
+      SELECT month,
+             cast(sum(CASE WHEN is_promo THEN rev END) * 10000
+                  AS bigint) AS promo_e4,
+             cast(sum(rev) * 10000 AS bigint) AS total_e4
+      FROM j GROUP BY 1
+    )
+    SELECT month,
+           round(promo_e4 / 10000.0, 2) AS promo_revenue,
+           round(total_e4 / 10000.0, 2) AS total_revenue,
+           cast((promo_e4 * 1000000) // total_e4 AS bigint)
+               AS promo_share_ppm
+    FROM g
+"""
+
+ORACLE_SQL["top_supplier_by_period"] = """
+    WITH per AS (
+      SELECT cast(year(l_shipdate) AS varchar) || '-Q'
+                 || cast(quarter(l_shipdate) AS varchar) AS period,
+             l_suppkey,
+             round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                                 AS decimal(38,4))) AS double), 2)
+                 AS revenue
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY period
+                  ORDER BY revenue DESC, l_suppkey) AS rn
+      FROM per
+    )
+    SELECT r.period, r.l_suppkey AS s_suppkey, s.s_name, r.revenue
+    FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rn = 1
+"""
+
+ORACLE_SQL["disjunctive_filter_revenue"] = """
+    WITH j AS (
+      SELECT l.l_quantity, l.l_extendedprice, l.l_discount,
+             p.p_brand, p.p_size
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    armed AS (
+      SELECT *,
+             (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 11) AS a1,
+             (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+              AND l_quantity BETWEEN 10 AND 20) AS a2,
+             (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+              AND l_quantity BETWEEN 20 AND 30) AS a3
+      FROM j
+    )
+    SELECT cast(count(*) AS bigint) AS n_items,
+           cast(sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS bigint) AS n_arm1,
+           cast(sum(CASE WHEN a2 THEN 1 ELSE 0 END) AS bigint) AS n_arm2,
+           cast(sum(CASE WHEN a3 THEN 1 ELSE 0 END) AS bigint) AS n_arm3,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                               AS decimal(38,4))) AS double), 2) AS revenue
+    FROM armed WHERE a1 OR a2 OR a3
+"""
