@@ -327,6 +327,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "promo_revenue_share",
         "top_supplier_by_period",
         "disjunctive_filter_revenue",
+        "embedding_power_iteration",
+        "events_error_rate_wilson",
+        "order_interarrival_profile",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -13284,3 +13284,242 @@ ORACLE_SQL["disjunctive_filter_revenue"] = """
                                AS decimal(38,4))) AS double), 2) AS revenue
     FROM armed WHERE a1 OR a2 OR a3
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 11: power-iteration PCA, Wilson error monitor, gaps
+# --------------------------------------------------------------------------
+
+PCA_SCALE = 1_048_576  # 2^20 fixed-point scale for embedding coords
+PCA_ITERS = 3
+
+
+def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by POWER
+    ITERATION — iterative distributed linear algebra under the hard
+    oracle. The usual blocker is float summation order: Σ_i x_i(x_i·v)
+    over a shuffled corpus is not partition-stable in doubles. Here
+    every accumulator is EXACT: coordinates enter as floor(x·2^20)
+    fixed-point BIGINTs, the per-vector dots and the per-dimension
+    back-projections accumulate as DECIMAL(38,0) (map-side combinable,
+    order-free), and each iteration renormalizes in pure integers
+    (v'_d = (y_d · 2^20) div max|y|). Three iterations, deterministic
+    all-ones start; the oracle replays every round as chained CTEs,
+    each referenced once, so the replay stays linear. Emits the scaled
+    eigvector estimate per dimension. (Uncentered second moment — the
+    dominant direction of the Gram matrix, the ANN-rotation use case —
+    not covariance PCA.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" t -> cast(floor(cast(t as double) * {PCA_SCALE})"
+                f" as bigint))"
+            )
+        ).alias("d", "xi"),
+    )
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("d"),
+        F.lit(1).cast("long").alias("vi"),
+    )
+    for _ in range(PCA_ITERS):
+        dots = (
+            x.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(F.col("xi").cast("decimal(38,0)") * F.col("vi"))
+                .cast("decimal(38,0)")
+                .alias("dot")
+            )
+        )
+        y = (
+            x.join(dots, "vec_id")
+            .groupBy("d")
+            .agg(
+                F.sum(F.col("xi").cast("decimal(38,0)") * F.col("dot"))
+                .cast("decimal(38,0)")
+                .alias("y")
+            )
+        )
+        mx = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+        # sign-split integer renormalize: abs() keeps the operands
+        # non-negative so Spark's truncating div and DuckDB's flooring
+        # // agree; a decimal division would also round differently
+        v = (
+            y.crossJoin(F.broadcast(mx))
+            .select(
+                "d",
+                F.expr(
+                    f"cast(sign(y) as bigint)"
+                    f" * cast((abs(y) * {PCA_SCALE}) div m as bigint)"
+                ).alias("vi"),
+            )
+        )
+    return v.select("d", F.col("vi").alias("v_scaled"))
+
+
+def q_events_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate monitor with the Wilson lower confidence
+    bound — the SRE alerting readout that doesn't fire on tiny-sample
+    noise (raw rate can hit 100% on n=2; the Wilson bound cannot).
+    Rates in exact integer ppm; the bound's float closed form is
+    written with the identical op order in both engines and rounded to
+    6 dp. One map-side-combinable hourly rollup."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp").alias("hour")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    # z² as the LITERAL 3.8416 in both engines: Spark's 1.96*1.96
+    # evaluates to 3.8416000000000003, a different double
+    z2 = F.lit(3.8416)
+    p = F.col("n_err") * F.lit(1.0) / F.col("n")
+    n = F.col("n").cast("double")
+    wilson_low = (
+        (p + z2 / (2 * n))
+        - 1.96 * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+    ) / (1 + z2 / n)
+    return hourly.select(
+        F.col("hour").cast("string").alias("hour"),
+        "n",
+        "n_err",
+        F.expr("(n_err * 1000000) div n").cast("long").alias("rate_ppm"),
+        F.round(wilson_low, 6).alias("wilson_low"),
+    )
+
+
+def q_order_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order inter-arrival profile per market segment: exact
+    day gaps between consecutive orders (one lag window per customer,
+    (date, orderkey) tie-break), rolled up to mean (exact BIGINT
+    sum / count) and exact p50/p90 per segment — the churn-model
+    feature readout. The window partitions by customer (bounded), the
+    percentile by segment (5 groups)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+        )
+        .withColumn("prev", F.lag("od").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("od", "prev").cast("long").alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.round(
+                F.sum("gap_days").cast("double") / F.count("*"), 6
+            ).alias("mean_gap_days"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias(
+                "p50_gap_days"
+            ),
+            F.round(F.expr("percentile(gap_days, 0.9)"), 6).alias(
+                "p90_gap_days"
+            ),
+        )
+    )
+
+
+QUERIES["embedding_power_iteration"] = q_embedding_power_iteration
+QUERIES["events_error_rate_wilson"] = q_events_error_rate_wilson
+QUERIES["order_interarrival_profile"] = q_order_interarrival_profile
+
+
+def _pca_iter_sql(i: int) -> str:
+    prev = "v0" if i == 1 else f"v{i - 1}"
+    return f"""
+    dots{i} AS (
+      SELECT x.vec_id,
+             cast(sum(cast(x.xi AS decimal(38,0)) * v.vi)
+                  AS decimal(38,0)) AS dot
+      FROM x JOIN {prev} v ON v.d = x.d GROUP BY 1
+    ),
+    y{i} AS (
+      SELECT x.d,
+             cast(sum(cast(x.xi AS decimal(38,0)) * t.dot)
+                  AS decimal(38,0)) AS y
+      FROM x JOIN dots{i} t ON t.vec_id = x.vec_id GROUP BY 1
+    ),
+    m{i} AS (SELECT max(abs(y)) AS m FROM y{i}),
+    v{i} AS (
+      SELECT d,
+             cast(sign(y) AS bigint)
+                 * cast(cast(abs(y) AS hugeint) * {PCA_SCALE}
+                        // cast(m AS hugeint) AS bigint) AS vi
+      FROM y{i}, m{i}
+    )"""
+
+
+ORACLE_SQL["embedding_power_iteration"] = (
+    f"""
+    WITH x AS (
+      SELECT vec_id, cast(u.i - 1 AS int) AS d,
+             cast(floor(cast(embedding[u.i] AS double) * {PCA_SCALE})
+                  AS bigint) AS xi
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    v0 AS (
+      SELECT cast(i AS int) AS d, cast(1 AS bigint) AS vi
+      FROM range(0, 64) t(i)
+    ),"""
+    + ",".join(_pca_iter_sql(i) for i in range(1, PCA_ITERS + 1))
+    + f"""
+    SELECT d, vi AS v_scaled FROM v{PCA_ITERS}
+"""
+)
+
+ORACLE_SQL["events_error_rate_wilson"] = """
+    WITH hourly AS (
+      SELECT cast(date_trunc('hour', ts) AS timestamp) AS hour,
+             cast(count(*) AS bigint) AS n,
+             cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS bigint) AS n_err
+      FROM events GROUP BY 1
+    )
+    SELECT cast(hour AS varchar) AS hour, n, n_err,
+           cast((n_err * 1000000) // n AS bigint) AS rate_ppm,
+           round(((n_err * 1.0 / n + 3.8416 / (2 * cast(n AS double)))
+                  - 1.96 * sqrt((n_err * 1.0 / n * (1 - n_err * 1.0 / n)
+                                 + 3.8416 / (4 * cast(n AS double)))
+                                / cast(n AS double)))
+                 / (1 + 3.8416 / cast(n AS double)), 6) AS wilson_low
+    FROM hourly
+"""
+
+ORACLE_SQL["order_interarrival_profile"] = """
+    WITH gaps AS (
+      SELECT o_custkey,
+             cast(date_diff('day',
+                 lag(cast(o_orderdate AS date)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY cast(o_orderdate AS date), o_orderkey),
+                 cast(o_orderdate AS date)) AS bigint) AS gap_days
+      FROM orders
+    )
+    SELECT c.c_mktsegment,
+           cast(count(*) AS bigint) AS n_gaps,
+           round(cast(sum(g.gap_days) AS double) / count(*), 6)
+               AS mean_gap_days,
+           round(quantile_cont(g.gap_days, 0.5), 6) AS p50_gap_days,
+           round(quantile_cont(g.gap_days, 0.9), 6) AS p90_gap_days
+    FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+    WHERE g.gap_days IS NOT NULL
+    GROUP BY 1
+"""
