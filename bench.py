@@ -330,6 +330,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "embedding_power_iteration",
         "events_error_rate_wilson",
         "order_interarrival_profile",
+        "bloom_runtime_filter_audit",
+        "user_event_signature",
+        "orders_dow_profile",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -60,3 +60,41 @@ def test_interarrival_profile_bounds(spark):
         assert r["n_gaps"] > 0
         assert 0 <= r["p50_gap_days"] <= r["p90_gap_days"]
         assert r["mean_gap_days"] > 0
+
+
+def test_bloom_runtime_filter_contract(spark):
+    from twinspect_spark.queries import q_bloom_runtime_filter_audit
+
+    r = q_bloom_runtime_filter_audit(spark, SF).collect()[0]
+    assert r["n_false_neg"] == 0  # Bloom filters never false-negative
+    assert r["n_bloom_pass"] == r["n_true"] + r["n_false_pos"]
+    assert r["n_true"] <= r["n_bloom_pass"] <= r["n_keys"]
+    # 4096 bits / ~30 urgent keys at sf0.001: fp rate must be tiny;
+    # theoretical (1-e^{-kn/m})^k ~ (k*n/m)^k — allow generous slack
+    assert r["fp_ppm"] < 100_000
+    assert r["fp_ppm"] == (
+        (r["n_false_pos"] * 1_000_000) // (r["n_keys"] - r["n_true"])
+        if r["n_keys"] > r["n_true"]
+        else 0
+    )
+
+
+def test_event_signature_users_conserved(spark):
+    from twinspect_spark.queries import q_user_event_signature
+
+    rows = q_user_event_signature(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    # signature length mass equals total events
+    total_len = sum(r["sig_len"] * r["n_users"] for r in rows)
+    assert total_len == ev.count()
+
+
+def test_dow_profile_shares(spark):
+    from twinspect_spark.queries import q_orders_dow_profile
+
+    rows = q_orders_dow_profile(spark, SF).collect()
+    assert {r["isodow"] for r in rows} <= set(range(1, 8))
+    s = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) < s <= 1_000_000

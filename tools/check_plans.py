@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "bm25_search",
     "events_dau_wau",           # one-row (d0, d1) range probe
     "embedding_power_iteration",  # one-row max|y| renormalizer per iter
+    "orders_dow_profile",       # one-row revenue total share divisor
     # --- fenced brute-force / oracle-tier constructs (broadcast small
     # side with non-equi condition by design)
     "eval_ngram_contamination",

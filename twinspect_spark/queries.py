@@ -13523,3 +13523,273 @@ ORACLE_SQL["order_interarrival_profile"] = """
     WHERE g.gap_days IS NOT NULL
     GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 12: Bloom runtime filter, event signatures, DOW profile
+# --------------------------------------------------------------------------
+
+BLOOM_RF_M = 4096   # bits in the runtime-filter Bloom
+BLOOM_RF_K = 3      # hash probes per key
+
+
+def q_bloom_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter audit: build a 4096-bit Bloom filter over the
+    URGENT order keys as 63-bit BIGINT slots (bit_or aggregation over
+    sha-window positions — functions/bloom.py, no UDF, SQL-replayable),
+    probe every distinct lineitem order key against it, and measure
+    what a Bloom-pushdown join would save: keys passing the filter vs
+    keys truly urgent, with the false-positive rate in ppm. This is
+    the hand-built analog of Spark's runtime bloomFilter join
+    pushdown, under the hard oracle — the gate certifies the bit
+    algebra (slot = p div 63, mask bit p mod 63 — 63-bit slots keep the sign bit clear, DuckDB range-checks 1<<63 — ALL k probes set)
+    end to end. One broadcast of 64 slots; the probe is a pure column
+    expression per key."""
+    from twinspect_spark.functions.bloom import bloom_positions
+
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("string").alias("k"))
+    )
+    slots = (
+        urgent.select(
+            F.explode(
+                bloom_positions(F.col("k"), BLOOM_RF_M, BLOOM_RF_K)
+            ).alias("p")
+        )
+        .select(
+            F.expr("p div 63").cast("long").alias("slot"),
+            F.expr("shiftleft(1L, cast(p % 63 as int))").alias("bit"),
+        )
+        .groupBy("slot")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+    probe = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            "l_orderkey",
+            F.posexplode(
+                bloom_positions(
+                    F.col("l_orderkey").cast("string"),
+                    BLOOM_RF_M,
+                    BLOOM_RF_K,
+                )
+            ).alias("j", "p"),
+        )
+        .select(
+            "l_orderkey",
+            F.expr("p div 63").cast("long").alias("slot"),
+            F.expr("cast(p % 63 as int)").alias("bitpos"),
+        )
+    )
+    hits = (
+        probe.join(F.broadcast(slots), "slot", "left")
+        .select(
+            "l_orderkey",
+            F.when(
+                F.col("mask").isNotNull()
+                & (
+                    F.expr("mask & shiftleft(1L, bitpos)") != 0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("l_orderkey")
+        .agg((F.sum("hit") == BLOOM_RF_K).alias("bloom_pass"))
+    )
+    truth = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("truly_urgent"),
+    )
+    j = hits.join(truth, "l_orderkey")
+    return j.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("truly_urgent"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("truly_urgent"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(
+            F.when(~F.col("bloom_pass") & F.col("truly_urgent"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_false_neg"),
+    ).select(
+        "n_keys",
+        "n_bloom_pass",
+        "n_true",
+        "n_false_pos",
+        "n_false_neg",
+        F.expr(
+            "CASE WHEN n_keys - n_true = 0 THEN 0"
+            " ELSE (n_false_pos * 1000000) div (n_keys - n_true) END"
+        )
+        .cast("long")
+        .alias("fp_ppm"),
+    )
+
+
+def q_user_event_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral signature: the user's full event-type
+    sequence in (ts, event_id) order collapsed to a first-letter
+    string (e.g. 'svcp…'), sha-fingerprinted, then rolled up to
+    signature-prevalence — the behavioral-cohort prep step. Order is a
+    CONTRACT: collect_list alone is partition-order-dependent, so the
+    array is built from sortable (ts, event_id, letter) structs and
+    array_sort'ed before joining — the deterministic-collect idiom.
+    Output: one row per distinct signature with user count and length."""
+    ev = _t(spark, sf_dir, "events")
+    sig = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.expr("transform(array_sort(collect_list(s)), x -> x.c)"),
+            ).alias("sig")
+        )
+    )
+    return sig.groupBy(
+        F.sha2(F.col("sig"), 256).alias("sig_sha"),
+        F.length("sig").cast("long").alias("sig_len"),
+    ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+def q_orders_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue seasonality by ISO weekday: order count, decimal-exact
+    revenue, and each weekday's share of total in integer ppm (in-plan
+    one-row total, broadcast). Weekday pinned to the ISO convention
+    (weekday()+1 == isodow — the date_dim_build contract)."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy(
+        (F.weekday(F.col("o_orderdate").cast("date")) + 1)
+        .cast("int")
+        .alias("isodow")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(38,2)")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    tot = per.agg(F.sum("cents").cast("long").alias("total_cents"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "isodow",
+        "n_orders",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.expr("(cents * 1000000) div total_cents")
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+QUERIES["bloom_runtime_filter_audit"] = q_bloom_runtime_filter_audit
+QUERIES["user_event_signature"] = q_user_event_signature
+QUERIES["orders_dow_profile"] = q_orders_dow_profile
+
+
+ORACLE_SQL["bloom_runtime_filter_audit"] = f"""
+    WITH urgent AS (
+      SELECT cast(o_orderkey AS varchar) AS k
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    upos AS (
+      SELECT CAST(concat('0x', substr(sha256(k), 1 + 8 * i, 8))
+                  AS UBIGINT) % {BLOOM_RF_M} AS p
+      FROM urgent, unnest([0, 1, 2]) AS u(i)
+    ),
+    slots AS (
+      SELECT cast(p // 63 AS bigint) AS slot,
+             bit_or(cast(1 AS bigint) << cast(p % 63 AS int)) AS mask
+      FROM upos GROUP BY 1
+    ),
+    keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    probe AS (
+      SELECT l_orderkey,
+             cast(CAST(concat('0x', substr(sha256(
+                      cast(l_orderkey AS varchar)), 1 + 8 * i, 8))
+                  AS UBIGINT) % {BLOOM_RF_M} AS bigint) AS p
+      FROM keys, unnest([0, 1, 2]) AS u(i)
+    ),
+    hits AS (
+      SELECT pr.l_orderkey,
+             CASE WHEN s.mask IS NOT NULL
+                   AND (s.mask & (cast(1 AS bigint)
+                                  << cast(pr.p % 63 AS int))) != 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM probe pr LEFT JOIN slots s ON s.slot = pr.p // 63
+    ),
+    agg AS (
+      SELECT l_orderkey, sum(hit) = {BLOOM_RF_K} AS bloom_pass
+      FROM hits GROUP BY 1
+    ),
+    j AS (
+      SELECT a.bloom_pass, o.o_orderpriority = '1-URGENT' AS truly_urgent
+      FROM agg a JOIN orders o ON o.o_orderkey = a.l_orderkey
+    ),
+    g AS (
+      SELECT cast(count(*) AS bigint) AS n_keys,
+             cast(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS bigint)
+                 AS n_bloom_pass,
+             cast(sum(CASE WHEN truly_urgent THEN 1 ELSE 0 END)
+                  AS bigint) AS n_true,
+             cast(sum(CASE WHEN bloom_pass AND NOT truly_urgent
+                           THEN 1 ELSE 0 END) AS bigint) AS n_false_pos,
+             cast(sum(CASE WHEN NOT bloom_pass AND truly_urgent
+                           THEN 1 ELSE 0 END) AS bigint) AS n_false_neg
+      FROM j
+    )
+    SELECT n_keys, n_bloom_pass, n_true, n_false_pos, n_false_neg,
+           cast(CASE WHEN n_keys - n_true = 0 THEN 0
+                     ELSE (n_false_pos * 1000000) // (n_keys - n_true)
+                END AS bigint) AS fp_ppm
+    FROM g
+"""
+
+ORACLE_SQL["user_event_signature"] = """
+    WITH sig AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS sig
+      FROM events GROUP BY 1
+    )
+    SELECT sha256(sig) AS sig_sha,
+           cast(length(sig) AS bigint) AS sig_len,
+           cast(count(*) AS bigint) AS n_users
+    FROM sig GROUP BY 1, 2
+"""
+
+ORACLE_SQL["orders_dow_profile"] = """
+    WITH per AS (
+      SELECT cast(isodow(cast(o_orderdate AS date)) AS int) AS isodow,
+             cast(count(*) AS bigint) AS n_orders,
+             cast(sum(cast(o_totalprice AS decimal(38,2))) * 100
+                  AS bigint) AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT cast(sum(cents) AS bigint) AS total_cents FROM per)
+    SELECT isodow, n_orders,
+           round(cents / 100.0, 2) AS revenue,
+           cast((cents * 1000000) // total_cents AS bigint) AS share_ppm
+    FROM per, tot
+"""
