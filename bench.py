@@ -333,6 +333,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "bloom_runtime_filter_audit",
         "user_event_signature",
         "orders_dow_profile",
+        "user_activity_streaks",
+        "region_nation_revenue_tree",
+        "part_mode_quantity",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -98,3 +98,78 @@ def test_dow_profile_shares(spark):
     assert {r["isodow"] for r in rows} <= set(range(1, 8))
     s = sum(r["share_ppm"] for r in rows)
     assert 1_000_000 - len(rows) < s <= 1_000_000
+
+
+def test_streaks_hand_recomputation(spark):
+    import datetime as dt
+    from collections import defaultdict
+
+    from twinspect_spark.queries import q_user_activity_streaks
+
+    rows = {r["user_id"]: r for r in q_user_activity_streaks(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    by_user = defaultdict(set)
+    for r in ev.select("user_id", F.col("ts").cast("date").alias("d")).collect():
+        by_user[r["user_id"]].add(r["d"])
+    for uid, days in by_user.items():
+        ds = sorted(days)
+        streaks, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        r = rows[uid]
+        assert r["longest_streak"] == max(streaks)
+        assert r["n_streaks"] == len(streaks)
+        assert r["last_active_day"] == ds[-1]
+
+
+def test_revenue_tree_shares_consistent(spark):
+    from collections import defaultdict
+
+    from twinspect_spark.queries import q_region_nation_revenue_tree
+
+    rows = q_region_nation_revenue_tree(spark, SF).collect()
+    by_region = defaultdict(list)
+    for r in rows:
+        by_region[r["r_name"]].append(r)
+    region_share_total = 0
+    seen_regions = set()
+    for region, rs in by_region.items():
+        s = sum(r["share_of_region_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) < s <= 1_000_000
+        # region share identical on every row of the region
+        shares = {r["region_share_ppm"] for r in rs}
+        assert len(shares) == 1
+        if region not in seen_regions:
+            region_share_total += shares.pop()
+            seen_regions.add(region)
+    assert 1_000_000 - len(by_region) < region_share_total <= 1_000_000
+
+
+def test_mode_is_argmax_with_smallest_tiebreak(spark):
+    from twinspect_spark.queries import q_part_mode_quantity
+
+    rows = q_part_mode_quantity(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    counts = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.col("l_quantity").cast("long").alias("q"))
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_brand = defaultdict(dict)
+    for r in counts:
+        per_brand[r["p_brand"]][r["q"]] = r["count"]
+    for r in rows:
+        cm = per_brand[r["p_brand"]]
+        best = min(
+            (q for q in cm if cm[q] == max(cm.values()))
+        )
+        assert (r["mode_quantity"], r["mode_count"]) == (best, cm[best])

@@ -13793,3 +13793,193 @@ ORACLE_SQL["orders_dow_profile"] = """
            cast((cents * 1000000) // total_cents AS bigint) AS share_ppm
     FROM per, tot
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 13: gaps-and-islands, percent-of-parent, mode
+# --------------------------------------------------------------------------
+
+
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands classic: distinct active days minus their
+    per-user row_number yields a constant 'island id' within each
+    unbroken run (date arithmetic in exact days), so one groupBy
+    collapses islands and a max picks the longest. Two window-free
+    aggregations after ONE per-user window; no self-joins, no
+    sequence explosion."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("len"),
+        F.max("day").alias("streak_end"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("streak_end").alias("last_active_day"),
+    )
+
+
+def q_region_nation_revenue_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent rollup over the region → nation
+    dimension tree: per nation, decimal-exact revenue, the nation's
+    share of its REGION and the region's share of the TOTAL, all in
+    integer ppm from exact cents. The two parent levels are windows
+    over the |nations|-row rollup (dimension-sized), the fact is
+    aggregated once."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(38,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wt = Window.partitionBy()
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.sum("cents").over(wr).alias("region_cents"),
+        F.sum("cents").over(wt).alias("total_cents"),
+        "cents",
+    ).select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.expr("(cents * 1000000) div region_cents")
+        .cast("long")
+        .alias("share_of_region_ppm"),
+        F.expr("(region_cents * 1000000) div total_cents")
+        .cast("long")
+        .alias("region_share_ppm"),
+    )
+
+
+def q_part_mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group with a deterministic tie-break: the
+    most frequent order quantity per brand (ties resolve to the
+    SMALLEST quantity — F.mode()/DuckDB mode() tie behavior is
+    unspecified, so the battery computes mode as count-rollup +
+    rank with explicit (count DESC, value ASC) ordering). The rank
+    window runs over the |brand × quantity| rollup."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    counts = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.col("l_quantity").cast("long").alias("qty"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"), F.asc("qty"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("qty").alias("mode_quantity"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+QUERIES["user_activity_streaks"] = q_user_activity_streaks
+QUERIES["region_nation_revenue_tree"] = q_region_nation_revenue_tree
+QUERIES["part_mode_quantity"] = q_part_mode_quantity
+
+
+ORACLE_SQL["user_activity_streaks"] = """
+    WITH days AS (
+      SELECT DISTINCT user_id, cast(ts AS date) AS day FROM events
+    ),
+    islands AS (
+      SELECT user_id, day,
+             day - cast(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS int)
+                 AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island,
+             cast(count(*) AS bigint) AS len,
+             max(day) AS streak_end
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           max(len) AS longest_streak,
+           cast(count(*) AS bigint) AS n_streaks,
+           max(streak_end) AS last_active_day
+    FROM streaks GROUP BY 1
+"""
+
+ORACLE_SQL["region_nation_revenue_tree"] = """
+    WITH per_nation AS (
+      SELECT r.r_name, n.n_name,
+             cast(sum(cast(o.o_totalprice AS decimal(38,2))) * 100
+                  AS bigint) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    lv AS (
+      SELECT r_name, n_name, cents,
+             sum(cents) OVER (PARTITION BY r_name) AS region_cents,
+             sum(cents) OVER () AS total_cents
+      FROM per_nation
+    )
+    SELECT r_name, n_name,
+           round(cents / 100.0, 2) AS revenue,
+           cast((cents * 1000000) // region_cents AS bigint)
+               AS share_of_region_ppm,
+           cast((region_cents * 1000000) // total_cents AS bigint)
+               AS region_share_ppm
+    FROM lv
+"""
+
+ORACLE_SQL["part_mode_quantity"] = """
+    WITH counts AS (
+      SELECT p.p_brand, cast(l.l_quantity AS bigint) AS qty,
+             cast(count(*) AS bigint) AS n
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY p_brand
+                  ORDER BY n DESC, qty) AS rn
+      FROM counts
+    )
+    SELECT p_brand, qty AS mode_quantity, n AS mode_count
+    FROM ranked WHERE rn = 1
+"""
