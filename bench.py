@@ -336,6 +336,9 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "user_activity_streaks",
         "region_nation_revenue_tree",
         "part_mode_quantity",
+        "user_growth_curve",
+        "top_quantity_dense_ties",
+        "customer_abc_classes",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

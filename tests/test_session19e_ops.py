@@ -173,3 +173,55 @@ def test_mode_is_argmax_with_smallest_tiebreak(spark):
             (q for q in cm if cm[q] == max(cm.values()))
         )
         assert (r["mode_quantity"], r["mode_count"]) == (best, cm[best])
+
+
+def test_growth_curve_identities(spark):
+    from twinspect_spark.queries import q_user_growth_curve
+
+    rows = sorted(q_user_growth_curve(spark, SF).collect(), key=lambda r: r["day"])
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert rows[-1]["cum_users"] == n_users
+    cum = 0
+    for r in rows:
+        cum += r["n_new"]
+        assert r["cum_users"] == cum
+        assert r["n_returning"] == r["n_active"] - r["n_new"]
+        assert 0 <= r["n_new"] <= r["n_active"] <= r["cum_users"]
+
+
+def test_dense_ties_keep_all_peers(spark):
+    from collections import defaultdict
+
+    from twinspect_spark.queries import q_top_quantity_dense_ties
+
+    rows = q_top_quantity_dense_ties(spark, SF).collect()
+    by_brand = defaultdict(list)
+    for r in rows:
+        by_brand[r["p_brand"]].append(r)
+    for brand, rs in by_brand.items():
+        levels = sorted({r["level"] for r in rs})
+        assert levels == list(range(1, len(levels) + 1))
+        # every row at a level shares that level's count value
+        by_level = defaultdict(set)
+        for r in rs:
+            by_level[r["level"]].add(r["n"])
+        assert all(len(v) == 1 for v in by_level.values())
+        # counts strictly decrease across levels
+        ns = [by_level[l].pop() for l in levels]
+        assert ns == sorted(ns, reverse=True) and len(set(ns)) == len(ns)
+
+
+def test_abc_partition_and_order(spark):
+    from twinspect_spark.queries import q_customer_abc_classes
+
+    rows = {r["abc_class"]: r for r in q_customer_abc_classes(spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_cust = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey"
+    ).distinct().count()
+    assert sum(r["n_customers"] for r in rows.values()) == n_cust
+    # A carries ~80% with far fewer customers than C's tail
+    assert rows["A"]["share_ppm"] >= 750_000
+    s = sum(r["share_ppm"] for r in rows.values())
+    assert 1_000_000 - 3 < s <= 1_000_000

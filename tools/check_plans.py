@@ -51,6 +51,7 @@ BNLJ_ALLOWED = {
     "events_dau_wau",           # one-row (d0, d1) range probe
     "embedding_power_iteration",  # one-row max|y| renormalizer per iter
     "orders_dow_profile",       # one-row revenue total share divisor
+    "customer_abc_classes",     # one-row total-cents class divisor
     # --- fenced brute-force / oracle-tier constructs (broadcast small
     # side with non-equi condition by design)
     "eval_ngram_contamination",

@@ -13983,3 +13983,195 @@ ORACLE_SQL["part_mode_quantity"] = """
     SELECT p_brand, qty AS mode_quantity, n AS mode_count
     FROM ranked WHERE rn = 1
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 14: growth curve, dense-rank ties, ABC classes
+# --------------------------------------------------------------------------
+
+ABC_A_PPM, ABC_B_PPM = 800_000, 950_000
+DENSE_TOPK = 3
+
+
+def q_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user-growth decomposition: active users, NEW users (first
+    ever appearance), cumulative registered users, and returning =
+    active − new. Cumulative distinct needs no distinct-over-window:
+    each user contributes once at their min(day), and the running
+    total of those first-day counts IS the cumulative user count (the
+    events_dau_wau lesson applied to the prefix). The cumsum window
+    runs over the |days| rollup."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    active = du.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    firsts = (
+        du.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(firsts, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn(
+            "cum_users", F.sum("n_new").over(w).cast("long")
+        )
+        .withColumn(
+            "n_returning", (F.col("n_active") - F.col("n_new")).cast("long")
+        )
+    )
+
+
+def q_top_quantity_dense_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-RETAINING top-k: every (brand, quantity) bucket whose order
+    count reaches the brand's top-3 DISTINCT count levels —
+    dense_rank where top_parts_per_brand used row_number, the other
+    half of the ranking-semantics pair (row_number cuts ties
+    arbitrarily-but-deterministically; dense_rank keeps every peer and
+    is deterministic WITHOUT a tie-break because equal keys share a
+    rank by definition)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    counts = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.col("l_quantity").cast("long").alias("qty"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"))
+    return (
+        counts.withColumn(
+            "level", F.dense_rank().over(w).cast("long")
+        )
+        .where(F.col("level") <= DENSE_TOPK)
+    )
+
+
+def q_customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory-style customer classification: rank customers by
+    exact-cents revenue, classify by cumulative share (A carries the
+    first 80%, B to 95%, C the tail), report per-class size and
+    revenue mass. Cumulative shares are BIGINT-exact (cents × ppm by
+    integer division); the ranking window runs over the customer
+    rollup with the (cents DESC, custkey) tie-break."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    tot = per.agg(F.sum("cents").cast("long").alias("total_cents"))
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    classed = (
+        per.withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cents",
+            F.expr("(cum_cents * 1000000) div total_cents").alias("cum_ppm"),
+        )
+        .select(
+            "cents",
+            F.when(F.col("cum_ppm") <= ABC_A_PPM, "A")
+            .when(F.col("cum_ppm") <= ABC_B_PPM, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    cl_tot = classed.crossJoin(F.broadcast(tot))
+    return cl_tot.groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+        F.expr("(sum(cents) * 1000000) div first(total_cents)")
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+QUERIES["user_growth_curve"] = q_user_growth_curve
+QUERIES["top_quantity_dense_ties"] = q_top_quantity_dense_ties
+QUERIES["customer_abc_classes"] = q_customer_abc_classes
+
+
+ORACLE_SQL["user_growth_curve"] = """
+    WITH du AS (
+      SELECT DISTINCT user_id, cast(ts AS date) AS day FROM events
+    ),
+    active AS (
+      SELECT day, cast(count(DISTINCT user_id) AS bigint) AS n_active
+      FROM du GROUP BY 1
+    ),
+    firsts AS (
+      SELECT day, cast(count(*) AS bigint) AS n_new
+      FROM (SELECT user_id, min(day) AS day FROM du GROUP BY 1)
+      GROUP BY 1
+    )
+    SELECT a.day, a.n_active,
+           cast(coalesce(f.n_new, 0) AS bigint) AS n_new,
+           cast(sum(coalesce(f.n_new, 0)) OVER (ORDER BY a.day
+                ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_users,
+           cast(a.n_active - coalesce(f.n_new, 0) AS bigint)
+               AS n_returning
+    FROM active a LEFT JOIN firsts f ON f.day = a.day
+"""
+
+ORACLE_SQL["top_quantity_dense_ties"] = f"""
+    WITH counts AS (
+      SELECT p.p_brand, cast(l.l_quantity AS bigint) AS qty,
+             cast(count(*) AS bigint) AS n
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, qty, n, cast(level AS bigint) AS level
+    FROM (
+      SELECT *, dense_rank() OVER (PARTITION BY p_brand
+                  ORDER BY n DESC) AS level
+      FROM counts
+    )
+    WHERE level <= {DENSE_TOPK}
+"""
+
+ORACLE_SQL["customer_abc_classes"] = f"""
+    WITH per AS (
+      SELECT o_custkey,
+             cast(sum(cast(o_totalprice AS decimal(38,2))) * 100
+                  AS bigint) AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT cast(sum(cents) AS bigint) AS total_cents FROM per),
+    classed AS (
+      SELECT cents,
+             CASE WHEN (cast(sum(cents) OVER (ORDER BY cents DESC,
+                             o_custkey ROWS UNBOUNDED PRECEDING)
+                        AS bigint) * 1000000) // t.total_cents
+                       <= {ABC_A_PPM} THEN 'A'
+                  WHEN (cast(sum(cents) OVER (ORDER BY cents DESC,
+                             o_custkey ROWS UNBOUNDED PRECEDING)
+                        AS bigint) * 1000000) // t.total_cents
+                       <= {ABC_B_PPM} THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             t.total_cents
+      FROM per, tot t
+    )
+    SELECT abc_class,
+           cast(count(*) AS bigint) AS n_customers,
+           round(sum(cents) / 100.0, 2) AS revenue,
+           cast((sum(cents) * 1000000) // first(total_cents) AS bigint)
+               AS share_ppm
+    FROM classed GROUP BY 1
+"""
