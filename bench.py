@@ -339,6 +339,10 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "user_growth_curve",
         "top_quantity_dense_ties",
         "customer_abc_classes",
+        "order_lines_histogram",
+        "events_hour_heatmap",
+        "discount_band_effect",
+        "zipf_word_slope",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

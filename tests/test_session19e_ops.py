@@ -225,3 +225,57 @@ def test_abc_partition_and_order(spark):
     assert rows["A"]["share_ppm"] >= 750_000
     s = sum(r["share_ppm"] for r in rows.values())
     assert 1_000_000 - 3 < s <= 1_000_000
+
+
+def test_lines_histogram_mass(spark):
+    from twinspect_spark.queries import q_order_lines_histogram
+
+    rows = q_order_lines_histogram(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert sum(r["n_lines"] * r["n_orders"] for r in rows) == li.count()
+    assert sum(r["n_orders"] for r in rows) == li.select(
+        "l_orderkey"
+    ).distinct().count()
+
+
+def test_heatmap_grid_and_shares(spark):
+    from twinspect_spark.queries import q_events_hour_heatmap
+
+    rows = q_events_hour_heatmap(spark, SF).collect()
+    for r in rows:
+        assert 1 <= r["isodow"] <= 7 and 0 <= r["hour"] <= 23
+    s = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) < s <= 1_000_000
+
+
+def test_discount_bands_partition_fact(spark):
+    from twinspect_spark.queries import q_discount_band_effect
+
+    rows = q_discount_band_effect(spark, SF).collect()
+    li_n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert sum(r["n_items"] for r in rows) == li_n
+    for r in rows:
+        assert r["net_revenue"] <= r["gross_revenue"]
+        assert 0 <= r["effective_discount_ppm"] < 200_000  # <= 10% rates
+
+
+def test_zipf_slope_negative_and_share_sane(spark):
+    from twinspect_spark.queries import q_zipf_word_slope
+
+    r = q_zipf_word_slope(spark, SF).collect()[0]
+    # this synthetic corpus has a ~31-word vocabulary — n is capped by
+    # min(100, |vocab|), and the flat template distribution yields a
+    # slope far above natural text's -1 (the audit's whole point)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = (
+        docs.selectExpr(
+            "explode(filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> x != '')) AS w"
+        )
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert r["n"] == min(100, vocab)
+    assert r["zipf_slope"] < 0  # frequency still decreasing in rank
+    assert 0 < r["top_word_share_ppm"] < 500_000

@@ -52,6 +52,8 @@ BNLJ_ALLOWED = {
     "embedding_power_iteration",  # one-row max|y| renormalizer per iter
     "orders_dow_profile",       # one-row revenue total share divisor
     "customer_abc_classes",     # one-row total-cents class divisor
+    "events_hour_heatmap",      # one-row grid-total share divisor
+    "zipf_word_slope",          # one-row corpus word total
     # --- fenced brute-force / oracle-tier constructs (broadcast small
     # side with non-equi condition by design)
     "eval_ngram_contamination",

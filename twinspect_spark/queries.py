@@ -14175,3 +14175,215 @@ ORACLE_SQL["customer_abc_classes"] = f"""
                AS share_ppm
     FROM classed GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 15: shape histograms, heatmap, discount bands, Zipf
+# --------------------------------------------------------------------------
+
+ZIPF_TOP_WORDS = 100
+
+
+def q_order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order histogram: the fact-table shape profile (join
+    fan-out planning reads this). Two map-side-combinable counts: per
+    order, then per line-count."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines")
+    )
+    return per.groupBy("n_lines").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+
+
+def q_events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap grid (ISO weekday × hour of day): event count
+    and share of total in integer ppm — the ops-dashboard staple. One
+    rollup; the 7×24 grid is tiny by construction."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(
+        (F.weekday(F.col("ts").cast("date")) + 1).cast("int").alias("isodow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    tot = per.agg(F.sum("n_events").cast("long").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "isodow",
+        "hour",
+        "n_events",
+        F.expr("(n_events * 1000000) div total").cast("long").alias("share_ppm"),
+    )
+
+
+def q_discount_band_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-band × discount effect: per quantity band (1-10 /
+    11-25 / 26-50), item count, decimal-exact gross and discounted
+    revenue, and the effective discount in integer ppm
+    ((gross − net)·1e6 div gross) — the pricing-curve readout. Bands
+    are a CASE projection; one aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_quantity") <= 10, "01-10")
+        .when(F.col("l_quantity") <= 25, "11-25")
+        .otherwise("26-50")
+    )
+    gross = F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
+    net = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(38,4)"
+        )
+    )
+    return (
+        li.groupBy(band.alias("qty_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            (gross * 10000).cast("long").alias("gross_e4"),
+            (net * 10000).cast("long").alias("net_e4"),
+        )
+        .select(
+            "qty_band",
+            "n_items",
+            F.round(F.col("gross_e4") / 10000.0, 2).alias("gross_revenue"),
+            F.round(F.col("net_e4") / 10000.0, 2).alias("net_revenue"),
+            F.expr("((gross_e4 - net_e4) * 1000000) div gross_e4")
+            .cast("long")
+            .alias("effective_discount_ppm"),
+        )
+    )
+
+
+def q_zipf_word_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit over the corpus vocabulary: the
+    log-log OLS slope across the top-100 words (natural text sits
+    near −1; templated/synthetic corpora flatten) plus the top word's
+    frequency share. Ranks are deterministic ((count DESC, word) —
+    the FP enters ONLY in the final ln() closed form, identical op
+    order both engines, round 6). The rank window runs over the
+    vocabulary rollup."""
+    from pyspark.sql import Window
+
+    docs = _t_par(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    )
+    counts = words.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    wr = Window.orderBy(F.desc("c"), F.asc("w"))
+    top = (
+        counts.withColumn("r", F.row_number().over(wr).cast("long"))
+        .where(F.col("r") <= ZIPF_TOP_WORDS)
+        .select(
+            "r",
+            "c",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    tot = counts.agg(F.sum("c").cast("long").alias("total_words"))
+    agg = top.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max(F.when(F.col("r") == 1, F.col("c"))).alias("top_count"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+        F.expr("(top_count * 1000000) div total_words")
+        .cast("long")
+        .alias("top_word_share_ppm"),
+        "total_words",
+    )
+
+
+QUERIES["order_lines_histogram"] = q_order_lines_histogram
+QUERIES["events_hour_heatmap"] = q_events_hour_heatmap
+QUERIES["discount_band_effect"] = q_discount_band_effect
+QUERIES["zipf_word_slope"] = q_zipf_word_slope
+
+
+ORACLE_SQL["order_lines_histogram"] = """
+    WITH per AS (
+      SELECT l_orderkey, cast(count(*) AS bigint) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT n_lines, cast(count(*) AS bigint) AS n_orders
+    FROM per GROUP BY 1
+"""
+
+ORACLE_SQL["events_hour_heatmap"] = """
+    WITH per AS (
+      SELECT cast(isodow(cast(ts AS date)) AS int) AS isodow,
+             cast(hour(ts) AS int) AS hour,
+             cast(count(*) AS bigint) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT cast(sum(n_events) AS bigint) AS total FROM per)
+    SELECT isodow, hour, n_events,
+           cast((n_events * 1000000) // total AS bigint) AS share_ppm
+    FROM per, tot
+"""
+
+ORACLE_SQL["discount_band_effect"] = """
+    WITH g AS (
+      SELECT CASE WHEN l_quantity <= 10 THEN '01-10'
+                  WHEN l_quantity <= 25 THEN '11-25'
+                  ELSE '26-50' END AS qty_band,
+             cast(count(*) AS bigint) AS n_items,
+             cast(sum(cast(l_extendedprice AS decimal(38,2))) * 10000
+                  AS bigint) AS gross_e4,
+             cast(sum(cast(l_extendedprice * (1 - l_discount)
+                           AS decimal(38,4))) * 10000 AS bigint) AS net_e4
+      FROM lineitem GROUP BY 1
+    )
+    SELECT qty_band, n_items,
+           round(gross_e4 / 10000.0, 2) AS gross_revenue,
+           round(net_e4 / 10000.0, 2) AS net_revenue,
+           cast(((gross_e4 - net_e4) * 1000000) // gross_e4 AS bigint)
+               AS effective_discount_ppm
+    FROM g
+"""
+
+ORACLE_SQL["zipf_word_slope"] = f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT w, cast(count(*) AS bigint) AS c FROM words GROUP BY 1
+    ),
+    tot AS (SELECT cast(sum(c) AS bigint) AS total_words FROM counts),
+    top AS (
+      SELECT r, c, ln(cast(r AS double)) AS x, ln(cast(c AS double)) AS y
+      FROM (
+        SELECT c, cast(row_number() OVER (ORDER BY c DESC, w) AS bigint)
+                   AS r
+        FROM counts
+      ) WHERE r <= {ZIPF_TOP_WORDS}
+    ),
+    agg AS (
+      SELECT cast(count(*) AS bigint) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx,
+             max(CASE WHEN r = 1 THEN c END) AS top_count
+      FROM top
+    )
+    SELECT a.n,
+           round((a.n * a.sxy - a.sx * a.sy)
+                 / (a.n * a.sxx - a.sx * a.sx), 6) AS zipf_slope,
+           cast((a.top_count * 1000000) // t.total_words AS bigint)
+               AS top_word_share_ppm,
+           t.total_words
+    FROM agg a, tot t
+"""
