@@ -343,6 +343,12 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "events_hour_heatmap",
         "discount_band_effect",
         "zipf_word_slope",
+        "doc_hapax_ratio",
+        "corpus_vocab_growth",
+        "supplier_hhi_concentration",
+        "events_value_boxplot",
+        "char_class_profile",
+        "orders_value_gini",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

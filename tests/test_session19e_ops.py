@@ -279,3 +279,81 @@ def test_zipf_slope_negative_and_share_sane(spark):
     assert r["n"] == min(100, vocab)
     assert r["zipf_slope"] < 0  # frequency still decreasing in rank
     assert 0 < r["top_word_share_ppm"] < 500_000
+
+
+def test_hapax_bounds(spark):
+    from twinspect_spark.queries import q_doc_hapax_ratio
+
+    rows = q_doc_hapax_ratio(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hapax"] <= r["n_distinct_words"]
+        assert r["hapax_ppm"] == (
+            r["n_hapax"] * 1_000_000
+        ) // r["n_distinct_words"]
+
+
+def test_vocab_growth_monotone_saturating(spark):
+    from twinspect_spark.queries import q_corpus_vocab_growth
+
+    rows = sorted(
+        q_corpus_vocab_growth(spark, SF).collect(), key=lambda r: r["pct"]
+    )
+    assert [r["pct"] for r in rows] == [20, 40, 60, 80, 100]
+    sizes = [r["vocab_size"] for r in rows]
+    assert sizes == sorted(sizes)  # monotone non-decreasing
+    # template corpus: vocabulary saturates essentially immediately
+    assert sizes[0] >= sizes[-1] * 0.9
+
+
+def test_hhi_bounds(spark):
+    from twinspect_spark.queries import q_supplier_hhi_concentration
+
+    rows = q_supplier_hhi_concentration(spark, SF).collect()
+    for r in rows:
+        lo = 1_000_000 // r["n_suppliers"] - r["n_suppliers"]
+        assert lo <= r["hhi_ppm"] <= 1_000_000
+
+
+def test_boxplot_ordering(spark):
+    from twinspect_spark.queries import q_events_value_boxplot
+
+    rows = q_events_value_boxplot(spark, SF).collect()
+    for r in rows:
+        assert (
+            r["v_min"] <= r["q1"] <= r["median"] <= r["q3"] <= r["v_max"]
+        )
+        assert r["n_high_outliers"] >= 0
+
+
+def test_char_classes_partition(spark):
+    from twinspect_spark.queries import q_char_class_profile
+
+    rows = q_char_class_profile(spark, SF).collect()
+    for r in rows:
+        s = r["alpha_ppm"] + r["digit_ppm"] + r["space_ppm"] + r["other_ppm"]
+        assert 1_000_000 - 4 <= s <= 1_000_000
+
+
+def test_gini_range_and_hand_value(spark):
+    from twinspect_spark.queries import q_orders_value_gini
+
+    r = q_orders_value_gini(spark, SF).collect()[0]
+    assert 0 <= r["gini"] < 1
+    # recompute directly
+    per = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(38,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .collect()
+    )
+    xs = sorted((p["cents"], p["o_custkey"]) for p in per)
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    six = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+    want = round(2.0 * six / (n * sx) - (n + 1) / n, 6)
+    assert abs(r["gini"] - want) < 2e-6

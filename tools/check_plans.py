@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "customer_abc_classes",     # one-row total-cents class divisor
     "events_hour_heatmap",      # one-row grid-total share divisor
     "zipf_word_slope",          # one-row corpus word total
+    "corpus_vocab_growth",      # 5-row checkpoint grid, <= probe
     # --- fenced brute-force / oracle-tier constructs (broadcast small
     # side with non-equi condition by design)
     "eval_ngram_contamination",

@@ -14387,3 +14387,380 @@ ORACLE_SQL["zipf_word_slope"] = f"""
            t.total_words
     FROM agg a, tot t
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 16: hapax, Heaps, HHI, boxplot, char classes, Gini
+# --------------------------------------------------------------------------
+
+VOCAB_CHECKPOINTS = (20, 40, 60, 80, 100)  # % of max doc_id
+
+
+def q_doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical richness: hapax legomena (words occurring
+    exactly once IN the doc) as a fraction of the doc's distinct
+    vocabulary, in integer ppm — the burstiness/template signal
+    (templated docs repeat their few words; natural text is
+    hapax-heavy). Two map-side-combinable aggregations."""
+    docs = _t_par(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"[^a-z0-9]+"),
+                    lambda x: x != "",
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return wc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_distinct_words"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    ).select(
+        "doc_id",
+        "n_distinct_words",
+        "n_hapax",
+        F.expr("(n_hapax * 1000000) div n_distinct_words")
+        .cast("long")
+        .alias("hapax_ppm"),
+    )
+
+
+def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law audit: cumulative distinct vocabulary at corpus
+    checkpoints (20..100% of the doc-id range). Each word counts ONCE
+    at its min(doc_id) (the user_growth_curve decomposition applied to
+    vocabulary), checkpoints are scale-free fractions of an in-plan
+    max, and the growth curve's flattening measures how fast the
+    corpus exhausts its vocabulary (natural text keeps growing;
+    template corpora saturate immediately)."""
+    docs = _t_par(spark, sf_dir, "documents")
+    firsts = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"[^a-z0-9]+"),
+                    lambda x: x != "",
+                )
+            ).alias("w"),
+        )
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = docs.agg(F.max("doc_id").alias("max_id"))
+    cps = spark.createDataFrame(
+        [(p,) for p in VOCAB_CHECKPOINTS], "pct int"
+    )
+    grid = cps.crossJoin(F.broadcast(mx)).select(
+        "pct", F.expr("(pct * max_id) div 100").alias("cutoff")
+    )
+    return (
+        firsts.crossJoin(F.broadcast(grid))
+        .where(F.col("first_doc") <= F.col("cutoff"))
+        .groupBy("pct")
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+    )
+
+
+def q_supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration (Herfindahl–Hirschman) index per nation:
+    the sum of squared supplier revenue shares — HHI near 1e6 ppm =
+    monopoly, near 1e6/n = fragmented. Shares are exact integer ppm
+    of exact cents; HHI = Σ share² div 1e6 stays in BIGINT, so the
+    oracle is bit-for-bit. Window totals run over the (nation,
+    supplier) rollup."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    per = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(38,4)")
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("e4")
+        )
+    )
+    w = Window.partitionBy("s_nationkey")
+    shares = per.select(
+        "s_nationkey",
+        F.expr(
+            "(e4 * 1000000) div sum(e4) over"
+            " (partition by s_nationkey)"
+        ).alias("share_ppm"),
+    )
+    return shares.groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.expr("(sum(share_ppm * share_ppm)) div 1000000")
+        .cast("long")
+        .alias("hhi_ppm"),
+    )
+
+
+def q_events_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-number summary per event type (min / q1 / median / q3 /
+    max on exact interpolated percentiles) plus the IQR-rule outlier
+    count (x > q3 + 1.5·IQR) — the boxplot table every ops dashboard
+    draws. Two passes: grouped percentiles, then the outlier count
+    against broadcast fences."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+        F.round(F.max("value"), 6).alias("v_max"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    return j.groupBy(
+        "event_type", "v_min", "q1", "median", "q3", "v_max"
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("value")
+                > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_high_outliers")
+    )
+
+
+def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-class composition: letters / digits /
+    whitespace / other as integer-ppm fractions of total chars — the
+    cheap ingest fingerprint that catches binary-in-text and
+    minified-blob rows before tokenization. regexp_count over the
+    Java∩RE2 class subset; one rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit("[a-zA-Z]"))
+        .cast("long")
+        .alias("n_alpha"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]"))
+        .cast("long")
+        .alias("n_digit"),
+        F.regexp_count(F.col("text"), F.lit("[ \\t\\n]"))
+        .cast("long")
+        .alias("n_space"),
+    )
+    return per.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.expr("(sum(n_alpha) * 1000000) div sum(n_chars)")
+        .cast("long")
+        .alias("alpha_ppm"),
+        F.expr("(sum(n_digit) * 1000000) div sum(n_chars)")
+        .cast("long")
+        .alias("digit_ppm"),
+        F.expr("(sum(n_space) * 1000000) div sum(n_chars)")
+        .cast("long")
+        .alias("space_ppm"),
+        F.expr(
+            "((sum(n_chars) - sum(n_alpha) - sum(n_digit)"
+            " - sum(n_space)) * 1000000) div sum(n_chars)"
+        )
+        .cast("long")
+        .alias("other_ppm"),
+    )
+
+
+def q_orders_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the single-number
+    inequality readout completing the decile-lift/ABC family:
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-ranked exact cents.
+    Σ(i·xᵢ) accumulates as DECIMAL (rank i is deterministic with the
+    custkey tie-break), floats enter once in the closed form, same op
+    order both engines."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per.select(
+        "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("six"),
+    ).select(
+        "n_customers",
+        F.round(
+            2.0 * F.col("six").cast("double")
+            / (F.col("n_customers").cast("double") * F.col("sx").cast("double"))
+            - (F.col("n_customers") + 1).cast("double")
+            / F.col("n_customers").cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+QUERIES["doc_hapax_ratio"] = q_doc_hapax_ratio
+QUERIES["corpus_vocab_growth"] = q_corpus_vocab_growth
+QUERIES["supplier_hhi_concentration"] = q_supplier_hhi_concentration
+QUERIES["events_value_boxplot"] = q_events_value_boxplot
+QUERIES["char_class_profile"] = q_char_class_profile
+QUERIES["orders_value_gini"] = q_orders_value_gini
+
+
+ORACLE_SQL["doc_hapax_ratio"] = """
+    WITH wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT doc_id,
+             cast(count(*) AS bigint) AS n_distinct_words,
+             cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS bigint)
+                 AS n_hapax
+      FROM wc GROUP BY 1
+    )
+    SELECT doc_id, n_distinct_words, n_hapax,
+           cast((n_hapax * 1000000) // n_distinct_words AS bigint)
+               AS hapax_ppm
+    FROM g
+"""
+
+ORACLE_SQL["corpus_vocab_growth"] = f"""
+    WITH firsts AS (
+      SELECT w, min(doc_id) AS first_doc
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY 1
+    ),
+    mx AS (SELECT max(doc_id) AS max_id FROM documents),
+    grid AS (
+      SELECT cast(pct AS int) AS pct,
+             (pct * mx.max_id) // 100 AS cutoff
+      FROM unnest([{", ".join(str(p) for p in VOCAB_CHECKPOINTS)}])
+               AS u(pct), mx
+    )
+    SELECT g.pct, cast(count(*) AS bigint) AS vocab_size
+    FROM firsts f JOIN grid g ON f.first_doc <= g.cutoff
+    GROUP BY 1
+"""
+
+ORACLE_SQL["supplier_hhi_concentration"] = """
+    WITH per AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             cast(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                           AS decimal(38,4))) * 10000 AS bigint) AS e4
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT s_nationkey,
+             (e4 * 1000000) // sum(e4) OVER (PARTITION BY s_nationkey)
+                 AS share_ppm
+      FROM per
+    )
+    SELECT s_nationkey,
+           cast(count(*) AS bigint) AS n_suppliers,
+           cast(sum(share_ppm * share_ppm) // 1000000 AS bigint)
+               AS hhi_ppm
+    FROM shares GROUP BY 1
+"""
+
+ORACLE_SQL["events_value_boxplot"] = """
+    WITH q AS (
+      SELECT event_type,
+             round(min(value), 6) AS v_min,
+             round(quantile_cont(value, 0.25), 6) AS q1,
+             round(quantile_cont(value, 0.5), 6) AS median,
+             round(quantile_cont(value, 0.75), 6) AS q3,
+             round(max(value), 6) AS v_max
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, q.v_min, q.q1, q.median, q.q3, q.v_max,
+           cast(sum(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS bigint) AS n_high_outliers
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+ORACLE_SQL["char_class_profile"] = """
+    WITH per AS (
+      SELECT lang,
+             cast(length(text) AS bigint) AS n_chars,
+             cast(length(text)
+                  - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+                  AS bigint) AS n_alpha,
+             cast(length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS bigint) AS n_digit,
+             cast(length(text)
+                  - length(regexp_replace(text, '[ \\t\\n]', '', 'g'))
+                  AS bigint) AS n_space
+      FROM documents
+    )
+    SELECT lang,
+           cast(sum(n_chars) AS bigint) AS chars,
+           cast((sum(n_alpha) * 1000000) // sum(n_chars) AS bigint)
+               AS alpha_ppm,
+           cast((sum(n_digit) * 1000000) // sum(n_chars) AS bigint)
+               AS digit_ppm,
+           cast((sum(n_space) * 1000000) // sum(n_chars) AS bigint)
+               AS space_ppm,
+           cast(((sum(n_chars) - sum(n_alpha) - sum(n_digit)
+                  - sum(n_space)) * 1000000) // sum(n_chars) AS bigint)
+               AS other_ppm
+    FROM per GROUP BY 1
+"""
+
+ORACLE_SQL["orders_value_gini"] = """
+    WITH per AS (
+      SELECT o_custkey,
+             cast(sum(cast(o_totalprice AS decimal(38,2))) * 100
+                  AS bigint) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             cast(row_number() OVER (ORDER BY cents, o_custkey)
+                  AS bigint) AS i
+      FROM per
+    ),
+    agg AS (
+      SELECT cast(count(*) AS bigint) AS n_customers,
+             cast(sum(cents) AS decimal(38,0)) AS sx,
+             cast(sum(cast(i AS decimal(38,0)) * cents)
+                  AS decimal(38,0)) AS six
+      FROM ranked
+    )
+    SELECT n_customers,
+           round(2.0 * cast(six AS double)
+                 / (cast(n_customers AS double) * cast(sx AS double))
+                 - cast(n_customers + 1 AS double)
+                   / cast(n_customers AS double), 6) AS gini
+    FROM agg
+"""
