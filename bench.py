@@ -349,6 +349,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "events_value_boxplot",
         "char_class_profile",
         "orders_value_gini",
+        "cdc_insertion_robustness",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

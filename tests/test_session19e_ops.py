@@ -357,3 +357,20 @@ def test_gini_range_and_hand_value(spark):
     six = sum((i + 1) * x for i, (x, _) in enumerate(xs))
     want = round(2.0 * six / (n * sx) - (n + 1) / n, 6)
     assert abs(r["gini"] - want) < 2e-6
+
+
+def test_cdc_insertion_locality(spark):
+    from twinspect_spark.queries import q_cdc_insertion_robustness
+
+    rows = q_cdc_insertion_robustness(spark, SF).collect()
+    assert rows
+    for r in rows:
+        lost = r["n_chunks_orig"] - r["n_common"]
+        # the edit touches at most its own chunk plus one boundary
+        # neighbor — fixed-window chunking would lose every chunk
+        # after position 100
+        assert 0 <= lost <= 2
+        assert abs(r["n_chunks_edit"] - r["n_chunks_orig"]) <= 1
+        assert r["survival_ppm"] == (
+            r["n_common"] * 1_000_000
+        ) // r["n_chunks_orig"]

@@ -6768,12 +6768,15 @@ fsz AS (SELECT doc_id, count(*) AS nf FROM fps GROUP BY 1)
 _WINNOW_CTE = _build_winnow_cte()
 
 
-def _build_cdc_cte() -> str:
-    """CTE chain ``documents → … → chunks(doc_id, chunk)``: the
+def _build_cdc_cte(source: str = "documents") -> str:
+    """CTE chain ``source → … → chunks(doc_id, chunk)``: the
     content-defined chunking kernel (operators/cdc.py) replayed in ANSI
     SQL — positional k-gram FNV fold + SplitMix64 (carry-columns
     replay), boundary selection at hash ≡ 0 mod d, cut points via
-    lead() over ordered starts, chunk text via substr."""
+    lead() over ordered starts, chunk text via substr. ``source`` is
+    any relation with (doc_id, text) — the _sh_sql(source) idiom, so
+    the robustness audit can chunk an edited VARIANT corpus through
+    the identical kernel."""
     from twinspect_spark.functions.hashing import FNV_OFFSET, FNV_PRIME
     from twinspect_spark.operators.cdc import cdc_key
 
@@ -6783,7 +6786,7 @@ def _build_cdc_cte() -> str:
     return f"""
 norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-  FROM documents
+  FROM {source}
 ),
 grams AS (
   SELECT doc_id, i AS pos, substr(t, i, {k}) AS g
@@ -14764,3 +14767,131 @@ ORACLE_SQL["orders_value_gini"] = """
                    / cast(n_customers AS double), 6) AS gini
     FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 17: CDC insertion-robustness audit
+# --------------------------------------------------------------------------
+
+CDC_EDIT_POS = 100      # raw-char position of the planted insertion
+CDC_EDIT_TOKEN = "ZQX"  # inserted bytes (outside the corpus alphabet)
+
+
+def q_cdc_insertion_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE property content-defined chunking exists for, measured as
+    data: plant a 3-char insertion at position 100 of every 10th doc,
+    re-chunk BOTH versions through the identical gear-hash kernel, and
+    report per doc how many chunk hashes survive — fixed-window
+    chunking would lose every chunk after the edit (robustness → the
+    edit-point fraction); CDC re-chunks only the edit's neighborhood,
+    so survival stays near 1 minus one chunk. Both versions flow
+    through ONE unioned relation (version packed into the id, decoded
+    after chunking) so the kernel, batching, and normalization are
+    byte-identical; the oracle replays the whole chain over the same
+    variant corpus via the parametrized CDC CTE."""
+    from twinspect_spark.ingest import normalize_expr
+    from twinspect_spark.operators.cdc import make_cdc_udf
+
+    _ship_package(spark)
+    base = _t_par(spark, sf_dir, "documents").where(
+        (F.length("text") >= 2 * CDC_EDIT_POS) & (F.col("doc_id") % 10 == 0)
+    )
+    edited = F.concat(
+        F.substring("text", 1, CDC_EDIT_POS),
+        F.lit(CDC_EDIT_TOKEN),
+        F.expr(f"substring(text, {CDC_EDIT_POS + 1})"),
+    )
+    vdocs = base.select(
+        (F.col("doc_id") * 2).alias("doc_id"), F.col("text")
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"), edited.alias("text")
+        )
+    )
+    udf = make_cdc_udf(CDC_K, CDC_D, DOCS_CFG.seed)
+    norm = vdocs.select(
+        "doc_id", normalize_expr(F.col("text"), "simple").alias("t")
+    )
+    ch = (
+        norm.select("doc_id", F.explode(udf(F.col("t"))).alias("chunk"))
+        .select(
+            F.expr("doc_id div 2").alias("orig_id"),
+            F.expr("cast(doc_id % 2 as int)").alias("version"),
+            F.sha2("chunk", 256).alias("h"),
+        )
+        .distinct()
+    )
+    s0 = ch.where("version = 0").select("orig_id", "h")
+    s1 = ch.where("version = 1").select("orig_id", "h")
+    n0 = s0.groupBy("orig_id").agg(F.count("*").cast("long").alias("n_chunks_orig"))
+    n1 = s1.groupBy("orig_id").agg(F.count("*").cast("long").alias("n_chunks_edit"))
+    common = (
+        s0.join(s1, ["orig_id", "h"], "left_semi")
+        .groupBy("orig_id")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        n0.join(n1, "orig_id")
+        .join(common, "orig_id", "left")
+        .select(
+            F.col("orig_id").alias("doc_id"),
+            "n_chunks_orig",
+            "n_chunks_edit",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        )
+        .withColumn(
+            "survival_ppm",
+            F.expr("(n_common * 1000000) div n_chunks_orig").cast("long"),
+        )
+    )
+
+
+QUERIES["cdc_insertion_robustness"] = q_cdc_insertion_robustness
+
+
+ORACLE_SQL["cdc_insertion_robustness"] = (
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= {2 * CDC_EDIT_POS} AND doc_id % 10 = 0
+    ),
+    vdocs AS (
+      SELECT doc_id * 2 AS doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS doc_id,
+             substr(text, 1, {CDC_EDIT_POS}) || '{CDC_EDIT_TOKEN}'
+                 || substr(text, {CDC_EDIT_POS + 1}) AS text
+      FROM base
+    ),
+    """
+    + _build_cdc_cte("vdocs").strip().lstrip()
+    + f""",
+    ch AS (
+      SELECT DISTINCT doc_id // 2 AS orig_id,
+             cast(doc_id % 2 AS int) AS version,
+             sha256(chunk) AS h
+      FROM chunks
+    ),
+    n0 AS (
+      SELECT orig_id, cast(count(*) AS bigint) AS n_chunks_orig
+      FROM ch WHERE version = 0 GROUP BY 1
+    ),
+    n1 AS (
+      SELECT orig_id, cast(count(*) AS bigint) AS n_chunks_edit
+      FROM ch WHERE version = 1 GROUP BY 1
+    ),
+    common AS (
+      SELECT a.orig_id, cast(count(*) AS bigint) AS n_common
+      FROM ch a JOIN ch b
+        ON a.orig_id = b.orig_id AND a.h = b.h
+       AND a.version = 0 AND b.version = 1
+      GROUP BY 1
+    )
+    SELECT n0.orig_id AS doc_id, n0.n_chunks_orig, n1.n_chunks_edit,
+           cast(coalesce(c.n_common, 0) AS bigint) AS n_common,
+           cast((coalesce(c.n_common, 0) * 1000000) // n0.n_chunks_orig
+                AS bigint) AS survival_ppm
+    FROM n0 JOIN n1 ON n1.orig_id = n0.orig_id
+    LEFT JOIN common c ON c.orig_id = n0.orig_id
+"""
+)
