@@ -350,6 +350,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "char_class_profile",
         "orders_value_gini",
         "cdc_insertion_robustness",
+        "event_next_purchase_asof",
+        "pps_systematic_sample",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -374,3 +374,62 @@ def test_cdc_insertion_locality(spark):
         assert r["survival_ppm"] == (
             r["n_common"] * 1_000_000
         ) // r["n_chunks_orig"]
+
+
+def test_forward_asof_hand_case(spark):
+    import datetime as dt
+
+    from twinspect_spark.operators.asof import asof_join_forward
+
+    def ts(m):
+        return dt.datetime(2026, 4, 1, 10, m)
+
+    left = spark.createDataFrame(
+        [(1, 10, ts(0)), (2, 10, ts(5)), (3, 10, ts(30)), (4, 11, ts(0))],
+        "eid long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, ts(5)), (101, 10, ts(20)), (102, 10, ts(20))],
+        "rid long, k long, t timestamp",
+    )
+    out = {
+        r["eid"]: r["asof_rid"]
+        for r in asof_join_forward(
+            left, right, "k", "t", "t", ["rid"], right_seq="rid"
+        ).collect()
+    }
+    assert out[1] == 100      # earliest at-or-after 10:00 is 10:05
+    assert out[2] == 100      # exact-ts match included
+    assert out[3] is None     # nothing after 10:30
+    assert out[4] is None     # no right rows for key 11
+    # equal-ts peers at 10:20 resolve to the SMALLEST seq
+    left2 = spark.createDataFrame(
+        [(9, 10, ts(10))], "eid long, k long, t timestamp"
+    )
+    out2 = asof_join_forward(
+        left2, right, "k", "t", "t", ["rid"], right_seq="rid"
+    ).collect()[0]
+    assert out2["asof_rid"] == 101
+
+
+def test_forward_asof_query_semantics(spark):
+    from twinspect_spark.queries import q_event_next_purchase_asof
+
+    rows = q_event_next_purchase_asof(spark, SF).collect()
+    assert rows
+    matched = [r for r in rows if r["next_purchase_id"] is not None]
+    assert matched
+    for r in matched:
+        assert r["days_to_purchase"] >= 0
+
+
+def test_pps_sample_proportionality(spark):
+    from twinspect_spark.queries import q_pps_systematic_sample
+
+    rows = q_pps_systematic_sample(spark, SF).collect()
+    # systematic PPS yields ~k selections (±1 boundary effects), each
+    # crossing a distinct boundary unless one heavy item spans several
+    assert 15 <= len(rows) <= 21
+    idxs = [r["boundary_idx"] for r in rows]
+    assert len(set(idxs)) == len(idxs)  # one selection per boundary
+    assert all(r["w"] > 0 for r in rows)

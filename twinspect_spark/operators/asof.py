@@ -96,3 +96,59 @@ def asof_join(
         *left.columns,
         *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    right_seq: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Forward as-of join: left enriched with the EARLIEST right
+    payload at or after each left row's timestamp — the mirror of
+    asof_join through the same tagged-union single-window plan, with
+    the sort reversed (ts DESC) so `last(ignorenulls)` over the
+    preceding frame picks the nearest following right row. Exact-ts
+    right rows match (right sorts before left at equal ts); equal-ts
+    right peers resolve to the SMALLEST right_seq (the mirror of the
+    backward join's greatest-seq rule). One shuffle on the key,
+    |L|+|R| intermediate rows, zero Join operators."""
+    pay = F.struct(*[F.col(c) for c in payload]).alias("_pay")
+    seq = F.col(right_seq) if right_seq else F.lit(0)
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        seq.cast("long").alias("_seq"),
+        pay,
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_seq"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+        *left.columns,
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.desc("_ts"), F.asc("_side"), F.desc("_seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    return matched.select(
+        *left.columns,
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload],
+    )

@@ -14895,3 +14895,137 @@ ORACLE_SQL["cdc_insertion_robustness"] = (
     LEFT JOIN common c ON c.orig_id = n0.orig_id
 """
 )
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 18: forward as-of, PPS systematic sampling
+# --------------------------------------------------------------------------
+
+PPS_SAMPLES = 20
+
+
+def q_event_next_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.asof_join_forward): for every
+    click/view event, the user's EARLIEST purchase at or after it —
+    time-to-conversion attribution, the mirror of order_asof_lookup's
+    backward join through the same tagged-union single-window plan
+    (one shuffle on the user key, zero Join operators, |L|+|R| rows).
+    Tie rule pinned: exact-ts purchases match; equal-ts purchase peers
+    resolve to the smallest event_id. Gap reported in exact whole days
+    (date diff) plus the matched purchase id."""
+    from twinspect_spark.operators.asof import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id")
+    )
+    out = asof_join_forward(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["p_event_id", "ts"],
+        right_seq="p_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("asof_p_event_id").alias("next_purchase_id"),
+        F.datediff(
+            F.col("asof_ts").cast("date"), F.col("ts").cast("date")
+        )
+        .cast("long")
+        .alias("days_to_purchase"),
+    )
+
+
+def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling in exact
+    integers: docs ordered by the deterministic sample hash, char-mass
+    cumulated (the naive global cumsum here doubles as the oracle
+    shape; the scale path is the token_budget_export two-level prefix
+    sum), and a doc is selected iff its cumulative interval crosses a
+    multiple of step = total div k — giving inclusion probability
+    ∝ n_chars with NO floating point and NO RNG state (the
+    Efraimidis-Spirakis exponential trick needs log(), whose last-ulp
+    behavior differs across engines; systematic PPS doesn't). Emits
+    the selected docs with their weight and crossed boundary index."""
+    from pyspark.sql import Window
+
+    from twinspect_spark.training import sample_hash
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    ).withColumn("h", sample_hash(F.col("doc_id")))
+    tot = docs.agg(F.sum("w").cast("long").alias("total"))
+    w = Window.orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = docs.withColumn("cum", F.sum("w").over(w).cast("long")).crossJoin(
+        F.broadcast(tot)
+    )
+    return (
+        cum.select(
+            "doc_id",
+            "w",
+            "cum",
+            F.expr(f"total div {PPS_SAMPLES}").alias("step"),
+        )
+        .where(
+            F.expr("(cum div step)") > F.expr("((cum - w) div step)")
+        )
+        .select(
+            "doc_id",
+            "w",
+            F.expr("cum div step").cast("long").alias("boundary_idx"),
+        )
+    )
+
+
+QUERIES["event_next_purchase_asof"] = q_event_next_purchase_asof
+QUERIES["pps_systematic_sample"] = q_pps_systematic_sample
+
+
+ORACLE_SQL["event_next_purchase_asof"] = """
+    SELECT e.event_id, e.user_id, e.event_type,
+           nxt.p_event_id AS next_purchase_id,
+           cast(date_diff('day', cast(e.ts AS date),
+                          cast(nxt.pts AS date)) AS bigint)
+               AS days_to_purchase
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT p.event_id AS p_event_id, p.ts AS pts
+      FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        AND p.ts >= e.ts
+      ORDER BY p.ts, p.event_id
+      LIMIT 1
+    ) nxt ON TRUE
+    WHERE e.event_type IN ('click', 'view')
+"""
+
+ORACLE_SQL["pps_systematic_sample"] = f"""
+    WITH d AS (
+      SELECT doc_id, cast(n_chars AS bigint) AS w,
+             (doc_id * 2654435761) % 4294967296 AS h
+      FROM documents
+    ),
+    tot AS (SELECT cast(sum(w) AS bigint) AS total FROM d),
+    cum AS (
+      SELECT doc_id, w,
+             cast(sum(w) OVER (ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS bigint) AS cum
+      FROM d
+    )
+    SELECT c.doc_id, c.w,
+           cast(c.cum // (t.total // {PPS_SAMPLES}) AS bigint)
+               AS boundary_idx
+    FROM cum c, tot t
+    WHERE (c.cum // (t.total // {PPS_SAMPLES}))
+          > ((c.cum - c.w) // (t.total // {PPS_SAMPLES}))
+"""
