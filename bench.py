@@ -352,6 +352,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "cdc_insertion_robustness",
         "event_next_purchase_asof",
         "pps_systematic_sample",
+        "snapshot_expiry_plan",
+        "revenue_drawdown_profile",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

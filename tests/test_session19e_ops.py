@@ -433,3 +433,35 @@ def test_pps_sample_proportionality(spark):
     idxs = [r["boundary_idx"] for r in rows]
     assert len(set(idxs)) == len(idxs)  # one selection per boundary
     assert all(r["w"] > 0 for r in rows)
+
+
+def test_snapshot_expiry_accounting(spark):
+    from twinspect_spark.queries import q_snapshot_expiry_plan
+
+    rows = {r["commit_seq"]: r for r in q_snapshot_expiry_plan(spark, SF).collect()}
+    assert set(rows) == {1, 2, 3}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    n3 = docs.where("doc_id % 3 = 0").count()
+    n5 = docs.where("doc_id % 5 = 0").count()
+    assert rows[1]["n_files_written"] == n
+    assert rows[2]["n_files_written"] == n3
+    assert rows[3]["n_files_written"] == n5
+    # nothing supersedes the final commit
+    assert rows[3]["n_superseded"] == 0
+    # commit-2 versions superseded only where doc_id%15==0 (rev3 wrote over)
+    n15 = docs.where("doc_id % 15 = 0").count()
+    assert rows[2]["n_superseded"] == n15
+    for r in rows.values():
+        assert r["reclaimable_bytes"] <= r["bytes_written"]
+
+
+def test_drawdown_bounds(spark):
+    from twinspect_spark.queries import q_revenue_drawdown_profile
+
+    r = q_revenue_drawdown_profile(spark, SF).collect()[0]
+    assert r["max_drawdown"] >= 0
+    assert abs(
+        (r["peak_revenue"] - r["trough_revenue"]) - r["max_drawdown"]
+    ) < 0.011  # cents rounding
+    assert r["trough_revenue"] <= r["peak_revenue"]

@@ -15029,3 +15029,159 @@ ORACLE_SQL["pps_systematic_sample"] = f"""
     WHERE (c.cum // (t.total // {PPS_SAMPLES}))
           > ((c.cum - c.w) // (t.total // {PPS_SAMPLES}))
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 19: snapshot expiry planner, revenue drawdown
+# --------------------------------------------------------------------------
+
+
+def q_snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-retention planner over the synthesized 3-commit file
+    history (the scd2_file_history corpus): per commit, how many file
+    versions it wrote, their byte mass, how many were SUPERSEDED by a
+    later rewrite of the same path, and the bytes an expire-snapshots
+    operation older than that commit would reclaim — the
+    VACUUM/expire-snapshots planning readout of a lakehouse table.
+    One lead() window over the (repo, path) history decides
+    supersession; rollup per commit."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def rev(seq: int, content, flt):
+        d = docs.where(flt) if flt is not None else docs
+        return d.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), "doc_id").alias("path"),
+            F.lit(seq).cast("long").alias("commit_seq"),
+            content.alias("content"),
+        )
+
+    hist = (
+        rev(1, F.col("text"), None)
+        .unionByName(
+            rev(2, F.concat("text", F.lit(" rev2")), F.col("doc_id") % 3 == 0)
+        )
+        .unionByName(
+            rev(3, F.concat("text", F.lit(" rev3")), F.col("doc_id") % 5 == 0)
+        )
+    )
+    w = Window.partitionBy("repo", "path").orderBy("commit_seq")
+    vers = hist.select(
+        "repo",
+        "path",
+        "commit_seq",
+        F.length("content").cast("long").alias("bytes"),
+    ).withColumn("superseded_at", F.lead("commit_seq").over(w))
+    return vers.groupBy("commit_seq").agg(
+        F.count("*").cast("long").alias("n_files_written"),
+        F.sum("bytes").cast("long").alias("bytes_written"),
+        F.sum(F.when(F.col("superseded_at").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_superseded"),
+        F.sum(
+            F.when(F.col("superseded_at").isNotNull(), F.col("bytes")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("reclaimable_bytes"),
+    )
+
+
+def q_revenue_drawdown_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily revenue series (the running-peak
+    window composition finance monitors run): per-day exact cents,
+    running peak, drawdown = peak − value, and the global maximum
+    drawdown with its peak/trough amounts — all integers until the
+    final display round. Two chained windows over the |days| rollup
+    (never the fact); the one-row readout keeps the argmax
+    deterministic with a min-day tie-break."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.withColumn(
+        "peak", F.max("cents").over(w).cast("long")
+    ).withColumn("drawdown", (F.col("peak") - F.col("cents")).cast("long"))
+    mx = dd.agg(F.max("drawdown").alias("max_dd"))
+    return (
+        dd.join(F.broadcast(mx), dd.drawdown == mx.max_dd)
+        .groupBy("drawdown")
+        .agg(
+            F.min("day").alias("trough_day"),
+            F.min("peak").cast("long").alias("peak_cents"),
+            F.min("cents").cast("long").alias("trough_cents"),
+        )
+        .select(
+            F.col("trough_day"),
+            F.round(F.col("peak_cents") / 100.0, 2).alias("peak_revenue"),
+            F.round(F.col("trough_cents") / 100.0, 2).alias("trough_revenue"),
+            F.round(F.col("drawdown") / 100.0, 2).alias("max_drawdown"),
+        )
+    )
+
+
+QUERIES["snapshot_expiry_plan"] = q_snapshot_expiry_plan
+QUERIES["revenue_drawdown_profile"] = q_revenue_drawdown_profile
+
+
+ORACLE_SQL["snapshot_expiry_plan"] = """
+    WITH hist AS (
+      SELECT source AS repo, 'doc/' || doc_id AS path,
+             cast(1 AS bigint) AS commit_seq, text AS content
+      FROM documents
+      UNION ALL
+      SELECT source, 'doc/' || doc_id, 2, text || ' rev2'
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT source, 'doc/' || doc_id, 3, text || ' rev3'
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    vers AS (
+      SELECT repo, path, commit_seq,
+             cast(length(content) AS bigint) AS bytes,
+             lead(commit_seq) OVER (PARTITION BY repo, path
+                                    ORDER BY commit_seq) AS superseded_at
+      FROM hist
+    )
+    SELECT commit_seq,
+           cast(count(*) AS bigint) AS n_files_written,
+           cast(sum(bytes) AS bigint) AS bytes_written,
+           cast(sum(CASE WHEN superseded_at IS NOT NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_superseded,
+           cast(sum(CASE WHEN superseded_at IS NOT NULL THEN bytes
+                         ELSE 0 END) AS bigint) AS reclaimable_bytes
+    FROM vers GROUP BY 1
+"""
+
+ORACLE_SQL["revenue_drawdown_profile"] = """
+    WITH daily AS (
+      SELECT cast(o_orderdate AS date) AS day,
+             cast(sum(cast(o_totalprice AS decimal(38,2))) * 100
+                  AS bigint) AS cents
+      FROM orders GROUP BY 1
+    ),
+    dd AS (
+      SELECT day, cents,
+             cast(max(cents) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS bigint) AS peak
+      FROM daily
+    ),
+    d2 AS (SELECT day, cents, peak, peak - cents AS drawdown FROM dd),
+    mx AS (SELECT max(drawdown) AS max_dd FROM d2)
+    SELECT min(day) AS trough_day,
+           round(cast(min(peak) AS bigint) / 100.0, 2) AS peak_revenue,
+           round(cast(min(cents) AS bigint) / 100.0, 2) AS trough_revenue,
+           round(drawdown / 100.0, 2) AS max_drawdown
+    FROM d2, mx WHERE d2.drawdown = mx.max_dd
+    GROUP BY drawdown
+"""
