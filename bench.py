@@ -354,6 +354,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "pps_systematic_sample",
         "snapshot_expiry_plan",
         "revenue_drawdown_profile",
+        "same_day_order_audit",
+        "monthly_seasonal_index",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -465,3 +465,26 @@ def test_drawdown_bounds(spark):
         (r["peak_revenue"] - r["trough_revenue"]) - r["max_drawdown"]
     ) < 0.011  # cents rounding
     assert r["trough_revenue"] <= r["peak_revenue"]
+
+
+def test_same_day_audit_groups(spark):
+    from twinspect_spark.queries import q_same_day_order_audit
+
+    rows = q_same_day_order_audit(spark, SF).collect()
+    for r in rows:
+        assert r["n_orders"] >= 2
+        assert r["first_orderkey"] < r["last_orderkey"]
+
+
+def test_seasonal_index_centers_on_unity(spark):
+    from twinspect_spark.queries import q_monthly_seasonal_index
+
+    rows = q_monthly_seasonal_index(spark, SF).collect()
+    assert len(rows) == 12
+    mean_idx = sum(r["seasonal_index_ppm"] for r in rows) / 12
+    # indices average ~1e6 (exact only if every month spans the same
+    # number of years; corpus ends mid-year so allow a few percent)
+    assert 0.9e6 < mean_idx < 1.1e6
+    for r in rows:
+        assert r["n_years"] >= 1
+        assert r["seasonal_index_ppm"] > 0

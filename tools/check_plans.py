@@ -56,6 +56,7 @@ BNLJ_ALLOWED = {
     "zipf_word_slope",          # one-row corpus word total
     "corpus_vocab_growth",      # 5-row checkpoint grid, <= probe
     "pps_systematic_sample",    # one-row total/step divisor
+    "monthly_seasonal_index",   # one-row overall-average divisor
     # --- fenced brute-force / oracle-tier constructs (broadcast small
     # side with non-equi condition by design)
     "eval_ngram_contamination",

@@ -15185,3 +15185,117 @@ ORACLE_SQL["revenue_drawdown_profile"] = """
     FROM d2, mx WHERE d2.drawdown = mx.max_dd
     GROUP BY drawdown
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 20: duplicate-payment screen, seasonal index
+# --------------------------------------------------------------------------
+
+
+def q_same_day_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: customers placing MULTIPLE orders on
+    one calendar day — the finance-ops dedup audit (double-submission
+    / split-invoice detection). Per (customer, day) group of >= 2:
+    order count, decimal-exact combined value, the id span, and
+    whether any two orders in the group carry the IDENTICAL amount
+    (the strongest double-pay signal — countDistinct(amount) <
+    count). One map-side-combinable rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("combined_value"),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.max("o_orderkey").alias("last_orderkey"),
+            (F.countDistinct("o_totalprice") < F.count("*")).alias(
+                "has_identical_amounts"
+            ),
+        )
+        .where(F.col("n_orders") >= 2)
+    )
+
+
+def q_monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonal index: each month-of-year's average
+    monthly revenue relative to the overall monthly average, in
+    integer ppm (1e6 = neutral) — the classical-decomposition seasonal
+    component at month granularity. Exact cents throughout: per
+    (year, month) rollup, then per calendar-month averages as
+    cents-sum div month-count (integer), index = month_avg·1e6 div
+    overall_avg. Both windows run over the ~|months| rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    ym = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    per_month = ym.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_years"),
+        F.sum("cents").cast("long").alias("m_cents"),
+    ).withColumn("m_avg", F.expr("m_cents div n_years"))
+    overall = ym.agg(
+        F.expr("sum(cents) div count(*)").cast("long").alias("o_avg")
+    )
+    return per_month.crossJoin(F.broadcast(overall)).select(
+        F.col("m").alias("month"),
+        "n_years",
+        F.round(F.col("m_avg") / 100.0, 2).alias("avg_monthly_revenue"),
+        F.expr("(m_avg * 1000000) div o_avg")
+        .cast("long")
+        .alias("seasonal_index_ppm"),
+    )
+
+
+QUERIES["same_day_order_audit"] = q_same_day_order_audit
+QUERIES["monthly_seasonal_index"] = q_monthly_seasonal_index
+
+
+ORACLE_SQL["same_day_order_audit"] = """
+    SELECT o_custkey, cast(o_orderdate AS date) AS day,
+           cast(count(*) AS bigint) AS n_orders,
+           round(cast(sum(cast(o_totalprice AS decimal(38,2)))
+                      AS double), 2) AS combined_value,
+           min(o_orderkey) AS first_orderkey,
+           max(o_orderkey) AS last_orderkey,
+           count(DISTINCT o_totalprice) < count(*) AS has_identical_amounts
+    FROM orders
+    GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+ORACLE_SQL["monthly_seasonal_index"] = """
+    WITH ym AS (
+      SELECT cast(year(o_orderdate) AS int) AS y,
+             cast(month(o_orderdate) AS int) AS m,
+             cast(sum(cast(o_totalprice AS decimal(38,2))) * 100
+                  AS bigint) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    per_month AS (
+      SELECT m, cast(count(*) AS bigint) AS n_years,
+             cast(sum(cents) AS bigint) AS m_cents,
+             cast(sum(cents) AS bigint) // cast(count(*) AS bigint)
+                 AS m_avg
+      FROM ym GROUP BY 1
+    ),
+    overall AS (
+      SELECT cast(cast(sum(cents) AS bigint)
+                  // cast(count(*) AS bigint) AS bigint) AS o_avg
+      FROM ym
+    )
+    SELECT p.m AS month, p.n_years,
+           round(p.m_avg / 100.0, 2) AS avg_monthly_revenue,
+           cast((p.m_avg * 1000000) // o.o_avg AS bigint)
+               AS seasonal_index_ppm
+    FROM per_month p, overall o
+"""
