@@ -356,6 +356,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "revenue_drawdown_profile",
         "same_day_order_audit",
         "monthly_seasonal_index",
+        "events_burst_minutes",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

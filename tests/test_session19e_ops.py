@@ -488,3 +488,26 @@ def test_seasonal_index_centers_on_unity(spark):
     for r in rows:
         assert r["n_years"] >= 1
         assert r["seasonal_index_ppm"] > 0
+
+
+def test_burst_minutes_exact_threshold(spark):
+    from twinspect_spark.queries import q_events_burst_minutes
+
+    rows = q_events_burst_minutes(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    per = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .count()
+        .collect()
+    )
+    cs = [r["count"] for r in per]
+    n, s1, s2 = len(cs), sum(cs), sum(c * c for c in cs)
+    want = {
+        c
+        for c in cs
+        if (c * n - s1) > 0 and (c * n - s1) ** 2 > 9 * (n * s2 - s1 * s1)
+    }
+    got_counts = {r["c"] for r in rows}
+    assert got_counts == want
+    for r in rows:
+        assert r["excess_ppm"] == (r["c"] * n - s1) * 1_000_000 // s1

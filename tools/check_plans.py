@@ -57,6 +57,7 @@ BNLJ_ALLOWED = {
     "corpus_vocab_growth",      # 5-row checkpoint grid, <= probe
     "pps_systematic_sample",    # one-row total/step divisor
     "monthly_seasonal_index",   # one-row overall-average divisor
+    "events_burst_minutes",     # one-row (n, S, S2) threshold probe
     # --- fenced brute-force / oracle-tier constructs (broadcast small
     # side with non-equi condition by design)
     "eval_ngram_contamination",

@@ -15299,3 +15299,75 @@ ORACLE_SQL["monthly_seasonal_index"] = """
                AS seasonal_index_ppm
     FROM per_month p, overall o
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 21: integer-exact burst detection
+# --------------------------------------------------------------------------
+
+
+def q_events_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over minute buckets with the 3σ test done in
+    EXACT INTEGERS: a minute is bursty iff c > mean + 3σ, i.e.
+    (c·n − S) > 0  AND  (c·n − S)² > 9·(n·S2 − S²) — counts are
+    integers, so the whole inequality is BIGINT algebra with zero
+    float ops and zero cross-engine rounding surface (the
+    supplier-z-score design taken all the way: not even the closed
+    form is floating point). S, S2, n are in-plan one-row aggregates
+    over the minute rollup."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.date_trunc("minute", "ts").cast("timestamp").alias("minute")
+    ).agg(F.count("*").cast("long").alias("c"))
+    stats = per.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .where(
+            (F.col("c") * F.col("n") - F.col("s1") > 0)
+            & (
+                (F.col("c") * F.col("n") - F.col("s1"))
+                * (F.col("c") * F.col("n") - F.col("s1"))
+                > 9
+                * (
+                    F.col("n") * F.col("s2")
+                    - F.col("s1") * F.col("s1")
+                )
+            )
+        )
+        .select(
+            F.col("minute").cast("string").alias("minute"),
+            "c",
+            F.expr("(c * n - s1) * 1000000 div s1")
+            .cast("long")
+            .alias("excess_ppm"),
+        )
+    )
+
+
+QUERIES["events_burst_minutes"] = q_events_burst_minutes
+
+
+ORACLE_SQL["events_burst_minutes"] = """
+    WITH per AS (
+      SELECT cast(date_trunc('minute', ts) AS timestamp) AS minute,
+             cast(count(*) AS bigint) AS c
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(c) AS bigint) AS s1,
+             cast(sum(c * c) AS bigint) AS s2
+      FROM per
+    )
+    SELECT cast(p.minute AS varchar) AS minute, p.c,
+           cast((p.c * t.n - t.s1) * 1000000 // t.s1 AS bigint)
+               AS excess_ppm
+    FROM per p, stats t
+    WHERE (p.c * t.n - t.s1) > 0
+      AND (p.c * t.n - t.s1) * (p.c * t.n - t.s1)
+          > 9 * (t.n * t.s2 - t.s1 * t.s1)
+"""
