@@ -147,3 +147,35 @@ def test_pq_recall_curve_plot(spark):
     root = _parse(svg)
     assert root.tag.endswith("svg")
     assert "macro_recall" in svg and "rerank" in svg
+
+
+def test_activity_heatmap_svg(spark, tmp_path):
+    from twinspect_spark.plot import plot_activity_heatmap, write_svg
+    from twinspect_spark.queries import q_events_hour_heatmap
+
+    grid = q_events_hour_heatmap(spark, "/root/testdata/sf0.001")
+    svg = plot_activity_heatmap(grid)
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert "hour of day" in svg and "ISO weekday" in svg
+    # one rect per populated cell plus the surface rect
+    n_cells = grid.count()
+    assert svg.count("<rect") == n_cells + 1
+    # values only printed when the grid is small; 7x24 is not
+    assert svg.count("text-anchor=\"middle\"") >= 24  # x labels + title row
+    out = str(tmp_path / "heat.svg")
+    write_svg(out, svg)
+    assert open(out).read() == svg
+
+
+def test_heatmap_small_grid_prints_values():
+    from twinspect_spark.plot import heatmap_chart
+
+    rows = [
+        {"x": a, "y": b, "v": a * 3 + b}
+        for a in range(3)
+        for b in range(3)
+    ]
+    svg = heatmap_chart(rows, "x", "y", "v", "T", "xl", "yl")
+    # 9 cells + surface, and every value printed (grid <= 64 cells)
+    assert svg.count("<rect") == 10
+    assert svg.count("font-size=\"10\"") >= 9

@@ -378,6 +378,108 @@ def plot_tier_distribution(
     )
 
 
+def heatmap_chart(
+    rows: list[dict],
+    x: str,
+    y: str,
+    v: str,
+    title: str,
+    x_label: str,
+    y_label: str,
+) -> str:
+    """Grid heatmap: x/y categorical axes, single-hue sequential fill
+    (light surface → slot-1 blue; a LUMINANCE ramp, so magnitude reads
+    without color vision), per-cell native <title> tooltips and the
+    value printed in each cell when the grid is small enough. Pure
+    standalone SVG like every chart here."""
+    xs = sorted({r[x] for r in rows})
+    ys = sorted({r[y] for r in rows})
+    vmax = max((r[v] for r in rows), default=1) or 1
+    gw, gh = _W - _ML - _MR, _H - _MT - _MB
+    cw, ch = gw / max(len(xs), 1), gh / max(len(ys), 1)
+    cells = {(r[x], r[y]): r[v] for r in rows}
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" '
+        f'height="{_H}" viewBox="0 0 {_W} {_H}" font-family="sans-serif">',
+        f'<rect width="{_W}" height="{_H}" fill="{_SURFACE}"/>',
+        f'<text x="{_ML}" y="24" font-size="15" fill="{_INK}">'
+        f"{_esc(title)}</text>",
+    ]
+    for yi, yv in enumerate(ys):
+        for xi, xv in enumerate(xs):
+            val = cells.get((xv, yv))
+            if val is None:
+                continue
+            t = val / vmax
+            # luminance ramp surface→blue: interpolate each channel
+            c = tuple(
+                round(a + (b - a) * t)
+                for a, b in ((252, 42), (252, 120), (251, 214))
+            )
+            px = _ML + xi * cw
+            py = _MT + yi * ch
+            parts.append(
+                f'<rect x="{px:.1f}" y="{py:.1f}" width="{cw:.1f}" '
+                f'height="{ch:.1f}" fill="rgb{c}">'
+                f"<title>{_esc(str(xv))} × {_esc(str(yv))}: "
+                f"{humanize(val)}</title></rect>"
+            )
+            if len(xs) * len(ys) <= 64:
+                ink = _INK if t < 0.55 else _SURFACE
+                parts.append(
+                    f'<text x="{px + cw / 2:.1f}" y="{py + ch / 2 + 4:.1f}"'
+                    f' font-size="10" fill="{ink}" text-anchor="middle">'
+                    f"{humanize(val)}</text>"
+                )
+    for xi, xv in enumerate(xs):
+        parts.append(
+            f'<text x="{_ML + xi * cw + cw / 2:.1f}" y="{_H - _MB + 16}"'
+            f' font-size="10" fill="{_INK2}" text-anchor="middle">'
+            f"{_esc(str(xv))}</text>"
+        )
+    for yi, yv in enumerate(ys):
+        parts.append(
+            f'<text x="{_ML - 8}" y="{_MT + yi * ch + ch / 2 + 4:.1f}"'
+            f' font-size="10" fill="{_INK2}" text-anchor="end">'
+            f"{_esc(str(yv))}</text>"
+        )
+    parts.append(
+        f'<text x="{_ML + gw / 2:.1f}" y="{_H - 8}" font-size="11" '
+        f'fill="{_INK2}" text-anchor="middle">{_esc(x_label)}</text>'
+    )
+    parts.append(
+        f'<text x="14" y="{_MT + gh / 2:.1f}" font-size="11" '
+        f'fill="{_INK2}" text-anchor="middle" '
+        f'transform="rotate(-90 14 {_MT + gh / 2:.1f})">'
+        f"{_esc(y_label)}</text>"
+    )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def plot_activity_heatmap(
+    grid: DataFrame, title: str = "Activity heatmap"
+) -> str:
+    """events_hour_heatmap table → isodow × hour event-count heatmap —
+    the ops-dashboard grid as a standalone SVG (no reference analog:
+    the reference renders static matplotlib figures; this family is
+    dependency-free)."""
+    rows = [
+        {"hour": int(r["hour"]), "dow": int(r["isodow"]),
+         "n": int(r["n_events"])}
+        for r in grid.limit(7 * 24).collect()
+    ]
+    return heatmap_chart(
+        rows,
+        x="hour",
+        y="dow",
+        v="n",
+        title=title,
+        x_label="hour of day",
+        y_label="ISO weekday",
+    )
+
+
 def write_svg(path: str, svg: str) -> None:
     with open(path, "w") as f:
         f.write(svg)
