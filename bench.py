@@ -357,6 +357,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "same_day_order_audit",
         "monthly_seasonal_index",
         "events_burst_minutes",
+        "qty_price_grid",
+        "priority_mix_by_year",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

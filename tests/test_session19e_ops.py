@@ -511,3 +511,27 @@ def test_burst_minutes_exact_threshold(spark):
     assert got_counts == want
     for r in rows:
         assert r["excess_ppm"] == (r["c"] * n - s1) * 1_000_000 // s1
+
+
+def test_qty_price_grid_shares(spark):
+    from twinspect_spark.queries import q_qty_price_grid
+
+    rows = q_qty_price_grid(spark, SF).collect()
+    li_n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert sum(r["n"] for r in rows) == li_n
+    s = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) < s <= 1_000_000
+
+
+def test_priority_mix_rows_per_year(spark):
+    from collections import defaultdict
+
+    from twinspect_spark.queries import q_priority_mix_by_year
+
+    rows = q_priority_mix_by_year(spark, SF).collect()
+    by_year = defaultdict(list)
+    for r in rows:
+        by_year[r["year"]].append(r)
+    for year, rs in by_year.items():
+        s = sum(r["share_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) < s <= 1_000_000

@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "pps_systematic_sample",    # one-row total/step divisor
     "monthly_seasonal_index",   # one-row overall-average divisor
     "events_burst_minutes",     # one-row (n, S, S2) threshold probe
+    "qty_price_grid",           # one-row grid-total share divisor
     # --- fenced brute-force / oracle-tier constructs (broadcast small
     # side with non-equi condition by design)
     "eval_ngram_contamination",

@@ -15371,3 +15371,89 @@ ORACLE_SQL["events_burst_minutes"] = """
       AND (p.c * t.n - t.s1) * (p.c * t.n - t.s1)
           > 9 * (t.n * t.s2 - t.s1 * t.s1)
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 22: 2-D density grid, composition shift
+# --------------------------------------------------------------------------
+
+PRICE_BAND = 50_000
+
+
+def q_qty_price_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D binned density of the order population (quantity decade ×
+    price band) with integer-ppm share — the joint-distribution grid
+    behind a pricing heatmap (renderable by plot.heatmap_chart). One
+    rollup over pure integer bin projections."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("cast(l_quantity as bigint) div 10").cast("int").alias("qty_band"),
+        F.expr(f"cast(floor(l_extendedprice / {PRICE_BAND}) as int)").alias(
+            "price_band"
+        ),
+    )
+    per = li.groupBy("qty_band", "price_band").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "qty_band",
+        "price_band",
+        "n",
+        F.expr("(n * 1000000) div total").cast("long").alias("share_ppm"),
+    )
+
+
+def q_priority_mix_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority composition per year in integer ppm — the
+    mix-shift audit (is URGENT growing?): per (year, priority) counts
+    against per-year totals via one window over the rollup. Mix drift
+    across years is what a composition monitor alerts on; the KS/TV
+    machinery upstream gives the distance, this gives the readable
+    table."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("year"),
+        "o_orderpriority",
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("year")
+    return per.select(
+        "year",
+        "o_orderpriority",
+        "n",
+        F.expr("(n * 1000000) div sum(n) over (partition by year)")
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+QUERIES["qty_price_grid"] = q_qty_price_grid
+QUERIES["priority_mix_by_year"] = q_priority_mix_by_year
+
+
+ORACLE_SQL["qty_price_grid"] = f"""
+    WITH per AS (
+      SELECT cast(cast(l_quantity AS bigint) // 10 AS int) AS qty_band,
+             cast(floor(l_extendedprice / {PRICE_BAND}) AS int)
+                 AS price_band,
+             cast(count(*) AS bigint) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT cast(sum(n) AS bigint) AS total FROM per)
+    SELECT qty_band, price_band, n,
+           cast((n * 1000000) // total AS bigint) AS share_ppm
+    FROM per, tot
+"""
+
+ORACLE_SQL["priority_mix_by_year"] = """
+    WITH per AS (
+      SELECT cast(year(o_orderdate) AS int) AS year, o_orderpriority,
+             cast(count(*) AS bigint) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT year, o_orderpriority, n,
+           cast((n * 1000000) // sum(n) OVER (PARTITION BY year)
+                AS bigint) AS share_ppm
+    FROM per
+"""
