@@ -359,6 +359,7 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "events_burst_minutes",
         "qty_price_grid",
         "priority_mix_by_year",
+        "priority_anova_effect",
     ]:
         fn = Q.QUERIES[name]
         bench(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -535,3 +535,15 @@ def test_priority_mix_rows_per_year(spark):
     for year, rs in by_year.items():
         s = sum(r["share_ppm"] for r in rs)
         assert 1_000_000 - len(rs) < s <= 1_000_000
+
+
+def test_anova_effect_near_zero_on_independent_draws(spark):
+    from twinspect_spark.queries import q_priority_anova_effect
+
+    r = q_priority_anova_effect(spark, SF).collect()[0]
+    assert r["k"] == 5
+    # this generator draws value independently of priority: eta^2
+    # must be tiny and F unremarkable (well under the ~2.4 critical
+    # value region at these dof)
+    assert 0 <= r["eta_squared"] < 0.05
+    assert 0 <= r["f_stat"] < 5

@@ -15457,3 +15457,94 @@ ORACLE_SQL["priority_mix_by_year"] = """
                 AS bigint) AS share_ppm
     FROM per
 """
+
+
+# --------------------------------------------------------------------------
+# session-19 batch 23: one-way ANOVA effect size
+# --------------------------------------------------------------------------
+
+
+def q_priority_anova_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across priorities from EXACT
+    sufficient statistics (the lang_length_ols design at group
+    granularity): per-group (n_g, Σx, Σx²) accumulate as decimal cents
+    — map-side combinable, partition-proof — then SSB = Σ S_g²/n_g −
+    S²/N and SSW = Σx² − Σ S_g²/n_g close in doubles ONCE with
+    identical op order both engines. Emits η² (between-group share of
+    variance, ppm-scale rounded) and the F statistic — 'does priority
+    explain order value at all?' (on this independent generator: no,
+    and the numbers say so)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("c"),
+    )
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("c").cast("decimal(38,0)").alias("s_g"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("q_g"),
+    )
+    # per-group S_g²/n_g in double (one cast per operand, fixed order)
+    term = (
+        F.col("s_g").cast("double")
+        * F.col("s_g").cast("double")
+        / F.col("n_g").cast("double")
+    )
+    agg = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(F.col("s_g")).cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("q_g")).cast("decimal(38,0)").alias("q"),
+        F.sum(term).alias("sbn"),
+    )
+    ssb = F.col("sbn") - F.col("s").cast("double") * F.col("s").cast(
+        "double"
+    ) / F.col("n").cast("double")
+    ssw = F.col("q").cast("double") - F.col("sbn")
+    return agg.select(
+        "k",
+        "n",
+        F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+        F.round(
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n") - F.col("k")).cast("double")),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+QUERIES["priority_anova_effect"] = q_priority_anova_effect
+
+
+ORACLE_SQL["priority_anova_effect"] = """
+    WITH g AS (
+      SELECT o_orderpriority,
+             cast(count(*) AS bigint) AS n_g,
+             cast(sum(cast(o_totalprice * 100 AS decimal(38,0)))
+                  AS decimal(38,0)) AS s_g,
+             cast(sum(cast(o_totalprice * 100 AS decimal(38,0))
+                      * cast(o_totalprice * 100 AS decimal(38,0)))
+                  AS decimal(38,0)) AS q_g
+      FROM orders GROUP BY 1
+    ),
+    a AS (
+      SELECT cast(count(*) AS bigint) AS k,
+             cast(sum(n_g) AS bigint) AS n,
+             cast(sum(s_g) AS decimal(38,0)) AS s,
+             cast(sum(q_g) AS decimal(38,0)) AS q,
+             sum(cast(s_g AS double) * cast(s_g AS double)
+                 / cast(n_g AS double)) AS sbn
+      FROM g
+    )
+    SELECT k, n,
+           round((sbn - cast(s AS double) * cast(s AS double)
+                        / cast(n AS double))
+                 / ((sbn - cast(s AS double) * cast(s AS double)
+                           / cast(n AS double))
+                    + (cast(q AS double) - sbn)), 6) AS eta_squared,
+           round(((sbn - cast(s AS double) * cast(s AS double)
+                         / cast(n AS double))
+                  / cast(k - 1 AS double))
+                 / ((cast(q AS double) - sbn)
+                    / cast(n - k AS double)), 6) AS f_stat
+    FROM a
+"""
