@@ -367,6 +367,527 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
     return timings, rows
 
 
+def run_hient_bench(sf_dir: str, cpus: int) -> dict:
+    """High-entropy-regime battery (VERDICT round-3 item 2): the same
+    engine over the Zipfian ~50k-vocab corpus tier
+    (tools/gen_hient.py), where token rarity is informative — the
+    regime ppjoin's prefix filter and containment's prefix tier are
+    FOR (on the 31-word driver corpus they degenerate, as documented
+    in operators/ppjoin.py / containment.py, and sit in the oracle
+    tier). ppjoin_similar_pairs is TIMED here, with its prefix-filter
+    candidate selectivity measured and reported; containment's router
+    stats (n_docs × vocab cells vs the dense cap) are reported so the
+    routing decision is data, not prose."""
+    from twinspect_spark import queries as Q
+    from twinspect_spark.config import DedupConfig
+    from twinspect_spark.pipeline import run_dedup
+
+    from tools.gen_hient import generate
+
+    base = os.environ.get("SPARK_GRAFT_HIENT_DIR", "/root/repo/.hient")
+    src_sf = sf_dir.rstrip("/").split("/")[-1]
+    hdir = os.path.join(base, src_sf)
+    if not os.path.exists(os.path.join(hdir, "documents.parquet")):
+        generate(sf_dir, hdir, 11)
+
+    spark = _fresh_spark(cpus)
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    cfg = DedupConfig(jaccard_threshold=0.7)
+    run_dedup(_files_df(spark, hdir).limit(64), cfg).clusters.count()
+    bench(
+        "e2e_dedup_pipeline",
+        lambda: run_dedup(_files_df(spark, hdir), cfg)
+        .clusters.where("file_id != cluster_id")
+        .count(),
+    )
+    for name in [
+        "ppjoin_similar_pairs",  # timed HERE: prefix filter selective
+        "ngram_containment_engine",
+        "winnow_clone_pairs",
+        "chunk_dup_spans",
+        "cdc_chunk_dup",
+        "paragraph_dedup_stats",
+        "prefix_dup_groups",
+        "repeated_span_stats",
+        "zipf_word_slope",
+        "doc_hapax_ratio",
+        "corpus_vocab_growth",
+        "char_entropy",
+        "lang_profile",
+        "token_stats",
+        "top_terms_tfidf",
+        "bm25_search",
+    ]:
+        fn = Q.QUERIES[name]
+        bench(name, lambda fn=fn: fn(spark, hdir).count())
+
+    # routing + selectivity evidence
+    from pyspark.sql import functions as F
+
+    from twinspect_spark.operators.containment import (
+        DENSE_CELLS_MAX,
+        containment_stats,
+    )
+    from twinspect_spark.operators.ppjoin import prefix_tokens
+
+    docs = spark.read.parquet(f"{hdir}/documents.parquet")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1,"
+                    " greatest(length(text) - 3, 1)),"
+                    " i -> substring(lower(text), i, 4)))"
+                )
+            ).alias("sh"),
+        )
+    )
+    n_docs, vocab = containment_stats(sh)
+    tok = sh.withColumnRenamed("sh", "tok")
+    pref = prefix_tokens(tok, "doc_id", 7, 10)
+    n_cands = (
+        pref.alias("x")
+        .join(pref.alias("y"), "tok")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    all_pairs = n_docs * (n_docs - 1) // 2
+    out = {
+        "metric": "hient_battery_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "result_rows": rows,
+        "tier_dir": hdir,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "shingle_vocab_k4": vocab,
+        "containment_route": (
+            "prefix" if n_docs * vocab > DENSE_CELLS_MAX else "dense"
+        ),
+        "ppjoin_prefix_candidates": n_cands,
+        "all_pairs": all_pairs,
+        "ppjoin_candidate_frac": round(n_cands / max(all_pairs, 1), 4),
+    }
+    spark.stop()
+    return out
+
+
+def _ccbench_worker(cores: int) -> None:
+    """One parallelism level of the distributed-CC scale evidence
+    (VERDICT round-3 item 5): hash-min label propagation on a synthetic
+    graph ABOVE DRIVER_CC_MAX_EDGES (so the distributed loop runs
+    un-forced, by its own size routing), chain components of known
+    diameter so rounds-to-convergence has a ground truth. The graph is
+    built from pure column expressions (sequence + id arithmetic — no
+    Python, no driver materialization) and localCheckpointed so both
+    levels iterate over identical materialized edges."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from twinspect_spark.operators.cc import (
+        DRIVER_CC_MAX_EDGES,
+        connected_components,
+    )
+
+    n_nodes = int(os.environ.get("SPARK_GRAFT_CC_NODES", "7000000"))
+    chain = int(os.environ.get("SPARK_GRAFT_CC_CHAIN", "8"))
+    spark = _fresh_spark_sp(cores, 64)
+    ids = spark.range(n_nodes).select(F.col("id").alias("a"))
+    # chains of `chain` nodes over the id line: edge (i, i+1) unless i
+    # ends a chain — n_nodes*(chain-1)/chain edges, diameter chain-1
+    edges = ids.where(
+        (F.col("a") % chain != chain - 1) & (F.col("a") < n_nodes - 1)
+    ).select("a", (F.col("a") + 1).alias("b"))
+    n_edges = edges.count()
+    assert n_edges > DRIVER_CC_MAX_EDGES, n_edges
+
+    rounds: list[float] = []
+    t_prev = time.perf_counter()
+
+    def on_round(it):
+        nonlocal t_prev
+        now = time.perf_counter()
+        rounds.append(round(now - t_prev, 2))
+        t_prev = now
+
+    t0 = time.perf_counter()
+    clusters = connected_components(edges, on_round=on_round)
+    n_comp = clusters.select("cluster_id").distinct().count()
+    wall = time.perf_counter() - t0
+    expect_comp = math.ceil(n_nodes / chain)
+    print(json.dumps({
+        "cores": cores,
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "chain_len": chain,
+        "diameter": chain - 1,
+        "rounds": len(rounds),
+        "per_round_sec": rounds,
+        "wall_sec": round(wall, 2),
+        "edges_per_sec": round(n_edges / wall),
+        "n_components": n_comp,
+        "components_ok": n_comp == expect_comp,
+    }))
+    spark.stop()
+
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            try:
+                total += os.path.getsize(os.path.join(root, n))
+            except OSError:
+                pass
+    return total
+
+
+def run_streambench(sf_dir: str, cpus: int) -> dict:
+    """Streaming e2e cost curve (VERDICT round-3 item 6): grow the
+    incremental store's accumulated state 10× (default 100k → 1M files)
+    in constant-size micro-batches and measure per-batch wall +
+    per-batch cluster/remap write bytes. The v2 store's design claim —
+    per-batch cost tracks |batch|, not |state| (append-only arrivals,
+    composed remap, pruned bucket scans + broadcast semi-joins) — is a
+    FLAT curve; an O(|state|) design would show both rising ~10×.
+
+    Each batch: ``batch_replicas`` fresh alphabet-rotated replicas of
+    the sf documents (near-disjoint shingle spaces, internal dup
+    structure preserved — same generator as --scaling) plus a small
+    slice of replica 0 re-pathed per batch, planting steady CROSS-batch
+    exact dups so the candidate lookup + cluster merge path is
+    exercised against the accumulated store every batch."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from twinspect_spark.config import DedupConfig
+    from twinspect_spark.streaming.incremental import DedupStore, process_batch
+
+    batch_replicas = int(os.environ.get("SPARK_GRAFT_STREAM_REPLICAS", "5"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "40"))
+    root = os.environ.get(
+        "SPARK_GRAFT_STREAM_ROOT", "/tmp/twinspect_streambench_store"
+    )
+    if os.path.isdir(root):
+        _sh.rmtree(root)
+
+    spark = _fresh_spark(cpus)
+    cfg = DedupConfig(jaccard_threshold=0.7, shingle_size=9)
+    base = _files_df(spark, sf_dir)
+    overlap = base.limit(500)
+    store = DedupStore(spark, root)
+
+    batches = []
+    accumulated = 0
+    for b in range(n_batches):
+        parts = []
+        for j in range(batch_replicas):
+            k = b * batch_replicas + j
+            rot = _ALPHA[k % 26:] + _ALPHA[: k % 26]
+            content = F.translate("content", _ALPHA, rot)
+            if (k // 26) % 2:
+                content = F.reverse(content)
+            content = F.concat(F.lit(f"r{k:04d} "), content)
+            parts.append(base.select(
+                F.concat(F.lit(f"rep{k}/"), "repo").alias("repo"),
+                "path", "commit", "lang", content.alias("content"),
+            ))
+        ov = overlap.select(
+            F.concat(F.lit(f"ov{b}/"), "repo").alias("repo"),
+            "path", "commit", "lang",
+            F.concat(F.lit("r0000 "), "content").alias("content"),
+        )
+        from functools import reduce
+
+        files = reduce(lambda a, c: a.unionByName(c), parts + [ov])
+        files = files.repartition(cpus).localCheckpoint()
+        n_files = files.count()
+
+        t0 = time.perf_counter()
+        process_batch(spark, files, store, cfg, batch_id=b)
+        wall = time.perf_counter() - t0
+        cluster_bytes = _du(
+            os.path.join(root, "clusters", f"batch_id={b}")
+        ) + _du(os.path.join(root, "remap", f"batch_id={b}"))
+        batches.append({
+            "batch": b,
+            "state_before": accumulated,
+            "batch_files": n_files,
+            "wall_sec": round(wall, 2),
+            "cluster_write_bytes": cluster_bytes,
+        })
+        accumulated += n_files
+
+    def _mean(rows, key):
+        return round(sum(r[key] for r in rows) / max(len(rows), 1), 2)
+
+    head, tail = batches[2:6], batches[-4:]
+    out = {
+        "metric": "streambench",
+        "sf_dir": sf_dir,
+        "cpus": cpus,
+        "batch_files": batches[0]["batch_files"],
+        "n_batches": n_batches,
+        "final_state_files": accumulated,
+        "per_batch": batches,
+        "early_mean_wall_sec": _mean(head, "wall_sec"),
+        "late_mean_wall_sec": _mean(tail, "wall_sec"),
+        "early_mean_cluster_bytes": _mean(head, "cluster_write_bytes"),
+        "late_mean_cluster_bytes": _mean(tail, "cluster_write_bytes"),
+        "wall_growth_x": round(
+            _mean(tail, "wall_sec") / max(_mean(head, "wall_sec"), 1e-9), 2
+        ),
+        "cluster_bytes_growth_x": round(
+            _mean(tail, "cluster_write_bytes")
+            / max(_mean(head, "cluster_write_bytes"), 1e-9),
+            2,
+        ),
+    }
+    spark.stop()
+    return out
+
+
+def run_submitbench(sf_dir: str, cpus: int) -> dict:
+    """spark-submit cold vs resumed at replica-corpus scale (VERDICT
+    round-3 item 7): the real ship path (`spark-submit --py-files
+    pkg.zip`, north rule) over the scaled replica corpus with a durable
+    stage-checkpoint manifest. Cold run computes + checkpoints every
+    stage; the resume run invalidates pairs+clusters only, so it must
+    serve ingest/signatures/candidates from the manifest — signatures
+    coming up as the BUCKETED table (plans/manifest.BUCKETED_STAGES) —
+    and recompute just the invalidated tail. Per-stage walls come from
+    the manifest's own _metrics/stages table (run_id-scoped)."""
+    import glob
+    import shutil as _sh
+    import subprocess
+
+    import duckdb
+
+    from twinspect_spark.config import DedupConfig
+    from twinspect_spark.session import package_zip
+
+    replicas = int(os.environ.get("SPARK_GRAFT_SUBMIT_REPLICAS", "576"))
+    corpus = os.environ.get(
+        "SPARK_GRAFT_SUBMIT_CORPUS", "/tmp/twinspect_submit_corpus.parquet"
+    )
+    ckpt = os.environ.get(
+        "SPARK_GRAFT_SUBMIT_CKPT", "/tmp/twinspect_submitbench_ckpt"
+    )
+    outdir = "/tmp/twinspect_submitbench_clusters.parquet"
+    jaccard = 0.7
+
+    if not os.path.exists(corpus):
+        spark = _fresh_spark(32)
+        _scaled_files_df(spark, sf_dir, replicas, 32).write.mode(
+            "overwrite"
+        ).parquet(corpus)
+        spark.stop()
+    if os.path.isdir(ckpt):
+        _sh.rmtree(ckpt)
+
+    zip_path = package_zip()
+    entry = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "twinspect_spark", "__main__.py",
+    )
+
+    def submit() -> dict:
+        t0 = time.perf_counter()
+        p = subprocess.run(
+            [
+                "/opt/spark/bin/spark-submit",
+                "--master", f"local[{cpus}]",
+                "--py-files", zip_path,
+                entry,
+                "--input", corpus,
+                "--output", outdir,
+                "--checkpoint", ckpt,
+                "--jaccard", str(jaccard),
+                "--cores", str(cpus),
+            ],
+            capture_output=True, text=True,
+        )
+        wall = round(time.perf_counter() - t0, 2)
+        line = [
+            ln for ln in p.stdout.splitlines()
+            if ln.startswith("{") and '"n_files"' in ln
+        ]
+        if not line:
+            raise RuntimeError(p.stdout[-2000:] + p.stderr[-2000:])
+        return {"launcher_wall_sec": wall, **json.loads(line[-1])}
+
+    cold = submit()
+
+    # invalidate the verify tail only: signatures + candidates must be
+    # SERVED, not recomputed, on the resumed run
+    cfg = DedupConfig(jaccard_threshold=jaccard)
+    key_dirs = glob.glob(os.path.join(ckpt, f"{cfg.fingerprint()}-*"))
+    for kd in key_dirs:
+        for st in ("pairs", "clusters"):
+            done = os.path.join(kd, f"{st}.done.json")
+            if os.path.exists(done):
+                os.remove(done)
+
+    resumed = submit()
+
+    stage_walls = {}
+    for kd in key_dirs:
+        stages_pq = os.path.join(kd, "_metrics", "stages", "*.parquet")
+        rows = duckdb.sql(
+            f"SELECT run_id, stage, wall_s, rows FROM '{stages_pq}'"
+            " ORDER BY ts"
+        ).fetchall()
+        for run_id, stage, wall_s, nrows in rows:
+            stage_walls.setdefault(run_id, {})[stage] = {
+                "wall_s": wall_s, "rows": nrows
+            }
+
+    return {
+        "metric": "submitbench",
+        "replicas": replicas,
+        "cpus": cpus,
+        "n_files": cold["n_files"],
+        "cold": cold,
+        "resumed": resumed,
+        "resumed_stage_status": resumed.get("stages"),
+        "per_run_stage_walls": stage_walls,
+        "speedup_x": round(
+            cold["wall_sec"] / max(resumed["wall_sec"], 1e-9), 2
+        ),
+    }
+
+
+_VERIFY_PREP = "/tmp/twinspect_verifybench"
+
+
+def _verifybench_worker(cores: int) -> None:
+    """Time verify_pairs ALONE on pre-written candidates + ingested
+    state (identical input both arms; TWINSPECT_VERIFY_NO_CACHE
+    selects the arm). Isolates the round-4 shingle-cache change from
+    composite-run host drift."""
+    from pyspark.sql import functions as F
+
+    from twinspect_spark.config import DedupConfig
+    from twinspect_spark.operators.verify import verify_pairs
+
+    cfg = DedupConfig(jaccard_threshold=0.7, shingle_size=9)
+    spark = _fresh_spark_sp(cores, 64)
+    cand = spark.read.parquet(f"{_VERIFY_PREP}/candidates").localCheckpoint()
+    ing = spark.read.parquet(f"{_VERIFY_PREP}/ingested").localCheckpoint()
+    # warm the Python worker pool on a slice
+    verify_pairs(cand.limit(2000), ing, cfg).agg(F.count("jaccard")).collect()
+    t0 = time.perf_counter()
+    n = (
+        verify_pairs(cand, ing, cfg)
+        .where("verified")
+        .agg(F.count("*"), F.sum(F.abs(F.hash("a", "b", "method"))))
+        .collect()[0]
+    )
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "cores": cores,
+        "cache": os.environ.get("TWINSPECT_VERIFY_NO_CACHE") != "1",
+        "wall_sec": round(wall, 2),
+        "verified_pairs": n[0],
+        "checksum": int(n[1]),
+    }))
+    spark.stop()
+
+
+def run_verifybench() -> dict:
+    """A/B the verify shingle cache on the work-bound corpus: prep
+    candidates once (untimed), then interleave cache-on/off workers at
+    both scaling levels, best-of-2 per arm."""
+    import subprocess
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.exists(f"{_VERIFY_PREP}/candidates"):
+        from twinspect_spark.config import DedupConfig
+        from twinspect_spark.ingest import ingest_files
+        from twinspect_spark.operators.buckets import unified_candidates
+        from twinspect_spark.operators.exact import collapse_exact_dups
+        from twinspect_spark.signatures import compute_signatures
+
+        spark = _fresh_spark(32)
+        replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "52"))
+        doclen = int(os.environ.get("SPARK_GRAFT_SCALE_DOCLEN", "12"))
+        files = _scaled_files_df(spark, sf_dir, replicas, 32, doclen=doclen)
+        cfg = DedupConfig(jaccard_threshold=0.7, shingle_size=9)
+        ingested = ingest_files(files, cfg).localCheckpoint()
+        reps, _ = collapse_exact_dups(ingested)
+        sigs = compute_signatures(reps, cfg).localCheckpoint()
+        cands = unified_candidates(sigs, cfg, materialize=True)
+        from twinspect_spark.operators.verify import (
+            estimate_filter_candidates,
+        )
+
+        est = estimate_filter_candidates(
+            cands, sigs, cfg, pre_gated=True, materialize=True
+        )
+        est.write.mode("overwrite").parquet(f"{_VERIFY_PREP}/candidates")
+        ingested.select(
+            "file_id", "content_norm", "size"
+        ).write.mode("overwrite").parquet(f"{_VERIFY_PREP}/ingested")
+        spark.stop()
+
+    lo, hi = (
+        int(os.environ.get("SPARK_GRAFT_SCALE_N", "2")),
+        int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8")),
+    )
+    best: dict[tuple[int, bool], dict] = {}
+    plan = [(lo, False), (lo, True), (hi, False), (hi, True)]
+    for cores, no_cache in plan + list(reversed(plan)):
+        env = dict(os.environ)
+        env["TWINSPECT_VERIFY_NO_CACHE"] = "1" if no_cache else "0"
+        p = subprocess.run(
+            [sys.executable, __file__, "--verifybench-worker", str(cores)],
+            capture_output=True, text=True, env=env,
+        )
+        line = [
+            ln for ln in p.stdout.splitlines() if ln.startswith("{")
+        ]
+        if not line:
+            raise RuntimeError(p.stdout[-1500:] + p.stderr[-1500:])
+        r = json.loads(line[-1])
+        k = (cores, no_cache)
+        if k not in best or r["wall_sec"] < best[k]["wall_sec"]:
+            best[k] = r
+    # identical results across arms, or the A/B is void
+    sums = {b["checksum"] for b in best.values()}
+    out = {
+        "metric": "verifybench",
+        "levels": [lo, hi],
+        "results_identical": len(sums) == 1,
+        "verified_pairs": best[(lo, False)]["verified_pairs"],
+        "per_arm": {
+            f"local[{c}]_{'nocache' if nc else 'cache'}":
+                best[(c, nc)]["wall_sec"]
+            for (c, nc) in best
+        },
+        "speedup_lo": round(
+            best[(lo, True)]["wall_sec"] / best[(lo, False)]["wall_sec"], 3
+        ),
+        "speedup_hi": round(
+            best[(hi, True)]["wall_sec"] / best[(hi, False)]["wall_sec"], 3
+        ),
+    }
+    return out
+
+
 def _run_worker_json(cmd: list[str], retries: int = 1) -> dict:
     """Run a worker subprocess and parse its last stdout line as JSON;
     retry once on empty output (a killed JVM leaves nothing), raising
@@ -751,6 +1272,57 @@ def main() -> None:
 
     if "--skewbench" in sys.argv:
         print(json.dumps(run_skewbench(sf_dir)))
+        return
+
+    if "--hient" in sys.argv:
+        print(json.dumps(run_hient_bench(sf_dir, cpus)))
+        return
+
+    if "--streambench" in sys.argv:
+        print(json.dumps(run_streambench(sf_dir, cpus)))
+        return
+
+    if "--submitbench" in sys.argv:
+        print(json.dumps(run_submitbench(sf_dir, cpus)))
+        return
+
+    if "--verifybench-worker" in sys.argv:
+        _verifybench_worker(
+            int(sys.argv[sys.argv.index("--verifybench-worker") + 1])
+        )
+        return
+
+    if "--verifybench" in sys.argv:
+        print(json.dumps(run_verifybench()))
+        return
+
+    if "--ccbench-worker" in sys.argv:
+        _ccbench_worker(int(sys.argv[sys.argv.index("--ccbench-worker") + 1]))
+        return
+
+    if "--ccbench" in sys.argv:
+        # distributed-CC loop at two parallelism levels, interleaved
+        # best-of-2 per level (same harness discipline as --scaling)
+        lo, hi = (
+            int(os.environ.get("SPARK_GRAFT_SCALE_N", "2")),
+            int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8")),
+        )
+        best: dict[int, dict] = {}
+        for cores in (lo, hi, hi, lo):
+            r = _run_worker_json(
+                [sys.executable, __file__, "--ccbench-worker", str(cores)]
+            )
+            if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
+                best[cores] = r
+        eff = round(
+            (best[lo]["wall_sec"] / best[hi]["wall_sec"]) / (hi / lo), 3
+        )
+        print(json.dumps({
+            "metric": "ccbench",
+            "levels": [lo, hi],
+            "per_level": {f"local[{c}]": best[c] for c in (lo, hi)},
+            "scaling_efficiency": eff,
+        }))
         return
 
     if "--candbench-prep" in sys.argv:

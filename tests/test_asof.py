@@ -71,3 +71,22 @@ def test_asof_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_reserved_name_collision_raises(spark):
+    """ADVICE r3: a left schema using an internal tagged-union column
+    name must fail fast, not silently collide."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 5)], "k int, t timestamp, _ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 7)], "k int, t timestamp, v int"
+    )
+    with pytest.raises(ValueError, match="_ts"):
+        asof_join(left, right, "k", "t", "t", ["v"])
+    from twinspect_spark.operators.asof import asof_join_forward
+
+    with pytest.raises(ValueError, match="_ts"):
+        asof_join_forward(left, right, "k", "t", "t", ["v"])

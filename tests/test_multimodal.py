@@ -138,3 +138,23 @@ def test_resize_real_backend_is_explicit_stub(media):
 
     with pytest.raises(NotImplementedError):
         resize_media(media, backend="real")
+
+
+def test_real_backend_seam_messages_are_actionable(media):
+    """VERDICT round-3 item 8: until the sandbox grants PIL/ffmpeg the
+    real-codec seam must REFUSE (never fake capability), and its error
+    must tell the integrator exactly where to plug the decoder in."""
+    from twinspect_spark.multimodal import decode_media, phash64_expr
+
+    for fn in (
+        lambda: decode_media(media, backend="real"),
+        lambda: phash64_expr(media.content, backend="real"),
+    ):
+        with pytest.raises(NotImplementedError) as ei:
+            fn()
+        msg = str(ei.value).lower()
+        assert "decode" in msg or "decoder" in msg
+        assert "pil" in msg or "ffmpeg" in msg
+
+    with pytest.raises(ValueError, match="unknown decode backend"):
+        decode_media(media, backend="webp2")

@@ -381,7 +381,16 @@ def dep_cooccurrence(
     contributes no quadratic work. The self-join is per-file
     (equi-join on the id), support a map-side-combinable pair count.
     Lift stays exact: ``(support * n_files * 1e6) div (c1 * c2)``
-    BIGINT arithmetic, floats never enter. The corpus size and the
+    BIGINT arithmetic, floats never enter. Exactness bound: the
+    numerator is exact while support * n_files < 2^63 / 1e6 ≈ 9.2e12
+    (support ≤ n_files, so any lake under ~3M distinct files is safe
+    unconditionally; larger lakes are safe while the product holds).
+    Beyond it the BIGINT product wraps silently under Spark's
+    non-ANSI mode — for such lakes compute lift on a stratified file
+    sample or drop to DECIMAL(38,0) (one-line change, ~2× slower
+    aggregate), rather than reordering into staged division, which
+    changes low-order digits and breaks the cross-engine oracle
+    contract. The corpus size and the
     derived support floor are IN-PLAN one-row aggregates broadcast into
     the filters — no driver-side action gates the plan (the round-1
     ``gt.count()`` lesson)."""

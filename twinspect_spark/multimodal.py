@@ -219,7 +219,7 @@ def resize_media(
     return media.mapInPandas(gen, schema=RESIZED_SCHEMA)
 
 
-PHASH_SALTS = 3  # salted sha256 digests -> 96 pseudo-pixel bytes (72 used)
+PHASH_SALTS = 3  # sha256 chain length -> 96 pseudo-pixel bytes (72 used)
 PHASH_GRID_W = 9  # dHash grid: 9x8 pixels -> 8x8 horizontal gradients
 
 
@@ -233,8 +233,9 @@ def phash64_expr(content, backend: str = "fake"):
     environment) and raises exactly where a real decode-and-downscale
     would plug in — the gradient/packing logic below is what it would
     feed. ``backend="fake"`` derives the deterministic 9x8 pseudo-pixel
-    grid from the blob bytes themselves (PHASH_SALTS salted sha256
-    digests → 72 bytes), so byte-identical blobs get identical codes
+    grid from the blob bytes themselves (a PHASH_SALTS-long sha256
+    chain → 72 bytes, one full-blob scan), so byte-identical blobs get
+    identical codes
     and everything downstream — gradient bits, packed 64-bit code, the
     Hamming-ball candidate join — is the real pipeline, SQL-replayable
     with no UDF anywhere. Bit 63 lands in the sign position; the packed
@@ -250,15 +251,26 @@ def phash64_expr(content, backend: str = "fake"):
 
 def phash_grid_hex(content):
     """Stage 1 of the dHash: the 96-byte pseudo-pixel grid as one hex
-    string (PHASH_SALTS salted sha256 digests). Materialize this as its
-    OWN projection column before packing — phash_pack references the
-    grid 72 times, and feeding it an unmaterialized expression would
-    re-evaluate the digests per pixel."""
+    string (a sha256 CHAIN: h0 = sha256(blob), then h_{s} =
+    sha256(hex(h0) || salt) — the tail digests hash a 65-char string,
+    not the blob, so the full blob is scanned ONCE instead of
+    PHASH_SALTS times; at media blob sizes that was the whole cost of
+    the fake decode). Materialize this as its OWN projection column
+    before packing — phash_pack references the grid 72 times, and
+    feeding it an unmaterialized expression would re-evaluate the
+    digests per pixel."""
+    h0 = F.sha2(content, 256)
     return F.concat(
+        h0,
         *[
-            F.sha2(F.concat(content, F.encode(F.lit(str(s)), "UTF-8")), 256)
-            for s in range(PHASH_SALTS)
-        ]
+            F.sha2(
+                F.encode(
+                    F.concat(h0, F.lit(str(s))), "UTF-8"
+                ),
+                256,
+            )
+            for s in range(1, PHASH_SALTS)
+        ],
     )
 
 

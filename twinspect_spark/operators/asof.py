@@ -39,6 +39,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# internal tagged-union column names; unioned with ALL of left's columns,
+# so a caller schema containing one would silently collide
+_RESERVED = ("_k", "_ts", "_side", "_seq", "_pay", "_m")
+
+
+def _check_reserved(left: DataFrame, payload: Sequence[str]) -> None:
+    """Fail fast (ValueError) instead of silently mis-joining when the
+    caller's left schema or payload list uses one of the internal
+    tagged-union column names."""
+    clash = [c for c in left.columns if c in _RESERVED]
+    clash += [c for c in payload if c in _RESERVED and c not in clash]
+    if clash:
+        raise ValueError(
+            f"asof_join: column name(s) {clash} collide with internal "
+            f"names {_RESERVED}; rename them before the join"
+        )
+
 
 def asof_join(
     left: DataFrame,
@@ -64,6 +81,7 @@ def asof_join(
         right (key, ts) is not unique, else results depend on partition
         order.
     """
+    _check_reserved(left, payload)
     pay = F.struct(*[F.col(c) for c in payload]).alias("_pay")
     seq = F.col(right_seq) if right_seq else F.lit(0)
     r = right.select(
@@ -117,6 +135,7 @@ def asof_join_forward(
     right peers resolve to the SMALLEST right_seq (the mirror of the
     backward join's greatest-seq rule). One shuffle on the key,
     |L|+|R| intermediate rows, zero Join operators."""
+    _check_reserved(left, payload)
     pay = F.struct(*[F.col(c) for c in payload]).alias("_pay")
     seq = F.col(right_seq) if right_seq else F.lit(0)
     r = right.select(

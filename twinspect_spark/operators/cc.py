@@ -72,6 +72,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iter: int = 30,
     max_driver_edges: int | None = None,
+    on_round=None,
 ) -> DataFrame:
     """edges(a, b) [+ vertices(file_id)] → clusters(file_id, cluster_id).
 
@@ -86,6 +87,9 @@ def connected_components(
     label propagation over DataFrame joins (unbounded scale, lineage cut
     per round). ``max_driver_edges`` overrides the threshold (0 forces
     the distributed loop — used by the oracle gate to exercise it).
+    ``on_round(it)`` is invoked after each distributed hash-min round
+    materializes — the rounds-to-convergence instrumentation for the
+    scale-evidence bench (bench.py --ccbench).
     """
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
@@ -122,6 +126,8 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
+        if on_round is not None:
+            on_round(it)
         # convergence check costs a driver-blocking job; dup graphs have
         # tiny diameters, so checking every 2nd round halves the serial
         # job count for (at worst) one extra cheap iteration

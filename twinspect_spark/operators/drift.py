@@ -48,7 +48,19 @@ def ks_two_sample(
     distributions of the is_a=true and is_a=false cohorts, plus the
     smallest value attaining it. ``bucket`` must be monotone
     non-decreasing in the value (it only affects the plan, never the
-    result). Caller pre-filters df to the two cohorts."""
+    result). Caller pre-filters df to the two cohorts.
+
+    Degenerate input: if either cohort is empty, D is undefined and
+    the result is EMPTY (0 rows) — guarded explicitly below, because
+    the engines would otherwise diverge on the 0-denominator (Spark
+    non-ANSI ``div`` yields NULL; DuckDB ``//`` raises).
+
+    Exactness bound: the integer readout |cum_a*n_b - cum_b*n_a| is
+    exact while n_a*n_b < 2^63 — i.e. up to ~3e9 rows per cohort.
+    Beyond that the BIGINT product wraps silently under Spark's
+    non-ANSI mode; for larger cohorts pre-aggregate values into
+    quantile buckets (the bucket expression already in the plan)
+    so n_a/n_b count buckets, not rows."""
     g = (
         df.select(
             F.col(value_col).alias("val"),
@@ -97,6 +109,9 @@ def ks_two_sample(
         .cast("long")
         .alias("num"),
     )
+    # empty-cohort guard: n_a*n_b = 0 makes D undefined — return 0 rows
+    # in BOTH engines' semantics rather than a NULL-vs-raise divergence
+    num = num.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
     mx = num.groupBy("n_a", "n_b").agg(F.max("num").alias("mx"))
     return (
         num.join(F.broadcast(mx), ["n_a", "n_b"])

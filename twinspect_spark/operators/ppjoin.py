@@ -127,9 +127,19 @@ def ppjoin_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    # Output predicate in EXACT integer arithmetic: i/(na+nb-i) >= t
+    # ⇔ i*t_den >= t_num*(na+nb-i). Filtering on the 6-dp ROUNDED
+    # jaccard would admit pairs with exact J in [t-5e-7, t) that round
+    # up — pairs the (lossless-for-J>=t) prefix filter is not
+    # guaranteed to generate, i.e. a boundary false negative vs the
+    # naive oracle. The rounded value is an output column only.
     return (
         inter.join(sa, "a")
         .join(sb, "b")
+        .where(
+            F.col("i") * F.lit(t_den)
+            >= F.lit(t_num) * (F.col("na") + F.col("nb") - F.col("i"))
+        )
         .select(
             "a",
             "b",
@@ -137,5 +147,4 @@ def ppjoin_pairs(
                 F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= F.lit(t_num) / F.lit(t_den))
     )

@@ -19,6 +19,8 @@ the last moment so it never rides through the band shuffles.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -241,12 +243,45 @@ def _verify_map(keep_cols: list[str], cfg: DedupConfig, with_lcs: bool):
     t = cfg.jaccard_threshold
     floor = t * 0.8
     lcs_t = cfg.lcs_threshold
+    # Per-partition doc_id→shingle-hash cache. A doc surviving into P
+    # candidate pairs used to be re-shingled P times (shingling is the
+    # kernel's dominant cost: O(len·k) numpy passes per doc); keyed by
+    # the already-present a/b ids it shingles once per partition. The
+    # content join's final shuffle hash-partitions pairs by ``b``, so
+    # every pair sharing a b-side doc is co-located by construction and
+    # repeated a-side docs of a clique land together too. The element
+    # cap bounds executor-thread memory (~32 MB of u64 at 4M elements);
+    # on overflow the cache resets rather than evicts — a coarse epoch
+    # reset keeps the hit rate with zero bookkeeping.
+    # TWINSPECT_VERIFY_NO_CACHE=1 disables it (the bench.py
+    # --verifybench A/B control; no semantic difference either way).
+    _CACHE_MAX_ELEMS = 4_000_000
+    _no_cache = os.environ.get("TWINSPECT_VERIFY_NO_CACHE") == "1"
 
     def batches(it):
+        cache: dict = {}
+        cached_elems = 0
+
+        def hashes_of(doc_id, text):
+            nonlocal cached_elems
+            if _no_cache:
+                return H.shingle_hashes(text, k)
+            h = cache.get(doc_id)
+            if h is None:
+                h = H.shingle_hashes(text, k)
+                if cached_elems + h.size > _CACHE_MAX_ELEMS:
+                    cache.clear()
+                    cached_elems = 0
+                cache[doc_id] = h
+                cached_elems += h.size
+            return h
+
         for pdf in it:
             n = len(pdf)
             if not n:
                 continue
+            ida = pdf["a"].to_numpy()
+            idb = pdf["b"].to_numpy()
             ca = pdf["content_a"].to_numpy()
             cb = pdf["content_b"].to_numpy()
             jac = np.empty(n, dtype=np.float64)
@@ -255,8 +290,8 @@ def _verify_map(keep_cols: list[str], cfg: DedupConfig, with_lcs: bool):
                 if x is None or y is None:
                     jac[i] = 0.0
                     continue
-                sx = H.shingle_hashes(x, k)
-                sy = H.shingle_hashes(y, k)
+                sx = hashes_of(ida[i], x)
+                sy = hashes_of(idb[i], y)
                 inter = np.intersect1d(sx, sy, assume_unique=True).size
                 jac[i] = inter / float(sx.size + sy.size - inter)
             # None (not NaN) for non-borderline rows: Arrow maps NaN to a

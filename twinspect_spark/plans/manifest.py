@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 import uuid
 
@@ -37,6 +39,17 @@ from pyspark.sql import functions as F
 from twinspect_spark.config import DedupConfig
 
 STAGES = ["ingested", "signatures", "candidates", "pairs", "clusters"]
+
+# Stages checkpointed as hash-BUCKETED external tables instead of plain
+# parquet (key, n_buckets). The signature store is re-joined on file_id
+# by every resumed consumer (estimate filter a-side + b-side, cluster
+# expansion) — bucketing it by file_id lets those scans come up already
+# hash-partitioned, dropping the signature-side Exchange from each join
+# (sources/tables.py write_bucketed documents the layout; on Iceberg
+# this is the bucket(N, file_id) hidden-partition transform).
+# n_buckets MUST equal spark.sql.shuffle.partitions (32, session.py):
+# mismatched partitioning would make Catalyst re-shuffle BOTH sides.
+BUCKETED_STAGES: dict[str, tuple[str, int]] = {"signatures": ("file_id", 32)}
 
 
 class StageManifest:
@@ -62,7 +75,44 @@ class StageManifest:
     def is_complete(self, stage: str) -> bool:
         return os.path.exists(self._done_path(stage))
 
+    def _table_name(self, stage: str) -> str:
+        # base-path hash: two manifests with the same config under
+        # DIFFERENT roots (common in tests) must not share a catalog
+        # entry — the table name is just a session-local handle over
+        # LOCATION, but a name collision would re-point a held handle
+        import hashlib
+
+        h = hashlib.sha256(self.base.encode()).hexdigest()[:8]
+        return re.sub(r"[^0-9A-Za-z_]", "_", f"ckpt_{self.key}_{h}_{stage}")
+
+    def _register_bucketed(self, stage: str, key: str, n: int) -> DataFrame:
+        """(Re-)register the bucketed external table for ``stage`` in
+        THIS session's catalog and return it. A resumed run is a fresh
+        JVM with an empty in-memory catalog — the bucket layout lives
+        in the table definition, so it must be re-declared over the
+        existing files for Catalyst to plan bucketed scans again."""
+        tbl = self._table_name(stage)
+        path = self.stage_path(stage)
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in self.spark.read.parquet(path).schema.fields
+        )
+        self.spark.sql(
+            f"CREATE TABLE {tbl} ({ddl}) USING PARQUET"
+            f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n} BUCKETS"
+            f" LOCATION '{path}'"
+        )
+        return self.spark.table(tbl)
+
     def read(self, stage: str) -> DataFrame:
+        done = self._done_path(stage)
+        if os.path.exists(done):
+            with open(done) as f:
+                meta = json.load(f)
+            b = meta.get("bucketed")
+            if b:
+                return self._register_bucketed(stage, b["key"], b["n"])
         return self.spark.read.parquet(self.stage_path(stage))
 
     def invalidate(self, stage: str) -> None:
@@ -79,10 +129,31 @@ class StageManifest:
         (downstream plans read the files, not the upstream lineage)."""
         t0 = time.perf_counter()
         path = self.stage_path(stage)
-        df.write.mode("overwrite").parquet(path)
+        bucketed = BUCKETED_STAGES.get(stage)
+        if bucketed and bucketed[0] in df.columns:
+            key, n = bucketed
+            tbl = self._table_name(stage)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            (
+                df.write.format("parquet")
+                .mode("overwrite")
+                .bucketBy(n, key)
+                .sortBy(key)
+                .option("path", path)
+                .saveAsTable(tbl)
+            )
+        else:
+            bucketed = None
+            df.write.mode("overwrite").parquet(path)
         wall_s = round(time.perf_counter() - t0, 3)
 
-        out = self.spark.read.parquet(path)
+        out = (
+            self.spark.table(self._table_name(stage))
+            if bucketed
+            else self.spark.read.parquet(path)
+        )
         lineage = (
             out.groupBy(F.col("_metadata.file_path").alias("part_file"))
             .agg(
@@ -130,6 +201,11 @@ class StageManifest:
                     "rows": int(stats["rows"] or 0),
                     "wall_s": wall_s,
                     "config": self.cfg.fingerprint(),
+                    "bucketed": (
+                        {"key": bucketed[0], "n": bucketed[1]}
+                        if bucketed
+                        else None
+                    ),
                 },
                 f,
             )

@@ -10337,11 +10337,11 @@ ORACLE_SQL["media_phash_dedup"] = """
                   ELSE text END AS blob
       FROM documents
     ),
+    h0 AS (SELECT file_id, sha256(blob) AS d0 FROM media),
     hx AS (
       SELECT file_id,
-             sha256(blob || '0') || sha256(blob || '1')
-                 || sha256(blob || '2') AS h
-      FROM media
+             d0 || sha256(d0 || '1') || sha256(d0 || '2') AS h
+      FROM h0
     ),
     px AS (
       SELECT file_id,
@@ -10446,10 +10446,11 @@ ORACLE_SQL["video_frame_overlap"] = """
                      FOR j IN range(0, len(b) // {fw})]) AS f
       FROM vids
     ),
+    h0 AS (SELECT video_id, sha256(f) AS d0 FROM frames),
     hx AS (
       SELECT video_id,
-             sha256(f || '0') || sha256(f || '1') || sha256(f || '2') AS h
-      FROM frames
+             d0 || sha256(d0 || '1') || sha256(d0 || '2') AS h
+      FROM h0
     ),
     px AS (
       SELECT video_id,
@@ -11085,9 +11086,26 @@ QUERIES["doc_shard_rendezvous"] = q_doc_shard_rendezvous
 QUERIES["import_cooccurrence"] = q_import_cooccurrence
 
 
-# the naive all-pairs oracle — identical to ngram_jaccard_pairs: the gate
-# proves the prefix-filter plan returns EXACTLY the brute-force result
-ORACLE_SQL["ppjoin_similar_pairs"] = _PAIRS_SQL
+# the naive all-pairs oracle with the EXACT integer threshold predicate
+# (i*t_den >= t_num*(na+nb-i)) — the same predicate the Spark plan now
+# filters on. The prefix filter is lossless exactly for exact-J >= t;
+# a rounded-jaccard >= t contract would demand pairs with exact J in
+# [t-5e-7, t) that the filter may never generate. The gate proves the
+# prefix-filter plan returns EXACTLY the brute-force result under the
+# exact predicate; rounded jaccard stays an output column only.
+ORACLE_SQL["ppjoin_similar_pairs"] = f"""
+WITH {_SH_SQL},
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE i * {PPJOIN_T_DEN} >= {PPJOIN_T_NUM} * (sa.n + sb.n - i)
+"""
 
 ORACLE_SQL["orders_drift_ks"] = """
     WITH v AS (
