@@ -92,3 +92,56 @@ def test_binmin_union_algebra():
         )
         assert (bm_u == bm_min).all()
         assert (H.minhash(u, p, seed) == H.densify_binmin(bm_u)).all()
+
+
+class TestNativeLcs:
+    """functions/lcs_native.py must be a drop-in accelerator for the
+    Python suffix automaton — identical lengths on arbitrary input
+    (round-4 profile: LCS was 85% of verify wall; the C kernel is the
+    fix, the Python automaton the portable fallback)."""
+
+    def test_native_matches_python_automaton(self):
+        import random
+
+        from twinspect_spark.functions.lcs_native import (
+            lcs_len_native,
+            native_available,
+        )
+        from twinspect_spark.operators.verify import _lcs_len as py_ref
+
+        if not native_available():
+            import pytest
+
+            pytest.skip("no C compiler on this host")
+        rng = random.Random(7)
+        alpha = "abcdef é中"
+        for _ in range(200):
+            a = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(0, 60))
+            )
+            b = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(0, 60))
+            )
+            # py_ref dispatches to native when available; call the
+            # underlying automaton by disabling dispatch via strings
+            # short enough that both paths are exercised through the
+            # public entry: compare native against a brute-force scan
+            best = 0
+            for i in range(len(a)):
+                for j in range(i + best + 1, len(a) + 1):
+                    if a[i:j] in b:
+                        best = j - i
+                    else:
+                        break
+            assert lcs_len_native(a, b) == best
+            assert py_ref(a, b) == best
+
+    def test_empty_and_disjoint(self):
+        from twinspect_spark.functions.lcs_native import lcs_len_native
+
+        if lcs_len_native("", "x") is None:
+            return  # no compiler: fallback covered by verify tests
+        assert lcs_len_native("", "x") == 0
+        assert lcs_len_native("x", "") == 0
+        assert lcs_len_native("abc", "xyz") == 0
+        assert lcs_len_native("abc", "abc") == 3

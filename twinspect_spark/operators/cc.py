@@ -91,6 +91,27 @@ def connected_components(
     materializes — the rounds-to-convergence instrumentation for the
     scale-evidence bench (bench.py --ccbench).
     """
+    threshold = (
+        DRIVER_CC_MAX_EDGES if max_driver_edges is None else max_driver_edges
+    )
+    # size probe on the DIRECTED edge list (callers pass the verified
+    # pairs cut, a checkpoint-backed scan): one cheap job, and the
+    # driver path then needs exactly ONE more (Arrow toPandas) — the
+    # symmetrized union + its localCheckpoint + recount used to cost
+    # three small driver-blocking jobs over 2× the rows, a fixed tax
+    # the scaling composite's near-flat cluster stage paid at every
+    # level (round-4 floors)
+    n_edges = edges.count()
+    if n_edges <= threshold:
+        # Arrow toPandas, not collect(): per-Row materialization costs
+        # ~30s/M rows; the Arrow path moves the same edges in ~1s;
+        # union-find symmetrizes internally, so the directed list is
+        # all it needs
+        pdf = edges.select("a", "b").toPandas()
+        return _driver_union_find(
+            pdf["a"].to_numpy(), pdf["b"].to_numpy(),
+            edges.sparkSession, vertices,
+        )
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
@@ -98,18 +119,6 @@ def connected_components(
     # without this the whole upstream pipeline (signatures, candidate
     # joins, verification UDFs) re-executes per iteration
     sym = sym.localCheckpoint()
-    n_edges = sym.count() // 2
-    threshold = (
-        DRIVER_CC_MAX_EDGES if max_driver_edges is None else max_driver_edges
-    )
-    if n_edges <= threshold:
-        # Arrow toPandas, not collect(): per-Row materialization costs
-        # ~30s/M rows; the Arrow path moves the same edges in ~1s
-        pdf = sym.where(F.col("src") < F.col("dst")).toPandas()
-        return _driver_union_find(
-            pdf["src"].to_numpy(), pdf["dst"].to_numpy(),
-            edges.sparkSession, vertices,
-        )
     nodes = sym.select(F.col("src").alias("file_id")).distinct()
     labels = nodes.withColumn("label", F.col("file_id")).localCheckpoint()
 

@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 
 from twinspect_spark.config import DedupConfig
 from twinspect_spark.functions import hashing as H
+from twinspect_spark.functions import lcs_native as _lcs_native
 
 
 _PREFIX_LANES = 16
@@ -324,9 +325,17 @@ def _lcs_len(a: str, b: str) -> int:
     """Longest common substring via a suffix automaton of `a` walked by
     `b` — O(|a|+|b|) states/time, the linear-time alternative to a suffix
     array with LCP (north_star's "suffix-array-based LCS scoring" slot;
-    reference analog: rapidfuzz LCSseq, newsedits.py:117-122)."""
+    reference analog: rapidfuzz LCSseq, newsedits.py:117-122).
+
+    Dispatches to the compiled kernel (functions/lcs_native.py, ~20×
+    the Python automaton on the 3.6 KB borderline-band docs that
+    dominate verify wall — round-4 profile) and keeps this Python
+    automaton as the byte-identical portable fallback."""
     if not a or not b:
         return 0
+    n = _lcs_native.lcs_len_native(a, b)
+    if n is not None:
+        return n
     # suffix automaton construction (standard; see e.g. cp-algorithms)
     nxt: list[dict[str, int]] = [{}]
     link = [-1]

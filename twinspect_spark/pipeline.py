@@ -89,9 +89,22 @@ def run_dedup(
     # column-pruning upside for the estimate stage's narrow joins is
     # captured instead by a narrow side-checkpoint inside
     # estimate_filter_candidates(materialize=True).
-    ingested = cut(ingest_files(files, cfg), "ingest")
-
+    t0 = time.perf_counter()
+    ingested = ingest_files(files, cfg)
+    if materialize_stages:
+        ingested = ingested.localCheckpoint()
     reps, exact_edges = collapse_exact_dups(ingested)
+    if materialize_stages:
+        # the exact-edge subtree (narrow groupBy(sha256) + join) is
+        # consumed only by the cluster stage; left lazy it re-executes
+        # THERE, inflating the near-fixed cluster cut that the scaling
+        # composite is most sensitive to (round-4 floors: cluster 6.9 s
+        # local[2] / 5.3 s local[8]). Materialize it here, inside the
+        # ingest+exact-collapse stage window, where its cost belongs.
+        exact_edges = exact_edges.localCheckpoint()
+        stage_seconds["ingest"] = round(time.perf_counter() - t0, 2)
+        if stage_hook is not None:
+            stage_hook("ingest")
     signatures = cut(compute_signatures(reps, cfg), "signatures")
 
     # LSH bands and SimHash chunks generate candidates through ONE
@@ -134,9 +147,15 @@ def run_dedup(
     # loop — measured as the dominant cluster-stage cost on dup-heavy
     # corpora. Component minima are unchanged: each rep is the min of
     # its exact group, so min-over-reps == min-over-all-members.
+    # vertices from the SIGNATURES checkpoint, not the lazy `reps`
+    # relation — reps re-derives the groupBy(sha256)+join subtree over
+    # the ingest checkpoint on every consumer; signatures holds exactly
+    # one row per representative and is already materialized
     rep_clusters = connected_components(
         pairs.where("verified").select("a", "b"),
-        vertices=reps.select("file_id"),
+        vertices=(signatures if materialize_stages else reps).select(
+            "file_id"
+        ),
     )
     member_clusters = exact_edges.alias("e").join(
         rep_clusters.alias("r"), F.col("e.a") == F.col("r.file_id")
