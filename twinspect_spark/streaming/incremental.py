@@ -334,6 +334,18 @@ class DedupStore:
         """Batch-scoped overwrite: a replayed batch replaces its own
         directory instead of appending (idempotent under Structured
         Streaming's retry semantics)."""
+        if partition_col:
+            # ONE file per directory partition per batch: without this,
+            # every write task holding rows of every partition value
+            # emits its own file into every dir — measured at 32 tasks
+            # × 64 dirs ≈ 2,000 ~13 KB files PER BATCH, and the
+            # accumulated store's per-batch probe scan then pays file
+            # listing/open cost linear in BATCH COUNT × 2,000 (the
+            # round-4 streambench caught per-batch wall growing 47 →
+            # 210 s on exactly this). Shuffling |batch| rows by the
+            # partition key is the flat, batch-sized cost that buys a
+            # flat store: 64 files per batch, listing stays trivial.
+            df = df.repartition(F.col(partition_col))
         w = df.write.mode("overwrite")
         if partition_col:
             w = w.partitionBy(partition_col)
@@ -575,7 +587,9 @@ def process_batch(
         batch_id,
         "bucket_pt",
     )
-    store.write_batch("edges", edges_new, batch_id)
+    # few-MB relation: cap its file count so the edge store's listing
+    # cost stays trivial across thousands of batches
+    store.write_batch("edges", edges_new.repartition(2), batch_id)
     if composed.count() > store.compact_remap_rows:
         # arrivals are already resolved as of this batch, so they join
         # the snapshot verbatim; the fold's composed remap is exactly
