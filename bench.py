@@ -46,6 +46,19 @@ _SCALED_CORPUS = os.environ.get(
 )
 
 
+def _group_perm(group: int, chars: str) -> str:
+    """Deterministic seeded permutation of ``chars`` for replica-group
+    ``group``; group 0 is the identity (byte-compatible with the
+    round 2-4 corpus)."""
+    import random
+
+    if group == 0:
+        return chars
+    lst = list(chars)
+    random.Random(f"twinspect-scale-salt-{group}-{chars[:1]}").shuffle(lst)
+    return "".join(lst)
+
+
 def _scaled_files_df(spark, sf_dir: str, replicas: int, cores: int,
                      doclen: int = 1):
     """Deterministic compute-bound corpus for the scaling run: the
@@ -64,29 +77,53 @@ def _scaled_files_df(spark, sf_dir: str, replicas: int, cores: int,
     images) is preserved — but per-row signature/verify COMPUTE grows
     ×doclen while the candidate-stage shuffle (fixed-width signatures,
     row-count-bound) does not. This is the shape of a real long-document
-    corpus, where per-row work dominates shuffle bytes."""
+    corpus, where per-row work dominates shuffle bytes.
+
+    SALTED grouping (round 5, default ON; SPARK_GRAFT_SCALE_SALT=0
+    reproduces the round 2-4 corpus exactly): the 26-letter rotation
+    group made replicas ≥52 apart collide into cross-replica near-copy
+    orbits, so REPLICAS=104 was NOT 2× the REPLICAS=52 work (BASELINE.md
+    round-4 "rejected runs"). Now every block of 52 replicas is a
+    self-contained GROUP: the legacy transform chain runs on the
+    within-group index (k % 52) and the whole group-g output is mapped
+    through a seeded alphabet+digit permutation unique to g. A char
+    bijection applied uniformly preserves every shingle-set relation, so
+    each group carries an IDENTICAL dup/orbit structure while sharing no
+    shingles with any other group — group 0's permutation is the
+    identity, making the 52-replica salted corpus byte-identical to the
+    legacy one, and 2× groups = exactly 2× work (`--workcheck` verifies
+    the per-stage counters scale 2.0× ± hash noise)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
+    salted = os.environ.get("SPARK_GRAFT_SCALE_SALT", "1") != "0"
     base = _files_df(spark, sf_dir)
     parts = []
     digits = "0123456789"
     for k in range(replicas):
-        rot = _ALPHA[k % 26 :] + _ALPHA[: k % 26]
+        kk = k % 52 if salted else k
+        rot = _ALPHA[kk % 26 :] + _ALPHA[: kk % 26]
         content = F.translate("content", _ALPHA, rot)
-        if (k // 26) % 2:
+        if (kk // 26) % 2:
             content = F.reverse(content)
-        drot = (k // 52) % 10
+        drot = (kk // 52) % 10
         if drot:
             content = F.translate(content, digits, digits[drot:] + digits[:drot])
         if doclen > 1:
             variants = [content]
             for j in range(1, doclen):
-                r = (k + 9 * j) % 26
+                r = (kk + 9 * j) % 26
                 rj = _ALPHA[r:] + _ALPHA[:r]
                 variants.append(F.translate(content, _ALPHA, rj))
             content = F.concat_ws(" ", *variants)
+        if salted and k // 52 > 0:
+            g = k // 52
+            content = F.translate(
+                content,
+                _ALPHA + digits,
+                _group_perm(g, _ALPHA) + _group_perm(g, digits),
+            )
         # per-replica prefix token: replicas whose transform cycle repeats
         # (rot/rev/drot period) become NEAR-dups instead of byte-copies,
         # so the full corpus flows through the signature/candidate path
@@ -1409,6 +1446,47 @@ def main() -> None:
             "substage_efficiency": eff,
             "cpu_sec_inflation_hi_vs_lo": cpu_inflation,
         }))
+        return
+
+    if "--workcheck" in sys.argv:
+        # Workload-invariance evidence for the SALTED replica generator
+        # (VERDICT r4 item 1): run the full pipeline at REPLICAS=R and
+        # 2R on the work-bound configuration and report the per-stage
+        # WORK counters (files, post-estimate candidates, verified
+        # pairs, dup members). A valid 2x-work corpus must scale every
+        # counter 2.0x ± MinHash noise; the legacy generator failed this
+        # (cross-replica rotation orbits — BASELINE.md "rejected runs").
+        from twinspect_spark.config import DedupConfig
+        from twinspect_spark.pipeline import run_dedup
+        from twinspect_spark.session import get_spark
+
+        base_r = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "52"))
+        doclen = int(os.environ.get("SPARK_GRAFT_SCALE_DOCLEN", "12"))
+        cfg = DedupConfig(jaccard_threshold=0.7, shingle_size=9)
+        spark = get_spark("bench", cores=cpus, shuffle_partitions=64)
+        out: dict[str, dict] = {}
+        for r in (base_r, 2 * base_r):
+            files = _scaled_files_df(spark, sf_dir, r, 32, doclen=doclen)
+            res = run_dedup(files, cfg)
+            out[f"replicas_{r}"] = {
+                "n_files": res.ingested.count(),
+                "n_candidates": res.candidates.count(),
+                "n_verified": res.pairs.where("verified").count(),
+                "dup_members": res.clusters.where(
+                    "file_id != cluster_id"
+                ).count(),
+            }
+        lo, hi = out[f"replicas_{base_r}"], out[f"replicas_{2 * base_r}"]
+        print(json.dumps({
+            "metric": "workcheck", "sf": sf,
+            "salt": os.environ.get("SPARK_GRAFT_SCALE_SALT", "1"),
+            "doclen": doclen, "replicas": [base_r, 2 * base_r],
+            **out,
+            "ratios": {
+                k: round(hi[k] / lo[k], 4) if lo[k] else None for k in lo
+            },
+        }))
+        spark.stop()
         return
 
     if "--scaling-prep" in sys.argv:

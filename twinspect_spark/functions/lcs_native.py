@@ -115,19 +115,57 @@ _lib = None
 _load_failed = False
 
 
+def _cache_dir() -> str:
+    """Per-user cache dir, created 0700. A shared world-writable tempdir
+    would let another local user pre-plant a .so at the precomputable
+    name and gain code execution in every Spark worker that loads it —
+    so the cache lives under a uid-scoped directory instead, and
+    ``_trusted()`` re-verifies ownership before every CDLL."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    for cand in (
+        os.path.join(base, "twinspect_lcs"),
+        os.path.join(tempfile.gettempdir(),
+                     f"twinspect-{os.geteuid()}", "twinspect_lcs"),
+    ):
+        try:
+            os.makedirs(cand, mode=0o700, exist_ok=True)
+            if os.lstat(cand).st_uid == os.geteuid():
+                return cand
+        except OSError:
+            continue
+    raise OSError("no writable per-user cache dir for the LCS kernel")
+
+
 def _so_path() -> str:
     h = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
-    return os.path.join(
-        tempfile.gettempdir(), f"twinspect_lcs_{h}.so"
-    )
+    return os.path.join(_cache_dir(), f"twinspect_lcs_{h}.so")
+
+
+def _trusted(path: str) -> bool:
+    """Load only regular, non-symlink files owned by the current euid."""
+    try:
+        st = os.lstat(path)
+    except OSError:
+        return False
+    import stat as _stat
+
+    return _stat.S_ISREG(st.st_mode) and st.st_uid == os.geteuid()
 
 
 def _build() -> str | None:
     """Compile the kernel once per machine; atomic-rename race-safe."""
-    so = _so_path()
-    if os.path.exists(so):
-        return so
     try:
+        so = _so_path()
+        # executor nodes may receive a prebuilt kernel via spark-submit
+        # --files (shipped into the task working dir); prefer it over a
+        # recompile when present and owned by us
+        shipped = os.path.join(os.getcwd(), os.path.basename(so))
+        if shipped != so and _trusted(shipped):
+            return shipped
+        if _trusted(so):
+            return so
         with tempfile.TemporaryDirectory() as td:
             src = os.path.join(td, "lcs.c")
             with open(src, "w") as f:
@@ -138,7 +176,7 @@ def _build() -> str | None:
                 check=True, capture_output=True, timeout=120,
             )
             os.replace(tmp_so, so)  # atomic; concurrent builders agree
-        return so
+        return so if _trusted(so) else None
     except Exception:
         return None
 
@@ -181,8 +219,14 @@ def lcs_len_native(a: str, b: str) -> int | None:
         return None
     if not a or not b:
         return 0
-    ca = np.frombuffer(a.encode("utf-32-le"), dtype="<u4")
-    cb = np.frombuffer(b.encode("utf-32-le"), dtype="<u4")
+    try:
+        # lone surrogates (possible in arbitrary str payloads) make
+        # utf-32 encoding raise; fall back to the Python automaton,
+        # which handles any str
+        ca = np.frombuffer(a.encode("utf-32-le"), dtype="<u4")
+        cb = np.frombuffer(b.encode("utf-32-le"), dtype="<u4")
+    except UnicodeEncodeError:
+        return None
     # automaton over the SHORT side: memory and construction scale
     # with it, and LCS is symmetric
     if len(cb) < len(ca):

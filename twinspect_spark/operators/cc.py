@@ -192,6 +192,11 @@ def merge_components(
         )
         .where(F.col("a") != F.col("b"))
     )
+    # connected_components runs a count probe AND (driver path) a
+    # toPandas over its input — checkpoint the contraction join here so
+    # those two jobs don't each re-execute it, while the batch-pipeline
+    # caller (already checkpoint-backed) keeps its single-probe fast path
+    contracted_edges = contracted_edges.localCheckpoint()
     remap = connected_components(contracted_edges).select(
         F.col("file_id").alias("old_label"), F.col("cluster_id").alias("new_label")
     )

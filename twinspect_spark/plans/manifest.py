@@ -29,7 +29,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 import time
 import uuid
 
@@ -39,6 +38,17 @@ from pyspark.sql import functions as F
 from twinspect_spark.config import DedupConfig
 
 STAGES = ["ingested", "signatures", "candidates", "pairs", "clusters"]
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API, so bucketed
+    stage overwrites work on any checkpoint root Spark can write to
+    (local FS, HDFS, object stores) — not just posix paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 # Stages checkpointed as hash-BUCKETED external tables instead of plain
 # parquet (key, n_buckets). The signature store is re-joined on file_id
@@ -134,8 +144,11 @@ class StageManifest:
             key, n = bucketed
             tbl = self._table_name(stage)
             self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            if os.path.isdir(path):
-                shutil.rmtree(path)
+            # saveAsTable(bucketBy) refuses to overwrite an existing
+            # LOCATION dir, so clear it through the Hadoop FileSystem
+            # API — resolves local paths, HDFS and object-store URIs
+            # alike, matching the module's checkpoint-root contract
+            _fs_delete(self.spark, path)
             (
                 df.write.format("parquet")
                 .mode("overwrite")
