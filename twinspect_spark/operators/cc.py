@@ -26,18 +26,15 @@ from pyspark.sql import functions as F
 DRIVER_CC_MAX_EDGES = 2_000_000  # ~32 MB of pairs — trivially driver-sized
 
 
-def _driver_union_find(
-    src, dst, spark, vertices: DataFrame | None
-) -> DataFrame:
-    """Exact same output contract as the distributed loop, for edge sets
-    that fit the driver. Vectorized min-label propagation with pointer
-    jumping (numpy): each round pushes the component-min across every
-    edge and halves label-chain depth, so convergence is O(log diameter)
-    rounds of O(E) vectorized work — the scalar union-find loop costs
-    ~5s/M edges in Python; this is ~50ms/M. ``src``/``dst`` are int64
-    numpy arrays (one direction per edge)."""
+def _numpy_cc(src, dst):
+    """Vectorized min-label propagation with pointer jumping (numpy):
+    each round pushes the component-min across every edge and halves
+    label-chain depth, so convergence is O(log diameter) rounds of O(E)
+    vectorized work — the scalar union-find loop costs ~5s/M edges in
+    Python; this is ~50ms/M. ``src``/``dst`` are int64 numpy arrays (one
+    direction per edge). Returns (sorted unique node ids, component-min
+    label per id)."""
     import numpy as np
-    import pandas as pd
 
     ids, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
     ia, ib = idx[: len(src)], idx[len(src):]
@@ -53,7 +50,18 @@ def _driver_union_find(
     # np.unique sorts ids, so index order == id order and the min label
     # index IS the min file_id of the component — same invariant as the
     # hash-min loop below
-    pdf = pd.DataFrame({"file_id": ids, "cluster_id": ids[lab]})
+    return ids, ids[lab]
+
+
+def _driver_union_find(
+    src, dst, spark, vertices: DataFrame | None
+) -> DataFrame:
+    """Exact same output contract as the distributed loop, for edge sets
+    that fit the driver (see ``_numpy_cc``)."""
+    import pandas as pd
+
+    ids, labels = _numpy_cc(src, dst)
+    pdf = pd.DataFrame({"file_id": ids, "cluster_id": labels})
     # explicit schema: empty edge sets yield an empty frame Spark cannot
     # infer from, and pandas would type empty columns as float64
     clusters = spark.createDataFrame(pdf, "file_id long, cluster_id long")
@@ -162,6 +170,77 @@ def connected_components(
         )
         clusters = clusters.unionByName(singletons)
     return clusters
+
+
+def cluster_with_members(
+    pair_edges: DataFrame,
+    vertices: DataFrame,
+    exact_edges: DataFrame,
+    max_driver_edges: int | None = None,
+) -> tuple[DataFrame, bool]:
+    """The pipeline's whole cluster stage: CC over the representative
+    pair graph + singleton fill from ``vertices(file_id)`` + exact-dup
+    member inheritance through ``exact_edges(a=rep, b=member)``.
+
+    Returns ``(clusters, driver_built)``. When BOTH edge lists fit the
+    driver, the entire assembly happens in numpy and the result is one
+    ``createDataFrame`` with NO upstream lineage — so the caller must
+    NOT localCheckpoint it (there is nothing to truncate; the checkpoint
+    of a driver-parallelized 260k-row frame measured ~1.4-3.0 s of pure
+    overhead in the round-5 fixed-latency profile, the single largest
+    level-independent term in the scaling composite). Above the
+    threshold the distributed loop + joins run exactly as before and
+    ``driver_built=False`` tells the caller to checkpoint as usual."""
+    import numpy as np
+    import pandas as pd
+
+    threshold = (
+        DRIVER_CC_MAX_EDGES if max_driver_edges is None else max_driver_edges
+    )
+    spark = pair_edges.sparkSession
+    n_pairs = pair_edges.count()
+    if n_pairs <= threshold:
+        n_exact = exact_edges.count()
+        if n_exact <= threshold:
+            epdf = pair_edges.select("a", "b").toPandas()
+            ids, labels = _numpy_cc(
+                epdf["a"].to_numpy(), epdf["b"].to_numpy()
+            )
+            vids = vertices.select("file_id").toPandas()[
+                "file_id"
+            ].to_numpy()
+            singles = vids[~np.isin(vids, ids)]
+            xpdf = exact_edges.select("a", "b").toPandas()
+            ea, eb = xpdf["a"].to_numpy(), xpdf["b"].to_numpy()
+            # member's cluster = its rep's label; a rep untouched by any
+            # pair edge is its own component min
+            pos = np.searchsorted(ids, ea)
+            pos_c = np.clip(pos, 0, max(len(ids) - 1, 0))
+            found = (
+                (pos < len(ids)) & (ids[pos_c] == ea)
+                if len(ids)
+                else np.zeros(len(ea), dtype=bool)
+            )
+            mlab = np.where(found, labels[pos_c], ea)
+            pdf = pd.DataFrame(
+                {
+                    "file_id": np.concatenate([ids, singles, eb]),
+                    "cluster_id": np.concatenate([labels, singles, mlab]),
+                }
+            )
+            return (
+                spark.createDataFrame(
+                    pdf, "file_id long, cluster_id long"
+                ),
+                True,
+            )
+    rep_clusters = connected_components(
+        pair_edges, vertices=vertices, max_driver_edges=max_driver_edges
+    )
+    members = exact_edges.alias("e").join(
+        rep_clusters.alias("r"), F.col("e.a") == F.col("r.file_id")
+    ).select(F.col("e.b").alias("file_id"), "cluster_id")
+    return rep_clusters.unionByName(members), False
 
 
 def merge_components(

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from twinspect_spark.config import DedupConfig
 from twinspect_spark.ingest import ingest_files
 from twinspect_spark.operators.buckets import unified_candidates
-from twinspect_spark.operators.cc import connected_components
+from twinspect_spark.operators.cc import cluster_with_members
 from twinspect_spark.operators.exact import collapse_exact_dups
 from twinspect_spark.operators.verify import (
     estimate_filter_candidates,
@@ -151,18 +151,19 @@ def run_dedup(
     # relation — reps re-derives the groupBy(sha256)+join subtree over
     # the ingest checkpoint on every consumer; signatures holds exactly
     # one row per representative and is already materialized
-    rep_clusters = connected_components(
+    clusters, driver_built = cluster_with_members(
         pairs.where("verified").select("a", "b"),
         vertices=(signatures if materialize_stages else reps).select(
             "file_id"
         ),
+        exact_edges=exact_edges,
     )
-    member_clusters = exact_edges.alias("e").join(
-        rep_clusters.alias("r"), F.col("e.a") == F.col("r.file_id")
-    ).select(F.col("e.b").alias("file_id"), "cluster_id")
-    clusters = rep_clusters.unionByName(member_clusters)
     if materialize_stages:
-        clusters = clusters.localCheckpoint()
+        # a driver-built cluster frame has no upstream lineage — a
+        # localCheckpoint would only re-serialize 260k driver rows
+        # through parallelize (measured ~1.4-3.0 s, level-independent)
+        if not driver_built:
+            clusters = clusters.localCheckpoint()
         stage_seconds["cluster"] = round(time.perf_counter() - t0, 2)
         if stage_hook is not None:
             stage_hook("cluster")

@@ -250,7 +250,7 @@ def run_dedup_resumable(
     Returns (DedupResult, {stage: "cached" | "computed"}, StageManifest).
     """
     from twinspect_spark.operators.buckets import unified_candidates
-    from twinspect_spark.operators.cc import connected_components
+    from twinspect_spark.operators.cc import cluster_with_members
     from twinspect_spark.operators.exact import collapse_exact_dups
     from twinspect_spark.operators.verify import (
         estimate_filter_candidates,
@@ -287,15 +287,15 @@ def run_dedup_resumable(
 
     def _clusters():
         # rep-graph CC + member expansion — mirror of pipeline.run_dedup
+        # (the stage write persists to parquet either way, so the
+        # driver-built flag is irrelevant here)
         reps, exact_edges = collapse_exact_dups(ingested)
-        rep_clusters = connected_components(
+        clusters, _ = cluster_with_members(
             pairs.where("verified").select("a", "b"),
             vertices=reps.select("file_id"),
+            exact_edges=exact_edges,
         )
-        members = exact_edges.alias("e").join(
-            rep_clusters.alias("r"), F.col("e.a") == F.col("r.file_id")
-        ).select(F.col("e.b").alias("file_id"), "cluster_id")
-        return rep_clusters.unionByName(members)
+        return clusters
 
     clusters = stage("clusters", _clusters)
     return (
