@@ -654,6 +654,10 @@ def run_streambench(sf_dir: str, cpus: int) -> dict:
         files = files.repartition(cpus).localCheckpoint()
         n_files = files.count()
 
+        # what the candidate probe can scan this batch: the VISIBLE
+        # bucket store (gc already removed compaction-superseded dirs)
+        probe_bytes = _du(os.path.join(root, "buckets"))
+        dead_bytes = _du(os.path.join(root, "dead"))
         t0 = time.perf_counter()
         process_batch(spark, files, store, cfg, batch_id=b)
         wall = time.perf_counter() - t0
@@ -666,6 +670,8 @@ def run_streambench(sf_dir: str, cpus: int) -> dict:
             "batch_files": n_files,
             "wall_sec": round(wall, 2),
             "cluster_write_bytes": cluster_bytes,
+            "bucket_store_bytes_before": probe_bytes,
+            "dead_store_bytes_before": dead_bytes,
         })
         accumulated += n_files
 
@@ -691,6 +697,17 @@ def run_streambench(sf_dir: str, cpus: int) -> dict:
         "cluster_bytes_growth_x": round(
             _mean(tail, "cluster_write_bytes")
             / max(_mean(head, "cluster_write_bytes"), 1e-9),
+            2,
+        ),
+        "early_mean_bucket_store_bytes": _mean(
+            head, "bucket_store_bytes_before"
+        ),
+        "late_mean_bucket_store_bytes": _mean(
+            tail, "bucket_store_bytes_before"
+        ),
+        "bucket_store_growth_x": round(
+            _mean(tail, "bucket_store_bytes_before")
+            / max(_mean(head, "bucket_store_bytes_before"), 1e-9),
             2,
         ),
     }
@@ -1666,23 +1683,26 @@ def main() -> None:
         "result_rows": rows,
         "cpus": cpus,
         # north-rule N vs 4N evidence, measured by `bench.py --scaling`
-        # on the work-bound 260k-file corpus (interleaved best-of-2,
-        # three independent runs) — full tables + methodology in
-        # BASELINE.md "North-rule scaling target MET" / "reproduced"
+        # on the work-bound corpus (interleaved best-of-2) — full
+        # tables + methodology in BASELINE.md round-5 sections
         "scaling_evidence": {
             "levels": ["local[2]", "local[8]"],
-            "throughput_files_per_sec": {"local[2]": 1218.5,
-                                         "local[8]": 3837.1},
-            "composite_efficiency_best_run": 0.787,
-            "fixed_latency_sec_level_independent": 3.0,
-            "composite_efficiency_fixed_latency_adjusted": 0.812,
-            "per_run": [0.787, 0.767, 0.774],
+            "throughput_files_per_sec_260k": {"local[2]": 1329.0,
+                                              "local[8]": 4392.6},
+            "composite_efficiency_raw_260k": 0.826,
+            "composite_efficiency_raw_520k_2x_work": 0.736,
+            "composite_520k_isolated_warm_local8": 0.810,
+            "workcheck_2x_ratios": {"files": 2.0, "candidates": 2.0032,
+                                    "verified": 2.0033,
+                                    "dup_members": 2.0043},
             "compute_stage_range": [0.87, 0.93],
             "host_dram_copy_ceiling_2_to_8": 0.63,
-            "note": "3x faster than round 3 at both levels (native LCS"
-                    " kernel); round-3 0.802 was the same arithmetic"
-                    " with 3x more wall hiding the fixed term",
-            "detail": "BASELINE.md round-4 scaling sections",
+            "note": "raw >=0.8 with NO fixed-latency adjustment at the"
+                    " comparable 260k workload (round-4 blocker"
+                    " removed: driver cluster stage 4.1 -> 1.0 s; salted"
+                    " replica groups make 2x-work runs valid,"
+                    " workcheck-verified)",
+            "detail": "BASELINE.md round-5 scaling sections",
         },
     }
     print(json.dumps(out))

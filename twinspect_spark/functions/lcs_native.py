@@ -159,11 +159,24 @@ def _build() -> str | None:
     try:
         so = _so_path()
         # executor nodes may receive a prebuilt kernel via spark-submit
-        # --files (shipped into the task working dir); prefer it over a
-        # recompile when present and owned by us
-        shipped = os.path.join(os.getcwd(), os.path.basename(so))
-        if shipped != so and _trusted(shipped):
-            return shipped
+        # --files; Spark lands those in the SparkFiles root (task working
+        # dir on a cluster). Prefer a shipped kernel over a recompile
+        # when present and owned by us.
+        candidates = []
+        try:
+            from pyspark import SparkFiles
+
+            candidates.append(
+                os.path.join(
+                    SparkFiles.getRootDirectory(), os.path.basename(so)
+                )
+            )
+        except Exception:
+            pass
+        candidates.append(os.path.join(os.getcwd(), os.path.basename(so)))
+        for shipped in candidates:
+            if shipped != so and _trusted(shipped):
+                return shipped
         if _trusted(so):
             return so
         with tempfile.TemporaryDirectory() as td:

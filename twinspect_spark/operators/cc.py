@@ -120,46 +120,86 @@ def connected_components(
             pdf["a"].to_numpy(), pdf["b"].to_numpy(),
             edges.sparkSession, vertices,
         )
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    # materialize the edge set ONCE — every iteration re-reads it, and
-    # without this the whole upstream pipeline (signatures, candidate
-    # joins, verification UDFs) re-executes per iteration
-    sym = sym.localCheckpoint()
+    # materialize the edge set ONCE, hash-partitioned on the join key,
+    # as a CACHE (persist), not a checkpoint: an InMemoryRelation is a
+    # plan leaf that PRESERVES outputPartitioning, so every round's
+    # offers join co-partitions against it with zero edge-side exchange
+    # — measured on this Spark build, a checkpointed RDD scan reports
+    # unknown partitioning and the round-4 loop re-shuffled the full
+    # edge list (the largest relation here) every round, the dominant
+    # byte-bound term under the host DRAM ceiling (ccbench r4
+    # efficiency 0.687). sym's own logical plan is built once from
+    # `edges`, so the cache-lookup cost stays constant across rounds.
+    # Caching also keeps the upstream pipeline (signatures, candidate
+    # joins, verify UDFs) from re-executing per iteration.
+    sym = sym.repartition(n_part, "src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sym.count()
     nodes = sym.select(F.col("src").alias("file_id")).distinct()
+    # labels MUST roll forward through localCheckpoint, not persist: the
+    # round recurrence references the previous labels twice (offers
+    # probe + merge join), so without logical-plan truncation the plan
+    # tree doubles per round — measured as driver planning time growing
+    # 3.1 → 64.3 s/round by round 8 on the 6.1M-edge ccbench graph when
+    # this loop briefly cached labels instead. The checkpoint costs the
+    # label-side re-shuffle per round (the smaller relation), which the
+    # cached sym makes the only large exchange besides the offer agg.
     labels = nodes.withColumn("label", F.col("file_id")).localCheckpoint()
 
-    for it in range(max_iter):
-        # every node offers its label to each neighbor; keep the min of
-        # (own label, best neighbor offer)
-        offers = (
-            sym.join(labels, sym.src == labels.file_id)
-            .select(F.col("dst").alias("file_id"), "label")
-        )
-        new_labels = (
-            labels.unionByName(offers)
-            .groupBy("file_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        if on_round is not None:
-            on_round(it)
-        # convergence check costs a driver-blocking job; dup graphs have
-        # tiny diameters, so checking every 2nd round halves the serial
-        # job count for (at worst) one extra cheap iteration
-        if it % 2 == 1 or it == max_iter - 1:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "file_id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
+    try:
+        for it in range(max_iter):
+            # every node offers its label to each neighbor; keep the min
+            # of (own label, best neighbor offer). Merging via a left
+            # join (instead of union+groupBy over labels ∪ offers) keeps
+            # the aggregation to the offer rows alone.
+            offers = (
+                sym.join(labels, sym.src == labels.file_id)
+                .select(F.col("dst").alias("file_id"), "label")
             )
-            if changed == 0:
-                labels = new_labels
-                break
-        labels = new_labels
+            offer_min = offers.groupBy("file_id").agg(
+                F.min("label").alias("offer")
+            )
+            new_labels = (
+                labels.join(offer_min, "file_id", "left")
+                .select(
+                    "file_id",
+                    F.least(
+                        F.col("label"), F.coalesce("offer", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            if on_round is not None:
+                on_round(it)
+            # convergence check costs a driver-blocking job; dup graphs
+            # have tiny diameters, so checking every 2nd round halves
+            # the serial job count for (at worst) one extra cheap
+            # iteration
+            if it % 2 == 1 or it == max_iter - 1:
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "file_id")
+                    .where(F.col("n.label") != F.col("o.label"))
+                    .limit(1)
+                    .count()
+                )
+                if changed == 0:
+                    labels = new_labels
+                    break
+            labels = new_labels
+    finally:
+        # labels live in checkpoint blocks (GC-cleaned); the sym cache
+        # entry would outlive this call otherwise (CacheManager holds
+        # it), accumulating across streaming batches
+        sym.unpersist()
 
     clusters = labels.select("file_id", F.col("label").alias("cluster_id"))
     if vertices is not None:

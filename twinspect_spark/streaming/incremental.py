@@ -26,10 +26,15 @@ man's Iceberg bucketing — the Iceberg migration only swaps the writer):
                                       ALL later reassignment flows
                                       through it, never through row
                                       rewrites
+  dead/batch_id=<id>/                 bucket tombstones: one row per
+                                      bucket key whose occupancy crossed
+                                      the frequency cap (written at
+                                      bucket compaction; those keys are
+                                      candidate-ineligible forever)
   _meta.json                          commit record: format version,
                                       high-water mark + exception list,
-                                      cluster compaction base. Atomic
-                                      rename is the commit point.
+                                      cluster + bucket compaction bases.
+                                      Atomic rename is the commit point.
 
 Why this scales where a naive design is O(|state|) per batch:
 
@@ -55,7 +60,14 @@ Why this scales where a naive design is O(|state|) per batch:
    When the remap outgrows ``compact_remap_rows`` the store folds it
    into a resolved snapshot (clusters/batch_id=<base>/) and clears it —
    the LSM/Iceberg compaction idiom.
-6. Commit bookkeeping is O(1) in stream length: a high-water mark W
+6. The bucket store is LSM-compacted every ``compact_buckets_every``
+   batches: member rows of buckets past the frequency cap — permanently
+   candidate-ineligible, since occupancy only grows — are dropped and
+   replaced by one tombstone row per key, so the per-batch candidate
+   probe scans LIVE bucket bytes, not the full append history (a hot
+   boilerplate band otherwise accumulates dead members linearly
+   forever and the probe re-reads them every batch).
+7. Commit bookkeeping is O(1) in stream length: a high-water mark W
    ("all batches ≤ W committed") + a usually-empty exception list,
    rewritten atomically per batch; the committed-rows predicate is a
    constant-size PartitionFilter, not a growing IN-list.
@@ -125,13 +137,16 @@ class DedupStore:
         spark: SparkSession,
         root: str,
         compact_remap_rows: int = 100_000,
+        compact_buckets_every: int = 8,
     ):
         self.spark = spark
         self.root = root
         self.compact_remap_rows = compact_remap_rows
+        self.compact_buckets_every = compact_buckets_every
         os.makedirs(root, exist_ok=True)
         self._meta = self._load_meta()
         self._pending_base: int | None = None
+        self._pending_bucket_base: int | None = None
 
     # ---- commit record -------------------------------------------------
 
@@ -146,6 +161,9 @@ class DedupStore:
                     f"this build reads format {STORE_FORMAT} — rebuild the "
                     "store (no in-place migration)"
                 )
+            # additive field (round 5); absent in stores written before
+            # bucket compaction existed — semantics of 0 are identical
+            m.setdefault("bucket_base", 0)
             return m
         if any(_MARKER_RE.match(f) for f in os.listdir(self.root)):
             raise ValueError(
@@ -158,6 +176,7 @@ class DedupStore:
             "high_water": -1,   # all batch_ids <= this are committed
             "exceptions": [],   # committed ids > high_water (out-of-order)
             "cluster_base": 0,  # clusters/remap dirs < this were compacted
+            "bucket_base": 0,   # buckets/dead dirs < this were compacted
         }
 
     def _write_meta(self) -> None:
@@ -203,6 +222,9 @@ class DedupStore:
         if self._pending_base is not None:
             m["cluster_base"] = self._pending_base
             self._pending_base = None
+        if self._pending_bucket_base is not None:
+            m["bucket_base"] = self._pending_bucket_base
+            self._pending_bucket_base = None
         self._write_meta()
 
     # ---- paths / reads -------------------------------------------------
@@ -231,10 +253,30 @@ class DedupStore:
         return None if df is None else df.select(*STATE_COLS)
 
     def buckets(self) -> DataFrame | None:
-        """Committed bucket rows WITH the bucket_pt partition column (the
-        caller prunes on it before any join)."""
+        """Committed LIVE bucket rows WITH the bucket_pt partition column
+        (the caller prunes on it before any join). Dirs below
+        ``bucket_base`` were folded by ``compact_buckets`` and are
+        invisible; rows of tombstoned (over-cap) buckets are dropped at
+        compaction, so probe bytes track live buckets, not history."""
         df = self._read_committed("buckets")
-        return None if df is None else df.select(*BUCKET_COLS, "bucket_pt")
+        if df is None:
+            return None
+        df = df.where(F.col("batch_id") >= self._meta["bucket_base"])
+        return df.select(*BUCKET_COLS, "bucket_pt")
+
+    def dead_buckets(self) -> DataFrame | None:
+        """Committed tombstones: bucket keys whose STORED occupancy has
+        exceeded the frequency cap. Occupancy only grows, so once over
+        the cap a bucket can never produce candidates again — its member
+        rows are dropped at compaction and this one-row-per-key relation
+        keeps the cap semantics exact (the probe excludes these keys the
+        way the live count check would have)."""
+        df = self._read_committed("dead")
+        if df is None:
+            return None
+        return df.where(
+            F.col("batch_id") >= self._meta["bucket_base"]
+        ).select("space", "bucket_idx", "bucket_key")
 
     def state_rows_for(self, ids: DataFrame) -> DataFrame | None:
         """Committed state rows for the given ids(file_id) — pruned
@@ -374,19 +416,61 @@ class DedupStore:
         )
         self._pending_base = batch_id
 
+    def compact_buckets(self, batch_id: int, bk_new: DataFrame,
+                        cap: int) -> None:
+        """LSM-fold the bucket store (round-5 streambench follow-up):
+        fold all visible bucket dirs + this batch's rows into ONE
+        compacted dir under this batch_id, dropping the member rows of
+        every bucket whose stored occupancy exceeds ``cap`` and writing
+        one tombstone row per such key instead. Probe-scan bytes then
+        track LIVE buckets: without this, a hot bucket (boilerplate
+        band, the bench's planted clique) accumulates members linearly
+        forever while being permanently ineligible for candidates —
+        dead bytes re-read every batch. Amortized O(live state / period);
+        replay-safe because bucket_base only advances at mark_batch."""
+        keys = ["space", "bucket_idx", "bucket_key"]
+        stored = self.buckets()
+        allrows = (
+            bk_new
+            if stored is None
+            else stored.select(*BUCKET_COLS).unionByName(
+                bk_new.select(*BUCKET_COLS)
+            )
+        )
+        old_dead = self.dead_buckets()
+        counts = allrows.groupBy(*keys).count()
+        new_dead = counts.where(F.col("count") > cap).select(*keys)
+        dead = (
+            new_dead
+            if old_dead is None
+            else old_dead.unionByName(new_dead).distinct()
+        ).localCheckpoint()
+        live = allrows.join(dead, keys, "left_anti")
+        self.write_batch(
+            "buckets", live.withColumn("bucket_pt", _bucket_pt()),
+            batch_id, "bucket_pt",
+        )
+        # tombstones: one row per dead key — small by construction (hot
+        # buckets are rare); a handful of files keeps listing trivial
+        self.write_batch("dead", dead.repartition(2), batch_id)
+        self._pending_bucket_base = batch_id
+
     def gc_compacted(self) -> None:
-        """Remove clusters/remap batch dirs superseded by the compaction
-        base. Safe anytime after commit: readers never touch dirs below
-        cluster_base, and committed batches are never replayed."""
-        base = self._meta["cluster_base"]
-        for name in ("clusters", "remap"):
-            p = self._path(name)
-            if not os.path.exists(p):
-                continue
-            for d in os.listdir(p):
-                m = _BATCH_DIR_RE.match(d)
-                if m and int(m.group(1)) < base:
-                    shutil.rmtree(os.path.join(p, d), ignore_errors=True)
+        """Remove batch dirs superseded by their compaction base. Safe
+        anytime after commit: readers never touch dirs below the base,
+        and committed batches are never replayed."""
+        for names, base in (
+            (("clusters", "remap"), self._meta["cluster_base"]),
+            (("buckets", "dead"), self._meta["bucket_base"]),
+        ):
+            for name in names:
+                p = self._path(name)
+                if not os.path.exists(p):
+                    continue
+                for d in os.listdir(p):
+                    m = _BATCH_DIR_RE.match(d)
+                    if m and int(m.group(1)) < base:
+                        shutil.rmtree(os.path.join(p, d), ignore_errors=True)
 
 
 def _incremental_candidates(
@@ -420,6 +504,13 @@ def _incremental_candidates(
     keep = sizes.where(
         (F.col("count") > 1) & (F.col("count") <= cfg.max_band_bucket)
     ).select(*keys)
+    dead = store.dead_buckets()
+    if dead is not None:
+        # tombstoned keys crossed the cap before their member rows were
+        # compacted away; the live count alone could fall back under the
+        # cap and wrongly re-admit them — the anti-join preserves the
+        # exact over-cap-forever semantics of the uncompacted store
+        keep = keep.join(dead, keys, "left_anti")
     left = bk_new.join(keep, keys, "left_semi").select(
         *keys, F.col("file_id").alias("x"), F.col("simhash").alias("sim_x")
     )
@@ -581,12 +672,19 @@ def process_batch(
     store.write_batch(
         "state", new_state.withColumn("id_pt", _id_pt()), batch_id, "id_pt"
     )
-    store.write_batch(
-        "buckets",
-        bk_new.withColumn("bucket_pt", _bucket_pt()),
-        batch_id,
-        "bucket_pt",
-    )
+    every = store.compact_buckets_every
+    if every and batch_id % every == every - 1:
+        # periodic LSM fold replaces the plain append: this batch's dir
+        # absorbs the whole live store and over-cap member rows become
+        # tombstones (probe bytes track live buckets, not history)
+        store.compact_buckets(batch_id, bk_new, cfg.max_band_bucket)
+    else:
+        store.write_batch(
+            "buckets",
+            bk_new.withColumn("bucket_pt", _bucket_pt()),
+            batch_id,
+            "bucket_pt",
+        )
     # few-MB relation: cap its file count so the edge store's listing
     # cost stays trivial across thousands of batches
     store.write_batch("edges", edges_new.repartition(2), batch_id)
