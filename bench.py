@@ -93,53 +93,84 @@ def _scaled_files_df(spark, sf_dir: str, replicas: int, cores: int,
     identity, making the 52-replica salted corpus byte-identical to the
     legacy one, and 2× groups = exactly 2× work (`--workcheck` verifies
     the per-stage counters scale 2.0× ± hash noise)."""
-    from functools import reduce
-
     from pyspark.sql import functions as F
 
     salted = os.environ.get("SPARK_GRAFT_SCALE_SALT", "1") != "0"
-    base = _files_df(spark, sf_dir)
-    parts = []
     digits = "0123456789"
+    full = _ALPHA + digits
+    idx = {c: i for i, c in enumerate(full)}
+
+    def compose(outer: str, inner: str) -> str:
+        """Mapping string of outer∘inner over ``full`` (apply inner
+        first). A mapping string m encodes c → m[idx[c]]."""
+        return "".join(outer[idx[c]] for c in inner)
+
+    def rot_letters(r: int) -> str:
+        return _ALPHA[r:] + _ALPHA[:r] + digits
+
+    def rot_digits(r: int) -> str:
+        return _ALPHA + digits[r:] + digits[:r]
+
+    # One row per replica: the whole transform chain (alphabet rotation,
+    # digit rotation, per-variant extra rotation, group salt) composes
+    # into ONE char map per (replica, variant), computed driver-side.
+    # The corpus is then base × replicas through a BROADCAST join with
+    # translate(content, <full>, maps[j]) taking the map from the
+    # joined row — a single narrow stage. The previous implementation
+    # union-chained `replicas` DataFrames, and Catalyst's analysis of a
+    # 576-way union (5.6 MB task binaries) stalled the 2.88M-file
+    # submitbench prep indefinitely; this join generates the identical
+    # bytes (checksum-verified at sf0.001 for salted and legacy modes)
+    # in one pass at any replica count.
+    rows = []
     for k in range(replicas):
         kk = k % 52 if salted else k
-        rot = _ALPHA[kk % 26 :] + _ALPHA[: kk % 26]
-        content = F.translate("content", _ALPHA, rot)
-        if (kk // 26) % 2:
-            content = F.reverse(content)
-        drot = (kk // 52) % 10
-        if drot:
-            content = F.translate(content, digits, digits[drot:] + digits[:drot])
-        if doclen > 1:
-            variants = [content]
-            for j in range(1, doclen):
-                r = (kk + 9 * j) % 26
-                rj = _ALPHA[r:] + _ALPHA[:r]
-                variants.append(F.translate(content, _ALPHA, rj))
-            content = F.concat_ws(" ", *variants)
-        if salted and k // 52 > 0:
-            g = k // 52
-            content = F.translate(
-                content,
-                _ALPHA + digits,
-                _group_perm(g, _ALPHA) + _group_perm(g, digits),
-            )
-        # per-replica prefix token: replicas whose transform cycle repeats
-        # (rot/rev/drot period) become NEAR-dups instead of byte-copies,
-        # so the full corpus flows through the signature/candidate path
-        # rather than collapsing in the exact-dup stage — the scaling run
-        # then measures the parallel pipeline, not the collapse
-        content = F.concat(F.lit(f"r{k:03d} "), content)
-        parts.append(
-            base.select(
-                F.concat(F.lit(f"rep{k}/"), "repo").alias("repo"),
-                "path",
-                "commit",
-                "lang",
-                content.alias("content"),
-            )
+        maps = []
+        for j in range(doclen):
+            m = compose(rot_letters(kk % 26), full)
+            drot = (kk // 52) % 10
+            if drot:
+                m = compose(rot_digits(drot), m)
+            if j > 0:
+                m = compose(rot_letters((kk + 9 * j) % 26), m)
+            if salted and k // 52 > 0:
+                g = k // 52
+                m = compose(
+                    _group_perm(g, _ALPHA) + _group_perm(g, digits), m
+                )
+            maps.append(m)
+        # per-replica prefix token: replicas whose transform cycle
+        # repeats (rot/rev/drot period) become NEAR-dups instead of
+        # byte-copies, so the full corpus flows through the signature/
+        # candidate path rather than collapsing in the exact-dup stage —
+        # the scaling run then measures the parallel pipeline, not the
+        # collapse
+        rows.append(
+            (k, bool((kk // 26) % 2), f"r{k:03d} ", f"rep{k}/", maps)
         )
-    df = reduce(lambda a, b: a.unionByName(b), parts)
+    rdf = spark.createDataFrame(
+        rows,
+        "k int, rev boolean, prefix string, repo_prefix string,"
+        " maps array<string>",
+    )
+    base = _files_df(spark, sf_dir)
+    joined = base.crossJoin(F.broadcast(rdf)).withColumn(
+        "base_t",
+        F.when(F.col("rev"), F.reverse("content")).otherwise(
+            F.col("content")
+        ),
+    )
+    variants = [
+        F.expr(f"translate(base_t, '{full}', maps[{j}])")
+        for j in range(doclen)
+    ]
+    df = joined.select(
+        F.concat("repo_prefix", "repo").alias("repo"),
+        "path",
+        "commit",
+        "lang",
+        F.concat("prefix", F.concat_ws(" ", *variants)).alias("content"),
+    )
     return df.repartition(cores * 3)
 
 
@@ -765,6 +796,14 @@ def run_submitbench(sf_dir: str, cpus: int) -> dict:
             [
                 "/opt/spark/bin/spark-submit",
                 "--master", f"local[{cpus}]",
+                # the session builder's spark.driver.memory is ignored
+                # under spark-submit (the JVM is already up), so the
+                # executor-faithful sizing session.py documents must be
+                # given to the launcher — without it the submitted job
+                # runs on the 1g default and OOMs at replica scale
+                "--driver-memory",
+                os.environ.get("SPARK_GRAFT_SUBMIT_MEM")
+                or f"{min(max(8, 3 * cpus), 64)}g",
                 "--py-files", zip_path,
                 entry,
                 "--input", corpus,

@@ -401,10 +401,22 @@ def q_ngram_containment_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     withn = sh.join(sizes, "doc_id")
     alpha = F.expr(f"(n * {num} + 999999) div 1000000")  # ceil, int
+    # Prefix choice: ANY p-subset of A is lossless here (p + ceil(t*n)
+    # > n, so every qualifying pair's intersection hits every p-subset
+    # — the prefix×FULL variant needs no global order at all, unlike
+    # symmetric ppjoin). Choose the p RAREST shingles (doc-freq asc):
+    # measured on the high-entropy tier at sf0.1, lexicographic
+    # prefixes landed on common shingles and the candidate join spent
+    # 314 s; rarest-first makes prefix bucket sizes anti-correlated
+    # with shingle popularity, the same skew bound ppjoin documents.
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("dfq"))
     pre = (
-        withn.withColumn(
+        withn.join(dfreq, "sh")
+        .withColumn(
             "rk",
-            F.row_number().over(W.partitionBy("doc_id").orderBy("sh")),
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("dfq", "sh")
+            ),
         )
         .where(F.col("rk") <= F.col("n") - alpha + 1)
         .select("doc_id", "sh", "n")
