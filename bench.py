@@ -1728,7 +1728,7 @@ def main() -> None:
             "levels": ["local[2]", "local[8]"],
             "throughput_files_per_sec_260k": {"local[2]": 1329.0,
                                               "local[8]": 4392.6},
-            "composite_efficiency_raw_260k": 0.826,
+            "composite_efficiency_raw_260k_runs": [0.826, 0.812],
             "composite_efficiency_raw_520k_2x_work_runs": [0.736, 0.757,
                                                            0.769],
             "composite_520k_isolated_warm_local8": 0.810,
